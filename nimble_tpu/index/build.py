@@ -1,0 +1,122 @@
+"""k-mer index over the (doubled) reference library.
+
+The reference delegates index construction to the external `debruijn_mapping`
+crate (`build_index::build_index::<Kmer30>`, `src/bin/main.rs:121-128`), which
+builds a colored de Bruijn graph keyed by 30-mers.  For the TPU engine we use
+an equivalent flat formulation designed for batched device probing:
+
+  * every k-mer (k=30) of every library row is packed into a 60-bit integer
+    key (base-major, A=0 C=1 G=2 T=3 — the same 2-bit alphabet as the
+    reference's `DnaString`), with NO canonicalization: the library loader has
+    already doubled the rows with explicit reverse complements
+    (`src/reference_library.rs:128-153`), so orientation is encoded in which
+    row a k-mer belongs to;
+  * each distinct key maps to its postings: the list of (row_id, offset)
+    occurrences.  The "color"/equivalence-class of a k-mer is exactly the set
+    of rows in its postings;
+  * for the device, the same data is laid out as an open-addressed hash table
+    (key -> postings span) plus a flat postings array and the concatenated
+    2-bit row codes (see `nimble_tpu.ops.device_index`).
+
+Host-side structures here are the ground truth; the device arrays are derived
+views of them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from nimble_tpu.config import KMER_SIZE
+from nimble_tpu.utils.dna import encode_bases
+
+
+def pack_kmer_keys(codes: np.ndarray, k: int = KMER_SIZE) -> np.ndarray:
+    """All rolling k-mer keys of a code array, as uint64 (base-major).
+
+    key(i) = sum_{j<k} codes[i+j] << (2*(k-1-j)) — i.e. the first base is the
+    most-significant 2 bits, so keys compare lexicographically.
+    Returns an empty array when len(codes) < k.
+    """
+    codes = np.asarray(codes, dtype=np.uint64)
+    n = len(codes) - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    # incremental rolling hash: key_{i+1} = ((key_i << 2) & mask) | c_{i+k}
+    mask = np.uint64((1 << (2 * k)) - 1)
+    # vectorized: prefix "polynomial" evaluation via cumulative shifts is
+    # awkward; use the windowed dot with powers instead (k is only 30).
+    powers = (np.uint64(1) << (np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)))
+    # sliding windows (n, k) — fine for host-side library/rescue volumes
+    windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+    return (windows * powers).sum(axis=1, dtype=np.uint64) & mask
+
+
+@dataclass
+class KmerIndex:
+    """Host k-mer index: packed rows + postings map.
+
+    Attributes:
+      k:            k-mer size (30)
+      row_codes:    per-row int8 base codes of the doubled library
+      row_lengths:  np.ndarray of row lengths
+      kmer_map:     key(uint64) -> np.ndarray[(n,2) int32] of (row, offset)
+    """
+
+    k: int
+    row_codes: List[np.ndarray]
+    row_lengths: np.ndarray
+    kmer_map: Dict[int, np.ndarray]
+    num_kmers: int = 0
+
+    def lookup(self, key: int) -> np.ndarray | None:
+        return self.kmer_map.get(int(key))
+
+
+def build_index(sequences: List[str], k: int = KMER_SIZE) -> KmerIndex:
+    """Build the k-mer postings index from (doubled) library row sequences.
+
+    Mirrors the role of `debruijn_mapping::build_index` (`src/bin/main.rs:121`):
+    the input must already contain both orientations of every feature (rows
+    interleaved fwd/rev by the library loader).
+    """
+    row_codes = [encode_bases(s) for s in sequences]
+    row_lengths = np.array([len(c) for c in row_codes], dtype=np.int32)
+
+    keys_per_row = []
+    rows_per_row = []
+    offs_per_row = []
+    for row_id, codes in enumerate(row_codes):
+        keys = pack_kmer_keys(codes, k)
+        if len(keys) == 0:
+            continue
+        keys_per_row.append(keys)
+        rows_per_row.append(np.full(len(keys), row_id, dtype=np.int32))
+        offs_per_row.append(np.arange(len(keys), dtype=np.int32))
+
+    kmer_map: Dict[int, np.ndarray] = {}
+    total = 0
+    if keys_per_row:
+        all_keys = np.concatenate(keys_per_row)
+        all_rows = np.concatenate(rows_per_row)
+        all_offs = np.concatenate(offs_per_row)
+        total = len(all_keys)
+        order = np.argsort(all_keys, kind="stable")
+        sk, sr, so = all_keys[order], all_rows[order], all_offs[order]
+        # group identical keys into postings arrays
+        boundaries = np.flatnonzero(np.diff(sk)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [len(sk)]))
+        for s, e in zip(starts, ends):
+            postings = np.stack([sr[s:e], so[s:e]], axis=1).astype(np.int32)
+            kmer_map[int(sk[s])] = postings
+
+    return KmerIndex(
+        k=k,
+        row_codes=row_codes,
+        row_lengths=row_lengths,
+        kmer_map=kmer_map,
+        num_kmers=total,
+    )

@@ -1,0 +1,64 @@
+"""FASTQ reading (plain or gzip) into coded read arrays.
+
+Parity target: `src/parse/fastq.rs` — niffler compression sniffing + bio fastq
+records mapped to `DnaString::from_acgt_bytes` (unknown bases -> 'A').
+Malformed records (e.g. separator/quality-length mismatches) raise
+``ValueError("Unable to read sequence")`` like the reference's error-checked
+iterator (`src/parse/fastq.rs:35-41`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+from typing import Iterator, List
+
+import numpy as np
+
+from nimble_tpu.utils.dna import encode_bases
+
+
+def _open_maybe_gzip(path: str):
+    """Sniff gzip by magic bytes (niffler-style, `src/parse/fastq.rs:25-29`)."""
+    try:
+        f = open(path, "rb")
+    except OSError:
+        raise ValueError(
+            f"Error -- could not determine compression format for {path}"
+        ) from None
+    magic = f.read(2)
+    f.seek(0)
+    if magic == b"\x1f\x8b":
+        return gzip.open(f, "rb")
+    return f
+
+
+def iter_fastq_codes(path: str) -> Iterator[np.ndarray]:
+    """Yield int8 base-code arrays for each FASTQ record in order."""
+    with _open_maybe_gzip(path) as f:
+        text = io.BufferedReader(f) if not isinstance(f, io.BufferedReader) else f
+        while True:
+            header = text.readline()
+            if not header:
+                return
+            header = header.strip()
+            if not header:
+                continue
+            seq = text.readline().strip()
+            sep = text.readline().strip()
+            qual_line = text.readline()
+            # bio's fastq reader validates the record structure ('@' header,
+            # '+' separator, quality line present) but NOT the quality length
+            # (the repo's mismatch.fastq has longer qual lines than sequences).
+            if (
+                not header.startswith(b"@")
+                or not sep.startswith(b"+")
+                or not qual_line
+            ):
+                raise ValueError("Unable to read sequence")
+            yield encode_bases(seq)
+
+
+def read_fastq_codes(path: str) -> List[np.ndarray]:
+    """Eagerly read a whole FASTQ file as coded arrays."""
+    return list(iter_fastq_codes(path))

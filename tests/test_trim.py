@@ -1,0 +1,53 @@
+"""Parity tests for the MAXINFO trimmer (`src/align.rs:1656-1752`).
+
+The reference tests build quality strings from PHRED+33 text and subtract 33
+(`adjust_quality`, `src/align.rs:1023-1027`) — the aligner consumes raw
+quality values as chars.
+"""
+
+import numpy as np
+
+from nimble_tpu.core.trim import maxinfo, trim_codes
+from nimble_tpu.utils.dna import decode_bases, encode_bases
+
+
+def adjust_quality(q: str) -> str:
+    return "".join(chr(ord(c) - 33) for c in q)
+
+
+def test_trim_sequence_high_quality():
+    codes = encode_bases("ACGTACGTACGTACGTACGT")
+    trimmed = trim_codes(codes, adjust_quality("I" * 20), 15, 0.5)
+    assert decode_bases(trimmed) == "ACGTACGTACGTACGTACGT"
+
+
+def test_trim_sequence_low_quality():
+    codes = encode_bases("ACGTACGTACGTACGTACGT")
+    trimmed = trim_codes(codes, adjust_quality("!" * 20), 15, 0.9)
+    assert decode_bases(trimmed) == "A"
+
+
+def test_trim_sequence_mixed_quality():
+    codes = encode_bases("ACGTACGTACGTACGTACGT")
+    trimmed = trim_codes(codes, adjust_quality("IIIIII!!!!!!IIIIII"), 15, 0.8)
+    assert decode_bases(trimmed) == "ACGTAC"
+
+
+def test_maxinfo_all_high_quality():
+    assert maxinfo(adjust_quality("I" * 20), 15, 0.5) == 20
+
+
+def test_maxinfo_all_low_quality():
+    assert maxinfo(adjust_quality("!" * 20), 15, 0.9) == 1
+
+
+def test_maxinfo_mixed_quality():
+    assert maxinfo(adjust_quality("IIIIII!!!!!!IIIIII"), 15, 0.7) == 6
+
+
+def test_maxinfo_strictness_1():
+    assert maxinfo(adjust_quality("I" * 20), 15, 1.0) == 20
+
+
+def test_maxinfo_strictness_0():
+    assert maxinfo(adjust_quality("I" * 20), 15, 0.0) == 20
