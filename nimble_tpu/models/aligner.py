@@ -1,0 +1,201 @@
+"""The flagship "model": a batched device alignment engine.
+
+`DeviceAlignEngine` implements the `AlignEngine` interface
+(`nimble_tpu.core.calls`) with the TPU pipeline:
+
+  host: pad/bucket reads ── device: probe+walk (`ops.engine_xla`) ── host:
+  exact f64 gates & metric filters (vectorized numpy) + per-read packaging.
+
+Exactness strategy (parity with `pseudoalign`, `src/align.rs:945-989`):
+  * length gate and Shannon-entropy gate are computed on host in f64 with the
+    reference's operation order (the device only does the integer walk);
+  * normalized-score comparison (score/len >= score_percent) is exact f64 on
+    host;
+  * reads the device cannot bound (anchor postings > C_MAX, or longer than
+    the largest bucket) are re-run through the host oracle walk
+    (`core.walk.map_read_with_mismatch`) — identical semantics, so results
+    are exact for every read.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nimble_tpu.config import (
+    MIN_ENTROPY_SCORE,
+    MIN_READ_LENGTH,
+    AlignFilterConfig,
+    FilterReason,
+)
+from nimble_tpu.core.filters import (
+    AlignmentScore,
+    FilterRec,
+    filter_alignment_by_metrics,
+    pseudoalign,
+)
+from nimble_tpu.index.build import KmerIndex
+from nimble_tpu.ops.device_index import DeviceIndex, build_device_index
+from nimble_tpu.ops.engine_xla import probe_and_walk
+
+DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
+
+
+def batch_entropy(reads: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Vectorized Shannon entropy, f64, reference op order (A,T,C,G sum).
+
+    Matches `shannon_entropy` (`src/utils.rs:96-119`) on decoded strings.
+    """
+    B, Lmax = reads.shape
+    mask = np.arange(Lmax)[None, :] < lens[:, None]
+    tot = lens.astype(np.float64)
+    tot_safe = np.where(tot == 0, 1.0, tot)
+    ent = np.zeros(B, dtype=np.float64)
+    for code in (0, 3, 1, 2):  # A, T, C, G — the reference's frequency order
+        cnt = ((reads == code) & mask).sum(axis=1)
+        f = cnt / tot_safe
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(f > 0.0, f * np.log2(np.where(f > 0.0, f, 1.0)), 0.0)
+        ent += term
+    return -ent
+
+
+class DeviceAlignEngine:
+    """Batched TPU/XLA alignment engine with host-exact filtering."""
+
+    def __init__(
+        self,
+        index: KmerIndex,
+        config: AlignFilterConfig,
+        *,
+        c_max: int = 8,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
+        min_batch: int = 64,
+    ):
+        self.index = index
+        self.config = config
+        self.c_max = int(c_max)
+        self.buckets = tuple(sorted(buckets))
+        self.min_batch = int(min_batch)
+        self.didx: DeviceIndex = build_device_index(index)
+        self._dev = {
+            "table_key_lo": jnp.asarray(self.didx.table_key_lo),
+            "table_key_hi": jnp.asarray(self.didx.table_key_hi),
+            "table_start": jnp.asarray(self.didx.table_start),
+            "table_count": jnp.asarray(self.didx.table_count),
+            "postings_row": jnp.asarray(self.didx.postings_row),
+            "postings_off": jnp.asarray(self.didx.postings_off),
+            "ref_codes": jnp.asarray(self.didx.ref_codes),
+            "row_starts": jnp.asarray(self.didx.row_starts),
+            "row_lengths": jnp.asarray(self.didx.row_lengths),
+        }
+
+    # --- AlignEngine interface -------------------------------------------
+
+    def align_batch(
+        self, seqs: Sequence[Optional[np.ndarray]]
+    ) -> List[Tuple[Optional[AlignmentScore], Optional[FilterRec]]]:
+        n = len(seqs)
+        results: List[Tuple[Optional[AlignmentScore], Optional[FilterRec]]] = [
+            (None, None)
+        ] * n
+
+        # Partition: skipped / short / device-eligible / host-only.
+        device_idx: List[int] = []
+        for i, s in enumerate(seqs):
+            if s is None:
+                continue
+            if len(s) < MIN_READ_LENGTH:
+                results[i] = (None, (FilterReason.SHORT_READ, 0.0, 0))
+                continue
+            if len(s) > self.buckets[-1]:
+                results[i] = pseudoalign(s, self.index, self.config, MIN_READ_LENGTH)
+                continue
+            device_idx.append(i)
+
+        if not device_idx:
+            return results
+
+        # Bucket by padded length.
+        by_bucket: dict = {}
+        for i in device_idx:
+            L = len(seqs[i])
+            bucket = next(b for b in self.buckets if b >= L)
+            by_bucket.setdefault(bucket, []).append(i)
+
+        for bucket, idxs in by_bucket.items():
+            self._run_bucket(seqs, idxs, bucket, results)
+        return results
+
+    # --- internals --------------------------------------------------------
+
+    def _pad_batch(self, seqs, idxs, bucket):
+        B = 1
+        while B < len(idxs):
+            B *= 2
+        B = max(B, self.min_batch)
+        reads = np.zeros((B, bucket), dtype=np.int8)
+        lens = np.zeros(B, dtype=np.int32)
+        for j, i in enumerate(idxs):
+            s = seqs[i]
+            reads[j, : len(s)] = s
+            lens[j] = len(s)
+        return reads, lens
+
+    def _run_bucket(self, seqs, idxs, bucket, results) -> None:
+        reads, lens = self._pad_batch(seqs, idxs, bucket)
+        out = probe_and_walk(
+            jnp.asarray(reads),
+            jnp.asarray(lens),
+            self._dev["table_key_lo"],
+            self._dev["table_key_hi"],
+            self._dev["table_start"],
+            self._dev["table_count"],
+            self._dev["postings_row"],
+            self._dev["postings_off"],
+            self._dev["ref_codes"],
+            self._dev["row_starts"],
+            self._dev["row_lengths"],
+            k=self.didx.k,
+            max_probe=self.didx.max_probe,
+            c_max=self.c_max,
+            table_mask=self.didx.table_size - 1,
+        )
+        out = {k: np.asarray(v) for k, v in out.items()}
+
+        # Host-exact gates + filters.
+        ent = batch_entropy(reads, lens)
+        cfg = self.config
+        for j, i in enumerate(idxs):
+            s = seqs[i]
+            if ent[j] < MIN_ENTROPY_SCORE:
+                results[i] = (None, (FilterReason.HIGH_ENTROPY, 0.0, 0))
+                continue
+            if out["overflow"][j]:
+                # anchor postings exceeded C_MAX — exact host rescue
+                results[i] = pseudoalign(s, self.index, cfg, MIN_READ_LENGTH)
+                continue
+            if not out["has_anchor"][j]:
+                results[i] = (None, (FilterReason.NO_MATCH, 0.0, 0))
+                continue
+            eq = sorted(set(out["rows"][j, out["live"][j]].tolist()))
+            score = int(out["score"][j])
+            mismatches = int(out["mismatches"][j])
+            normalized = score / len(s)  # f64, parity with `src/align.rs:968`
+            if cfg.discard_nonzero_mismatch and mismatches != 0:
+                results[i] = (None, (FilterReason.DISCARDED_NONZERO_MISMATCH, 0.0, 0))
+                continue
+            results[i] = filter_alignment_by_metrics(
+                eq,
+                score,
+                normalized,
+                cfg.score_threshold,
+                cfg.score_percent,
+                cfg.discard_multiple_matches,
+                cfg.num_mismatches,
+                mismatches,
+            )

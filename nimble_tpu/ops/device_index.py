@@ -1,0 +1,140 @@
+"""Device-resident k-mer index: open-addressed hash table + postings + rows.
+
+Derived from the host `KmerIndex` (`nimble_tpu.index.build`), laid out for
+batched probing on TPU:
+
+  * 60-bit k-mer keys are split into two 30-bit halves carried as uint32
+    lanes (``key_hi`` = first 15 bases, ``key_lo`` = last 15 bases) — TPUs
+    have no native 64-bit integers;
+  * an open-addressed, linearly-probed hash table maps keys to a span
+    (start, count) in the flat postings arrays; empty slots hold the sentinel
+    0xFFFFFFFF in both key lanes (impossible: real halves are < 2^30);
+  * ``max_probe`` is the table's exact maximum probe-sequence length measured
+    at build time, so a fixed-trip probe loop is provably sufficient;
+  * postings are (row_id, offset) pairs; the reference rows live as one
+    concatenated int8 code array with per-row starts/lengths.
+
+This mirrors the role of the colored de Bruijn graph built by the external
+`debruijn_mapping::build_index` (`src/bin/main.rs:121-128`): a k-mer's
+postings row-set is exactly its color/equivalence class.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from nimble_tpu.index.build import KmerIndex
+
+EMPTY_SLOT = np.uint32(0xFFFFFFFF)
+
+
+def fmix32(x: np.ndarray) -> np.ndarray:
+    """murmur3 finalizer on uint32 lanes (identical in numpy and jnp)."""
+    x = x.astype(np.uint32)
+    x ^= x >> np.uint32(16)
+    x *= np.uint32(0x85EBCA6B)
+    x ^= x >> np.uint32(13)
+    x *= np.uint32(0xC2B2AE35)
+    x ^= x >> np.uint32(16)
+    return x
+
+
+def hash_kmer(key_lo: np.ndarray, key_hi: np.ndarray) -> np.ndarray:
+    """Combine the two 30-bit halves into a well-mixed uint32 hash."""
+    return fmix32(key_lo.astype(np.uint32) ^ fmix32(key_hi.astype(np.uint32)))
+
+
+@dataclass
+class DeviceIndex:
+    """Flat numpy arrays ready to be device_put (see DeviceAlignEngine)."""
+
+    k: int
+    table_size: int          # power of two
+    max_probe: int           # exact max probe distance measured at build
+    table_key_lo: np.ndarray  # (table_size,) uint32
+    table_key_hi: np.ndarray  # (table_size,) uint32
+    table_start: np.ndarray   # (table_size,) int32 — postings span start
+    table_count: np.ndarray   # (table_size,) int32 — postings span length
+    postings_row: np.ndarray  # (n_postings,) int32
+    postings_off: np.ndarray  # (n_postings,) int32
+    ref_codes: np.ndarray     # (total_ref_len,) int8 — concatenated rows
+    row_starts: np.ndarray    # (n_rows,) int32
+    row_lengths: np.ndarray   # (n_rows,) int32
+    max_postings: int         # largest postings span in the index
+
+
+def build_device_index(index: KmerIndex, load_factor: float = 0.4) -> DeviceIndex:
+    """Lay the host KmerIndex out as flat device-ready arrays."""
+    k = index.k
+    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64, count=len(index.kmer_map))
+    n_keys = len(keys)
+
+    # postings flattening, ordered to match table insertion below
+    counts = np.array(
+        [len(index.kmer_map[int(kk)]) for kk in keys], dtype=np.int64
+    ) if n_keys else np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1] if n_keys else np.empty(0, dtype=np.int64)
+    total_postings = int(counts.sum()) if n_keys else 0
+    postings_row = np.zeros(max(total_postings, 1), dtype=np.int32)
+    postings_off = np.zeros(max(total_postings, 1), dtype=np.int32)
+    for i, kk in enumerate(keys):
+        p = index.kmer_map[int(kk)]
+        s = int(starts[i])
+        postings_row[s : s + len(p)] = p[:, 0]
+        postings_off[s : s + len(p)] = p[:, 1]
+
+    table_size = 64
+    while table_size * load_factor < max(n_keys, 1):
+        table_size *= 2
+    mask = table_size - 1
+
+    key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    h = hash_kmer(key_lo, key_hi).astype(np.int64) & mask
+
+    table_key_lo = np.full(table_size, EMPTY_SLOT, dtype=np.uint32)
+    table_key_hi = np.full(table_size, EMPTY_SLOT, dtype=np.uint32)
+    table_start = np.zeros(table_size, dtype=np.int32)
+    table_count = np.zeros(table_size, dtype=np.int32)
+
+    # Linear-probe insertion (host-side, one-time at library load).
+    max_probe = 1
+    occupied = np.zeros(table_size, dtype=bool)
+    for i in range(n_keys):
+        slot = int(h[i])
+        probe = 1
+        while occupied[slot]:
+            slot = (slot + 1) & mask
+            probe += 1
+        occupied[slot] = True
+        table_key_lo[slot] = key_lo[i]
+        table_key_hi[slot] = key_hi[i]
+        table_start[slot] = starts[i]
+        table_count[slot] = counts[i]
+        max_probe = max(max_probe, probe)
+
+    # concatenated reference rows
+    row_lengths = index.row_lengths.astype(np.int32)
+    row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)
+    total_len = int(row_lengths.sum())
+    ref_codes = np.zeros(max(total_len, 1), dtype=np.int8)
+    for r, codes in enumerate(index.row_codes):
+        ref_codes[row_starts[r] : row_starts[r] + len(codes)] = codes
+
+    return DeviceIndex(
+        k=k,
+        table_size=table_size,
+        max_probe=max_probe,
+        table_key_lo=table_key_lo,
+        table_key_hi=table_key_hi,
+        table_start=table_start,
+        table_count=table_count,
+        postings_row=postings_row,
+        postings_off=postings_off,
+        ref_codes=ref_codes,
+        row_starts=row_starts,
+        row_lengths=row_lengths,
+        max_postings=int(counts.max()) if n_keys else 0,
+    )

@@ -14,9 +14,22 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent compilation cache: kernel shapes recompile once per machine,
+# not once per test run.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nimble_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
+
 import pathlib
 
+import jax
 import pytest
+
+# Something in this image programmatically sets jax_platforms to "axon,cpu"
+# (remote-TPU tunnel), overriding the JAX_PLATFORMS env var — force CPU before
+# any backend initializes so tests never dispatch over the tunnel.
+jax.config.update("jax_platforms", "cpu")
 
 DATA_DIR = pathlib.Path(__file__).parent / "data"
 
