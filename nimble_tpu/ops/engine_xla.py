@@ -95,24 +95,15 @@ def _walk_scan(live0, alive, match, step_active):
     return live, score, mm
 
 
-@partial(jax.jit, static_argnames=("k", "max_probe", "c_max", "table_mask"))
-def probe_and_walk(
-    reads,        # (B, Lmax) int8 padded read codes
-    read_lens,    # (B,) int32
-    table_key_lo, table_key_hi, table_start, table_count,  # hash table
-    postings_row, postings_off,                            # postings
-    ref_codes, row_starts, row_lengths,                    # reference rows
-    *,
-    k: int,
-    max_probe: int,
-    c_max: int,
-    table_mask: int,
+def probe_positions(
+    reads_i32, read_lens,
+    table_key_lo, table_key_hi, table_start, table_count,
+    *, k: int, max_probe: int, table_mask: int,
 ):
-    B, Lmax = reads.shape
+    """(found, start, cnt) per k-mer position — stages 1+2 of the pipeline."""
+    B, Lmax = reads_i32.shape
     P = Lmax - k + 1
-    reads_i32 = reads.astype(jnp.int32)
 
-    # --- k-mer keys + hash probe ---
     lo, hi = _rolling_keys(reads_i32, k)
     h = _hash_kmer(lo, hi) & jnp.uint32(table_mask)
 
@@ -131,21 +122,31 @@ def probe_and_walk(
         jnp.arange(P, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
     )
     cnt = jnp.where(found & pos_valid, cnt, 0)
+    return found & pos_valid & (cnt > 0), start, cnt
 
-    # --- anchor: first position with postings ---
-    hit = cnt > 0
-    has_anchor = hit.any(axis=1)
-    anchor = jnp.argmax(hit, axis=1).astype(jnp.int32)
-    astart = jnp.take_along_axis(start, anchor[:, None], axis=1)[:, 0]
-    acnt = jnp.take_along_axis(cnt, anchor[:, None], axis=1)[:, 0]
-    overflow = acnt > c_max
 
-    # --- candidate gather ---
+def gather_candidates(astart, acnt, postings_row, postings_off, has_anchor, *, c_max: int):
+    """(rows, offs, live0, overflow) for each read's anchor k-mer — stage 4."""
     c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
     live0 = (c_idx < jnp.minimum(acnt, c_max)[:, None]) & has_anchor[:, None]
     pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
-    rows = postings_row[pidx]           # (B, C)
+    rows = postings_row[pidx]
     offs = postings_off[pidx].astype(jnp.int32)
+    overflow = acnt > c_max
+    return rows, offs, live0, overflow
+
+
+def walk_candidates(
+    reads_i32, read_lens, anchor, rows, offs, live0,
+    ref_codes, row_starts, row_lengths,
+    *, k: int,
+):
+    """Lockstep forward+left walk over the candidate set — stage 5.
+
+    Returns (live, matched_steps, mismatch_steps); the caller adds the
+    anchor's k matched bases.
+    """
+    B, Lmax = reads_i32.shape
     r_start = row_starts[rows]
     r_len = row_lengths[rows]
 
@@ -155,7 +156,7 @@ def probe_and_walk(
     def gather_ref(ref_pos):
         return ref_codes[jnp.clip(ref_pos, 0, ref_codes.shape[0] - 1)]
 
-    # --- forward walk: read[anchor+k+t] vs row[off+k+t] ---
+    # forward walk: read[anchor+k+t] vs row[off+k+t]
     f_read_pos = anchor[:, None] + k + t_idx[None, :]               # (B, T)
     f_active = f_read_pos < read_lens[:, None]
     f_read_base = jnp.take_along_axis(
@@ -167,7 +168,7 @@ def probe_and_walk(
     f_match = f_alive & (f_ref_base == f_read_base[:, None, :])
     live, f_score, f_mm = _walk_scan(live0, f_alive, f_match, f_active)
 
-    # --- left walk: read[anchor-j] vs row[off-j], j = 1..T ---
+    # left walk: read[anchor-j] vs row[off-j], j = 1..T
     j_idx = t_idx + 1
     l_read_pos = anchor[:, None] - j_idx[None, :]
     l_active = l_read_pos >= 0
@@ -180,8 +181,47 @@ def probe_and_walk(
     l_match = l_alive & (l_ref_base == l_read_base[:, None, :])
     live, l_score, l_mm = _walk_scan(live, l_alive, l_match, l_active)
 
-    score = jnp.where(has_anchor, k + f_score + l_score, 0)
-    mismatches = jnp.where(has_anchor, f_mm + l_mm, 0)
+    return live, f_score + l_score, f_mm + l_mm
+
+
+@partial(jax.jit, static_argnames=("k", "max_probe", "c_max", "table_mask"))
+def probe_and_walk(
+    reads,        # (B, Lmax) int8 padded read codes
+    read_lens,    # (B,) int32
+    table_key_lo, table_key_hi, table_start, table_count,  # hash table
+    postings_row, postings_off,                            # postings
+    ref_codes, row_starts, row_lengths,                    # reference rows
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    table_mask: int,
+):
+    reads_i32 = reads.astype(jnp.int32)
+
+    hit, start, cnt = probe_positions(
+        reads_i32, read_lens,
+        table_key_lo, table_key_hi, table_start, table_count,
+        k=k, max_probe=max_probe, table_mask=table_mask,
+    )
+
+    # anchor: first position with postings
+    has_anchor = hit.any(axis=1)
+    anchor = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    astart = jnp.take_along_axis(start, anchor[:, None], axis=1)[:, 0]
+    acnt = jnp.take_along_axis(cnt, anchor[:, None], axis=1)[:, 0]
+
+    rows, offs, live0, overflow = gather_candidates(
+        astart, acnt, postings_row, postings_off, has_anchor, c_max=c_max
+    )
+
+    live, walk_score, walk_mm = walk_candidates(
+        reads_i32, read_lens, anchor, rows, offs, live0,
+        ref_codes, row_starts, row_lengths, k=k,
+    )
+
+    score = jnp.where(has_anchor, k + walk_score, 0)
+    mismatches = jnp.where(has_anchor, walk_mm, 0)
 
     return {
         "has_anchor": has_anchor,
