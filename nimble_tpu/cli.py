@@ -1,0 +1,130 @@
+"""Command line interface.
+
+Parity with the reference CLI surface (`src/bin/cli.yml:5-50`,
+`src/bin/main.rs:12-162`):
+
+  nimble-tpu -r lib.json [-r lib2.json ...] -i reads.fastq[.gz] [-i mates.fastq]
+             -o out.tsv [-o out2.tsv ...] [-c CORES] [-f STRAND_FILTER]
+             [-t LEN:STRICT,...] [-p]
+
+Input classification by extension: .fastq/.fastq.gz -> FASTQ pipeline,
+.bam -> BAM pipeline.  The --trim option overrides each library's trim
+settings (`main.rs:77-92,108-114`).  Engine selection is TPU-first: the
+batched device engine by default, ``--engine host`` for the NumPy oracle.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from typing import List
+
+from nimble_tpu.config import LibraryChemistry
+from nimble_tpu.core.calls import HostAlignEngine
+from nimble_tpu.index.build import build_index
+from nimble_tpu.library import get_reference_sequence_data, load_reference_library
+from nimble_tpu.pipeline import bam_pipeline, fastq_pipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="nimble-tpu",
+        description=(
+            "Fast, configurable sequence alignment tool on arbitrary "
+            "reference libraries (TPU-native)"
+        ),
+    )
+    p.add_argument("-r", "--reference", action="append", required=True,
+                   help="Reference library .json file(s)")
+    p.add_argument("-o", "--output", action="append", required=True,
+                   help="Output TSV file name(s)")
+    p.add_argument("-i", "--input", action="append", required=True,
+                   help=".fastq.gz/.fastq file(s), or a single .bam file")
+    p.add_argument("-c", "--cores", type=int, default=1, dest="num_cores",
+                   help="Number of cores to use during alignment")
+    p.add_argument("-f", "--strand_filter", default="unstranded",
+                   help='One of "unstranded" (default), "fiveprime", '
+                        '"threeprime", "none"')
+    p.add_argument("-t", "--trim", default=None,
+                   help="TARGET_LENGTH:STRICTNESS per library, comma-separated")
+    p.add_argument("-p", "--force_bam_paired", action="store_true",
+                   help="Skip alignment of unpaired reads in a .bam")
+    p.add_argument("--engine", choices=("device", "host"), default="device",
+                   help="Alignment engine: batched TPU/XLA (default) or host oracle")
+    p.add_argument("--no-parity-quirks", action="store_true",
+                   help="Disable reproduction of reference output quirks "
+                        "(e.g. dropping the final UMI group of a BAM)")
+    return p
+
+
+def main(argv: List[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    strand_filter = LibraryChemistry.from_cli(args.strand_filter)
+    reference_json_paths = args.reference
+    output_paths = args.output
+    input_files = args.input
+
+    trim_pairs = []
+    if args.trim:
+        for part in args.trim.split(","):
+            length_s, strict_s = part.split(":")
+            trim_pairs.append((int(length_s), float(strict_s)))
+        if len(trim_pairs) != len(reference_json_paths):
+            raise SystemExit(
+                "The number of trim options does not match the number of "
+                "reference libraries"
+            )
+
+    first = input_files[0].lower()
+    is_fastq = first.endswith(".fastq") or first.endswith(".fastq.gz")
+    is_bam = first.endswith(".bam")
+
+    engines = []
+    references = []
+    aligner_configs = []
+    for i, path in enumerate(reference_json_paths):
+        print(f"Loading and preprocessing reference data for {path}")
+        aligner_config, reference = load_reference_library(path, strand_filter)
+        if i < len(trim_pairs):
+            length, strictness = trim_pairs[i]
+            aligner_config.trim_target_length = length
+            aligner_config.trim_strictness = strictness
+            print(
+                f"Manually setting trim settings for library {path} | "
+                f"target length: {length}, strictness: {strictness}"
+            )
+        seqs, _names = get_reference_sequence_data(reference)
+        index = build_index(seqs)
+        if args.engine == "device":
+            from nimble_tpu.models.aligner import DeviceAlignEngine
+
+            engines.append(DeviceAlignEngine(index, aligner_config))
+        else:
+            engines.append(HostAlignEngine(index, aligner_config))
+        references.append(reference)
+        aligner_configs.append(aligner_config)
+
+    print("Loading read sequences and aligning")
+    if is_fastq:
+        print("Processing as FASTQ file")
+        fastq_pipeline.process(
+            input_files, engines, references, aligner_configs, output_paths
+        )
+    elif is_bam:
+        print("Processing as BAM file")
+        bam_pipeline.process(
+            input_files, engines, references, aligner_configs, output_paths,
+            args.num_cores, args.force_bam_paired,
+            parity_quirks=not args.no_parity_quirks,
+        )
+    else:
+        ext = first.rsplit(".", 1)[-1] if "." in first else ""
+        raise SystemExit(f"Unsupported file format: {ext}")
+
+    print("Alignment successful, terminating.")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

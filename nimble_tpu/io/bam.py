@@ -1,0 +1,330 @@
+"""BAM container codec (reader + writer), no external dependencies.
+
+The reference reads BAMs through rust-htslib (C htslib,
+`src/parse/sorted_bam_reader.rs:1`); this is a from-scratch implementation of
+the BAM spec (BGZF-compressed binary records) sufficient for the pipeline's
+needs and for generating synthetic fixtures:
+
+  * reading: Python's gzip module decompresses concatenated BGZF members
+    transparently; records are decoded per the SAM/BAM spec;
+  * writing: spec-compliant BGZF blocks (FEXTRA 'BC' subfield with BSIZE)
+    plus the standard 28-byte EOF marker, so outputs are readable by
+    samtools/htslib as well;
+  * aux tags are looked up by their FIRST TWO BYTES, mirroring htslib's
+    ``bam_aux_get`` (the reference calls ``record.aux(b"SKIP_ALIGN")`` which
+    htslib resolves as tag "SK" — `src/parse/sorted_bam_reader.rs:114-119`).
+
+Flag-bit accessors mirror the rust-htslib names used by the reference
+(`src/parse/bam.rs:210-230`).
+"""
+
+from __future__ import annotations
+
+import gzip
+import struct
+import zlib
+from dataclasses import dataclass, field
+from typing import BinaryIO, Dict, Iterator, List, Optional, Tuple
+
+# 4-bit seq codes per the BAM spec
+_SEQ_DECODE = "=ACMGRSVTWYHKDBN"
+_SEQ_ENCODE = {c: i for i, c in enumerate(_SEQ_DECODE)}
+
+FLAG_PAIRED = 0x1
+FLAG_PROPER_PAIR = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_REVERSE = 0x10
+FLAG_MATE_REVERSE = 0x20
+FLAG_FIRST_IN_TEMPLATE = 0x40
+FLAG_LAST_IN_TEMPLATE = 0x80
+FLAG_SECONDARY = 0x100
+FLAG_QCFAIL = 0x200
+FLAG_DUPLICATE = 0x400
+FLAG_SUPPLEMENTARY = 0x800
+
+_CIGAR_OPS = "MIDNSHP=X"
+
+
+@dataclass
+class BamRecord:
+    """One alignment record with htslib-style accessors."""
+
+    qname: str = ""
+    flag: int = 0
+    tid: int = -1
+    pos: int = -1
+    mapq: int = 255
+    mtid: int = -1
+    mpos: int = -1
+    tlen: int = 0
+    seq: str = ""
+    qual: bytes = b""              # raw quality VALUES (no +33 offset)
+    cigar_ops: List[Tuple[int, int]] = field(default_factory=list)  # (oplen, op)
+    # insertion-ordered aux tags: 2-char tag -> (type_char, value)
+    tags: Dict[str, Tuple[str, object]] = field(default_factory=dict)
+
+    # --- flags (names mirror rust-htslib / `src/parse/bam.rs:210-230`) ---
+    def is_paired(self):            return bool(self.flag & FLAG_PAIRED)
+    def is_proper_pair(self):       return bool(self.flag & FLAG_PROPER_PAIR)
+    def is_unmapped(self):          return bool(self.flag & FLAG_UNMAPPED)
+    def is_mate_unmapped(self):     return bool(self.flag & FLAG_MATE_UNMAPPED)
+    def is_reverse(self):           return bool(self.flag & FLAG_REVERSE)
+    def is_mate_reverse(self):      return bool(self.flag & FLAG_MATE_REVERSE)
+    def is_first_in_template(self): return bool(self.flag & FLAG_FIRST_IN_TEMPLATE)
+    def is_last_in_template(self):  return bool(self.flag & FLAG_LAST_IN_TEMPLATE)
+    def is_secondary(self):         return bool(self.flag & FLAG_SECONDARY)
+    def is_quality_check_failed(self): return bool(self.flag & FLAG_QCFAIL)
+    def is_duplicate(self):         return bool(self.flag & FLAG_DUPLICATE)
+    def is_supplementary(self):     return bool(self.flag & FLAG_SUPPLEMENTARY)
+
+    def seq_len(self) -> int:
+        return len(self.seq)
+
+    def insert_size(self) -> int:
+        return self.tlen
+
+    def strand_symbol(self) -> str:
+        """rust-htslib Record::strand(): reverse flag decides +/-."""
+        return "-" if self.is_reverse() else "+"
+
+    def cigar_string(self) -> str:
+        return "".join(f"{ln}{_CIGAR_OPS[op]}" for ln, op in self.cigar_ops) or "*"
+
+    def read_pair_orientation(self) -> str:
+        """rust-htslib SequenceReadPairOrientation: F1R2-style label from the
+        leftmost-first ordering of a properly co-mapped pair, else "None"."""
+        if (
+            self.is_paired()
+            and not self.is_unmapped()
+            and not self.is_mate_unmapped()
+            and self.tid == self.mtid
+        ):
+            self_label = ("R" if self.is_reverse() else "F") + (
+                "1" if self.is_first_in_template() else "2"
+            )
+            mate_label = ("R" if self.is_mate_reverse() else "F") + (
+                "2" if self.is_first_in_template() else "1"
+            )
+            if self.pos <= self.mpos:
+                return self_label + mate_label
+            return mate_label + self_label
+        return "None"
+
+    # --- aux tags (htslib semantics: 2-byte tag resolution) ---
+    def aux_string(self, tag: str) -> Optional[str]:
+        """String (Z-type) aux value; non-Z or missing -> None.
+
+        Mirrors the reference's ``if let Ok(Aux::String(s)) = record.aux(..)``
+        pattern, including the first-two-bytes tag resolution.
+        """
+        t = self.tags.get(tag[:2])
+        if t is not None and t[0] == "Z":
+            return str(t[1])
+        return None
+
+    def push_aux(self, tag: str, value: str) -> None:
+        """Append a string aux tag (first two bytes, htslib-style)."""
+        self.tags[tag[:2]] = ("Z", value)
+
+
+@dataclass
+class BamHeader:
+    text: str = ""
+    references: List[Tuple[str, int]] = field(default_factory=list)  # (name, length)
+
+
+# ---------------------------------------------------------------------------
+# reading
+# ---------------------------------------------------------------------------
+
+def _read_exact(f: BinaryIO, n: int) -> bytes:
+    data = f.read(n)
+    if len(data) != n:
+        raise EOFError("truncated BAM stream")
+    return data
+
+
+def _decode_aux(buf: bytes) -> Dict[str, Tuple[str, object]]:
+    tags: Dict[str, Tuple[str, object]] = {}
+    i = 0
+    n = len(buf)
+    while i + 3 <= n:
+        tag = buf[i : i + 2].decode("ascii", "replace")
+        typ = chr(buf[i + 2])
+        i += 3
+        if typ == "A":
+            tags[tag] = (typ, chr(buf[i])); i += 1
+        elif typ in "cC":
+            tags[tag] = (typ, struct.unpack_from("<b" if typ == "c" else "<B", buf, i)[0]); i += 1
+        elif typ in "sS":
+            tags[tag] = (typ, struct.unpack_from("<h" if typ == "s" else "<H", buf, i)[0]); i += 2
+        elif typ in "iI":
+            tags[tag] = (typ, struct.unpack_from("<i" if typ == "i" else "<I", buf, i)[0]); i += 4
+        elif typ == "f":
+            tags[tag] = (typ, struct.unpack_from("<f", buf, i)[0]); i += 4
+        elif typ in "ZH":
+            end = buf.index(b"\x00", i)
+            tags[tag] = ("Z" if typ == "Z" else "H", buf[i:end].decode("ascii", "replace"))
+            i = end + 1
+        elif typ == "B":
+            sub = chr(buf[i])
+            cnt = struct.unpack_from("<i", buf, i + 1)[0]
+            size = {"c": 1, "C": 1, "s": 2, "S": 2, "i": 4, "I": 4, "f": 4}[sub]
+            fmt = {"c": "b", "C": "B", "s": "h", "S": "H", "i": "i", "I": "I", "f": "f"}[sub]
+            arr = struct.unpack_from("<%d%s" % (cnt, fmt), buf, i + 5)
+            tags[tag] = (typ, list(arr))
+            i += 5 + size * cnt
+        else:
+            break  # unknown type: stop parsing aux
+    return tags
+
+
+def _decode_record(data: bytes) -> BamRecord:
+    (
+        tid, pos, l_read_name, mapq, _bin, n_cigar, flag, l_seq,
+        mtid, mpos, tlen,
+    ) = struct.unpack_from("<iiBBHHHiiii", data, 0)
+    off = 32
+    qname = data[off : off + l_read_name - 1].decode("ascii", "replace")
+    off += l_read_name
+    cigar_ops = []
+    for _ in range(n_cigar):
+        v = struct.unpack_from("<I", data, off)[0]
+        cigar_ops.append((v >> 4, v & 0xF))
+        off += 4
+    n_seq_bytes = (l_seq + 1) // 2
+    seq_chars = []
+    for i in range(l_seq):
+        b = data[off + (i // 2)]
+        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
+        seq_chars.append(_SEQ_DECODE[code])
+    off += n_seq_bytes
+    qual = data[off : off + l_seq]
+    off += l_seq
+    tags = _decode_aux(data[off:])
+    return BamRecord(
+        qname=qname, flag=flag, tid=tid, pos=pos, mapq=mapq,
+        mtid=mtid, mpos=mpos, tlen=tlen,
+        seq="".join(seq_chars), qual=bytes(qual), cigar_ops=cigar_ops, tags=tags,
+    )
+
+
+class BamReader:
+    """Streaming BAM reader (BGZF via gzip's concatenated-member support)."""
+
+    def __init__(self, path: str):
+        self._f = gzip.open(path, "rb")
+        magic = _read_exact(self._f, 4)
+        if magic != b"BAM\x01":
+            raise ValueError(f"{path}: not a BAM file")
+        l_text = struct.unpack("<i", _read_exact(self._f, 4))[0]
+        text = _read_exact(self._f, l_text).decode("ascii", "replace")
+        n_ref = struct.unpack("<i", _read_exact(self._f, 4))[0]
+        refs = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", _read_exact(self._f, 4))[0]
+            name = _read_exact(self._f, l_name)[:-1].decode("ascii", "replace")
+            l_ref = struct.unpack("<i", _read_exact(self._f, 4))[0]
+            refs.append((name, l_ref))
+        self.header = BamHeader(text=text, references=refs)
+
+    def __iter__(self) -> Iterator[BamRecord]:
+        return self
+
+    def __next__(self) -> BamRecord:
+        size_bytes = self._f.read(4)
+        if len(size_bytes) < 4:
+            raise StopIteration
+        block_size = struct.unpack("<i", size_bytes)[0]
+        return _decode_record(_read_exact(self._f, block_size))
+
+    def close(self) -> None:
+        self._f.close()
+
+
+# ---------------------------------------------------------------------------
+# writing
+# ---------------------------------------------------------------------------
+
+_BGZF_EOF = bytes.fromhex(
+    "1f8b08040000000000ff0600424302001b0003000000000000000000"
+)
+
+
+def _bgzf_block(payload: bytes) -> bytes:
+    comp = zlib.compressobj(6, zlib.DEFLATED, -15)
+    cdata = comp.compress(payload) + comp.flush()
+    bsize = len(cdata) + 25 + 1  # header(12) + extra(6) + cdata + crc(4) + isize(4) - 1
+    header = (
+        b"\x1f\x8b\x08\x04" + b"\x00" * 6 + b"\x06\x00"
+        + b"BC\x02\x00" + struct.pack("<H", bsize)
+    )
+    return header + cdata + struct.pack("<I", zlib.crc32(payload)) + struct.pack(
+        "<I", len(payload) & 0xFFFFFFFF
+    )
+
+
+def _encode_aux(tags: Dict[str, Tuple[str, object]]) -> bytes:
+    out = bytearray()
+    for tag, (typ, value) in tags.items():
+        out += tag.encode("ascii")[:2].ljust(2, b"\x00")
+        if typ == "Z":
+            out += b"Z" + str(value).encode("ascii") + b"\x00"
+        elif typ == "A":
+            out += b"A" + str(value).encode("ascii")[:1]
+        elif typ == "i":
+            out += b"i" + struct.pack("<i", int(value))
+        elif typ == "f":
+            out += b"f" + struct.pack("<f", float(value))
+        else:
+            raise ValueError(f"unsupported aux type for writing: {typ}")
+    return bytes(out)
+
+
+def _encode_record(rec: BamRecord) -> bytes:
+    name = rec.qname.encode("ascii") + b"\x00"
+    l_seq = len(rec.seq)
+    seq_bytes = bytearray((l_seq + 1) // 2)
+    for i, ch in enumerate(rec.seq):
+        code = _SEQ_ENCODE.get(ch.upper(), 15)
+        if i % 2 == 0:
+            seq_bytes[i // 2] |= code << 4
+        else:
+            seq_bytes[i // 2] |= code
+    qual = rec.qual if len(rec.qual) == l_seq else bytes([0xFF] * l_seq)
+    cigar = b"".join(
+        struct.pack("<I", (ln << 4) | op) for ln, op in rec.cigar_ops
+    )
+    aux = _encode_aux(rec.tags)
+    body = (
+        struct.pack(
+            "<iiBBHHHiiii",
+            rec.tid, rec.pos, len(name), rec.mapq, 0,
+            len(rec.cigar_ops), rec.flag, l_seq, rec.mtid, rec.mpos, rec.tlen,
+        )
+        + name + cigar + bytes(seq_bytes) + qual + aux
+    )
+    return struct.pack("<i", len(body)) + body
+
+
+def write_bam(path: str, header: BamHeader, records: List[BamRecord]) -> None:
+    """Write a spec-compliant BAM (BGZF blocks + EOF marker)."""
+    payload = bytearray()
+    payload += b"BAM\x01"
+    text = header.text.encode("ascii")
+    payload += struct.pack("<i", len(text)) + text
+    payload += struct.pack("<i", len(header.references))
+    for name, l_ref in header.references:
+        nb = name.encode("ascii") + b"\x00"
+        payload += struct.pack("<i", len(nb)) + nb + struct.pack("<i", l_ref)
+    for rec in records:
+        payload += _encode_record(rec)
+
+    with open(path, "wb") as f:
+        # split into <=60KB blocks (BGZF blocks must stay under 64KB)
+        view = memoryview(bytes(payload))
+        step = 60000
+        for i in range(0, len(view), step):
+            f.write(_bgzf_block(bytes(view[i : i + step])))
+        f.write(_BGZF_EOF)
