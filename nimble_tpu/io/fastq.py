@@ -62,3 +62,35 @@ def iter_fastq_codes(path: str) -> Iterator[np.ndarray]:
 def read_fastq_codes(path: str) -> List[np.ndarray]:
     """Eagerly read a whole FASTQ file as coded arrays."""
     return list(iter_fastq_codes(path))
+
+
+def read_fastq_matrix(path: str):
+    """Whole FASTQ file as a padded (N, Lmax) int8 code matrix + lengths.
+
+    Fast path: read the (decompressed) buffer once, scan record boundaries
+    and translate bases with the native C++ ops; falls back to the Python
+    record iterator when the native library is unavailable.
+    """
+    from nimble_tpu import native
+
+    with _open_maybe_gzip(path) as f:
+        buf = f.read()
+
+    scanned = None
+    if native.available():
+        # generous record bound: every record needs >= 5 bytes
+        scanned = native.fastq_scan(buf, max_records=len(buf) // 5 + 1)
+
+    if scanned is None:
+        from nimble_tpu.core.fast_count import pack_matrix
+
+        return pack_matrix(read_fastq_codes(path))
+
+    offsets, lens = scanned
+    codes = native.encode_bases_bulk(buf)
+    n = len(offsets)
+    lmax = int(lens.max()) if n else 1
+    mat = np.zeros((n, max(lmax, 1)), dtype=np.int8)
+    for i in range(n):
+        mat[i, : lens[i]] = codes[offsets[i] : offsets[i] + lens[i]]
+    return mat, lens.astype(np.int32)

@@ -1,0 +1,128 @@
+"""ctypes bindings for the C++ native host ops (with pure-Python fallback).
+
+The shared library (`native/nimble_host.cpp`) is compiled on demand with g++
+and cached next to the source; every binding has a NumPy fallback so the
+framework works without a toolchain.  Use :func:`available` to check whether
+the native path is active.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native", "nimble_host.cpp")
+_LIB_PATH = os.path.join(os.path.dirname(_SRC), "libnimble_host.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _load():
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_LIB_PATH)
+                    or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+                    check=True, capture_output=True, timeout=120,
+                )
+            lib = ctypes.CDLL(_LIB_PATH)
+            lib.nimble_encode_bases.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            lib.nimble_fastq_scan.restype = ctypes.c_int64
+            lib.nimble_fastq_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.nimble_extract_kmer_keys.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
+            lib.nimble_build_hash_table.restype = ctypes.c_int32
+            lib.nimble_build_hash_table.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64]
+            _lib = lib
+        except Exception:
+            _lib = None
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def encode_bases_bulk(data: bytes) -> np.ndarray:
+    """Byte string -> int8 codes; native LUT or NumPy fallback."""
+    lib = _load()
+    raw = np.frombuffer(data, dtype=np.uint8)
+    if lib is None:
+        from nimble_tpu.utils.dna import encode_bases
+
+        return encode_bases(data)
+    out = np.empty(len(raw), dtype=np.int8)
+    lib.nimble_encode_bases(
+        raw.ctypes.data, len(raw), out.ctypes.data
+    )
+    return out
+
+
+def fastq_scan(buf: bytes, max_records: int) -> tuple[np.ndarray, np.ndarray] | None:
+    """(seq_offsets, seq_lens) of FASTQ records in buf; None if native absent.
+
+    Raises ValueError("Unable to read sequence") on malformed records.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    offsets = np.empty(max_records, dtype=np.int64)
+    lens = np.empty(max_records, dtype=np.int64)
+    n = lib.nimble_fastq_scan(
+        arr.ctypes.data, len(arr), offsets.ctypes.data, lens.ctypes.data,
+        max_records,
+    )
+    if n < 0:
+        raise ValueError("Unable to read sequence")
+    return offsets[:n], lens[:n]
+
+
+def extract_kmer_keys(codes: np.ndarray, k: int) -> np.ndarray | None:
+    """Rolling 60-bit keys; None if native absent (use pack_kmer_keys)."""
+    lib = _load()
+    if lib is None:
+        return None
+    codes = np.ascontiguousarray(codes, dtype=np.int8)
+    n = len(codes)
+    if n < k:
+        return np.empty(0, dtype=np.uint64)
+    out = np.empty(n - k + 1, dtype=np.uint64)
+    lib.nimble_extract_kmer_keys(codes.ctypes.data, n, k, out.ctypes.data)
+    return out
+
+
+def build_hash_table(keys, starts, counts, table_key_lo, table_key_hi,
+                     table_start, table_count) -> int | None:
+    """Native open-addressing insertion; returns max_probe or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    counts = np.ascontiguousarray(counts, dtype=np.int32)
+    return int(
+        lib.nimble_build_hash_table(
+            keys.ctypes.data, starts.ctypes.data, counts.ctypes.data, len(keys),
+            table_key_lo.ctypes.data, table_key_hi.ctypes.data,
+            table_start.ctypes.data, table_count.ctypes.data,
+            len(table_key_lo),
+        )
+    )

@@ -99,21 +99,35 @@ def build_device_index(index: KmerIndex, load_factor: float = 0.4) -> DeviceInde
     table_start = np.zeros(table_size, dtype=np.int32)
     table_count = np.zeros(table_size, dtype=np.int32)
 
-    # Linear-probe insertion (host-side, one-time at library load).
-    max_probe = 1
-    occupied = np.zeros(table_size, dtype=bool)
-    for i in range(n_keys):
-        slot = int(h[i])
-        probe = 1
-        while occupied[slot]:
-            slot = (slot + 1) & mask
-            probe += 1
-        occupied[slot] = True
-        table_key_lo[slot] = key_lo[i]
-        table_key_hi[slot] = key_hi[i]
-        table_start[slot] = starts[i]
-        table_count[slot] = counts[i]
-        max_probe = max(max_probe, probe)
+    # Linear-probe insertion (host-side, one-time at library load):
+    # native C++ loop when available, Python fallback otherwise.
+    from nimble_tpu import native
+
+    native_probe = (
+        native.build_hash_table(
+            keys, starts.astype(np.int32), counts.astype(np.int32),
+            table_key_lo, table_key_hi, table_start, table_count,
+        )
+        if n_keys
+        else 1
+    )
+    if native_probe is not None:
+        max_probe = max(int(native_probe), 1)
+    else:
+        max_probe = 1
+        occupied = np.zeros(table_size, dtype=bool)
+        for i in range(n_keys):
+            slot = int(h[i])
+            probe = 1
+            while occupied[slot]:
+                slot = (slot + 1) & mask
+                probe += 1
+            occupied[slot] = True
+            table_key_lo[slot] = key_lo[i]
+            table_key_hi[slot] = key_hi[i]
+            table_start[slot] = starts[i]
+            table_count[slot] = counts[i]
+            max_probe = max(max_probe, probe)
 
     # concatenated reference rows
     row_lengths = index.row_lengths.astype(np.int32)

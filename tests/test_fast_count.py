@@ -1,0 +1,119 @@
+"""Fast counting path vs the general get_calls path — must be identical."""
+
+import numpy as np
+import pytest
+
+from nimble_tpu.config import (
+    AlignFilterConfig,
+    IntersectLevel,
+    LibraryChemistry,
+)
+from nimble_tpu.core.calls import HostAlignEngine, get_calls, sort_score_vector
+from nimble_tpu.core.fast_count import fast_count_calls
+from nimble_tpu.index.build import build_index
+from nimble_tpu.io.fastq import read_fastq_codes
+from nimble_tpu.library import get_reference_sequence_data, load_reference_library
+from nimble_tpu.models.aligner import DeviceAlignEngine
+from nimble_tpu.utils.dna import encode_bases, revcomp
+
+from conftest import library_path, reads_path
+
+
+def strip_meta(results):
+    return [(features, entry[0]) for features, entry in results]
+
+
+def general_path(reads, mates, index, ref, cfg):
+    host = HostAlignEngine(index, cfg)
+    return strip_meta(sort_score_vector(get_calls(reads, mates, [], host, ref, cfg)[0]))
+
+
+@pytest.mark.parametrize("lib,fastq", [
+    ("basic.json", "basic.fastq"),
+    ("basic-rev.json", "basic.fastq"),
+    ("mismatch.json", "mismatch.fastq"),
+])
+@pytest.mark.parametrize("mm", [0, 1, 2])
+def test_fast_count_matches_general_single_end(lib, fastq, mm):
+    cfg, ref = load_reference_library(library_path(lib), LibraryChemistry.NONE)
+    cfg.num_mismatches = mm
+    index = build_index(get_reference_sequence_data(ref)[0])
+    reads = read_fastq_codes(reads_path(fastq))
+    dev = DeviceAlignEngine(index, cfg)
+    fast = strip_meta(fast_count_calls(reads, None, dev, ref, cfg))
+    assert fast == general_path(reads, None, index, ref, cfg)
+
+
+def test_fast_count_dedupes_identical_reads():
+    """Duplicate reads must count ONCE (score-map key semantics)."""
+    cfg, ref = load_reference_library(library_path("basic.json"), LibraryChemistry.NONE)
+    index = build_index(get_reference_sequence_data(ref)[0])
+    reads = read_fastq_codes(reads_path("basic.fastq"))
+    reads_dup = reads + reads + reads
+    dev = DeviceAlignEngine(index, cfg)
+    fast = strip_meta(fast_count_calls(reads_dup, None, dev, ref, cfg))
+    assert fast == general_path(reads_dup, None, index, ref, cfg)
+    assert fast == general_path(reads, None, index, ref, cfg)  # dedupe happened
+
+
+@pytest.mark.parametrize("chem", [
+    LibraryChemistry.NONE,
+    LibraryChemistry.UNSTRANDED,
+    LibraryChemistry.FIVE_PRIME,
+    LibraryChemistry.THREE_PRIME,
+])
+@pytest.mark.parametrize("intersect", [
+    IntersectLevel.NO_INTERSECT,
+    IntersectLevel.INTERSECT_WITH_FALLBACK,
+    IntersectLevel.FORCE_INTERSECT,
+])
+@pytest.mark.parametrize("require_valid_pair", [False, True])
+def test_fast_count_matches_general_paired_randomized(
+    chem, intersect, require_valid_pair
+):
+    """Randomized paired-end reads across all chemistry/intersect configs."""
+    rng = np.random.default_rng(11)
+    feats = ["".join(rng.choice(list("ACGT"), size=250)) for _ in range(8)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    index = build_index(doubled)
+    ref_cols = [
+        [f"feat{i // 2}" + ("§rev" if i % 2 else "") for i in range(16)],
+        doubled,
+    ]
+    from nimble_tpu.library import Reference
+
+    ref = Reference(
+        group_on=0,
+        headers=["sequence_name", "sequence"],
+        columns=ref_cols,
+        sequence_name_idx=0,
+        sequence_idx=1,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=16,
+        score_percent=0.2,
+        score_threshold=32,
+        num_mismatches=1,
+        max_hits_to_report=8,
+        intersect_level=intersect,
+        strand_filter=chem,
+        require_valid_pair=require_valid_pair,
+    )
+
+    reads, mates = [], []
+    for _ in range(120):
+        f = int(rng.integers(0, len(feats)))
+        s1 = int(rng.integers(0, 180))
+        frag1 = feats[f][s1 : s1 + 60]
+        # mate: same feature reverse orientation, or sometimes another feature
+        f2 = f if rng.random() < 0.8 else int(rng.integers(0, len(feats)))
+        s2 = int(rng.integers(0, 180))
+        frag2 = revcomp(feats[f2][s2 : s2 + 60])
+        if rng.random() < 0.2:  # junk mate
+            frag2 = "".join(rng.choice(list("ACGT"), size=60))
+        reads.append(encode_bases(frag1))
+        mates.append(encode_bases(frag2))
+
+    dev = DeviceAlignEngine(index, cfg)
+    fast = strip_meta(fast_count_calls(reads, mates, dev, ref, cfg))
+    assert fast == general_path(reads, mates, index, ref, cfg)

@@ -1,0 +1,78 @@
+"""Native C++ host ops vs Python fallbacks."""
+
+import numpy as np
+import pytest
+
+from nimble_tpu import native
+from nimble_tpu.index.build import pack_kmer_keys
+from nimble_tpu.utils.dna import encode_bases
+
+from conftest import reads_path
+
+
+requires_native = pytest.mark.skipif(
+    not native.available(), reason="native library unavailable (no g++?)"
+)
+
+
+@requires_native
+def test_encode_bases_bulk():
+    data = b"ACGTacgtNNXX" * 100
+    np.testing.assert_array_equal(native.encode_bases_bulk(data), encode_bases(data))
+
+
+@requires_native
+def test_fastq_scan_matches_python_reader():
+    from nimble_tpu.io.fastq import read_fastq_codes, read_fastq_matrix
+
+    path = reads_path("basic.fastq")
+    reads = read_fastq_codes(path)
+    mat, lens = read_fastq_matrix(path)
+    assert mat.shape[0] == len(reads)
+    for i, r in enumerate(reads):
+        assert lens[i] == len(r)
+        np.testing.assert_array_equal(mat[i, : lens[i]], r)
+
+
+@requires_native
+def test_fastq_scan_malformed():
+    buf = b"no_at_sign\nACGT\n+\nIIII\n"
+    with pytest.raises(ValueError, match="Unable to read sequence"):
+        native.fastq_scan(buf, 10)
+
+
+@requires_native
+def test_extract_kmer_keys():
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 4, 200).astype(np.int8)
+    got = native.extract_kmer_keys(codes, 30)
+    np.testing.assert_array_equal(got, pack_kmer_keys(codes, 30))
+
+
+@requires_native
+def test_build_hash_table_matches_python():
+    """Native vs Python insertion loops must produce identical tables."""
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.ops import device_index as di
+    from nimble_tpu.utils.dna import revcomp
+
+    rng = np.random.default_rng(5)
+    seqs = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(6)]
+    doubled = [x for s in seqs for x in (s, revcomp(s))]
+    index = build_index(doubled)
+
+    native_didx = di.build_device_index(index)
+
+    # force the Python fallback by monkeypatching availability
+    orig = native.build_hash_table
+    try:
+        native.build_hash_table = lambda *a, **k: None
+        python_didx = di.build_device_index(index)
+    finally:
+        native.build_hash_table = orig
+
+    assert native_didx.max_probe == python_didx.max_probe
+    np.testing.assert_array_equal(native_didx.table_key_lo, python_didx.table_key_lo)
+    np.testing.assert_array_equal(native_didx.table_key_hi, python_didx.table_key_hi)
+    np.testing.assert_array_equal(native_didx.table_start, python_didx.table_start)
+    np.testing.assert_array_equal(native_didx.table_count, python_didx.table_count)
