@@ -2,20 +2,23 @@
 
 Semantically identical to `core.calls.get_calls` -> counts (the FASTQ
 pipeline discards the per-read forensics, `src/process/fastq.rs:16-27`), but
-restructured for batch throughput — NO per-read Python anywhere:
+restructured for batch throughput:
 
-  1. the engine's ``align_raw_from_matrix`` consumes a padded (N, Lmax) code
-     matrix and returns flat arrays (pass mask + sorted deduped eq classes);
-  2. read-pairs are DEDUPED by sequence bytes with one ``np.unique`` over the
-     padded matrix: the reference's score map is keyed by the read(+mate)
-     string (`src/align.rs:574-579`), so duplicate pairs contribute ONCE;
-  3. distinct pairs are GROUPED by their (eq1, eq2) combination with a second
-     ``np.unique``; the string-shaped tail (orientation/chemistry filtering,
-     intersect levels, group rollup, natural sort) runs once per combo —
-     real libraries produce few combos regardless of read count.
+  1. the engine's compact interface runs the WHOLE per-read filter chain on
+     device and downloads ~6 bytes/read: a (anchor-postings-start, live-lane
+     bitmask) pair that exactly identifies the read's equivalence class
+     without shipping it (decoded host-side from the postings array);
+  2. read-pairs are DEDUPED by sequence bytes: the reference's score map is
+     keyed by the read(+mate) string (`src/align.rs:574-579`), so duplicate
+     pairs contribute ONCE;
+  3. the string-shaped tail (orientation/chemistry filtering, intersect
+     levels, group rollup, natural sort) runs once per distinct
+     (eq1, eq2) combination — real libraries produce few combos regardless
+     of read count.
 
-Reads the device engine could not bound (``needs_host``) are rescued through
-the per-read host oracle, preserving exactness.
+Reads the device could not decide exactly (candidate overflow, entropy on
+the f32 boundary, oversized reads) are rescued through the per-read host
+oracle, preserving exactness for every read.
 """
 
 from __future__ import annotations
@@ -47,23 +50,35 @@ def pack_matrix(reads: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def _rescue_matrix(mat, lens, raw, engine):
-    """Host-oracle rescue for needs_host entries; returns {idx: eq_list}."""
-    idxs = np.flatnonzero(raw["needs_host"])
-    rescued: Dict[int, List[int]] = {}
-    for i in idxs:
+def _combo_ids(mat, lens, engine, which_label):
+    """Run the compact device path + host rescue for one mate side.
+
+    Returns (cid (N,) int64, eq_of_cid dict).  cid semantics:
+      -1            — read did not pass (no eq class)
+      >= 0          — device result: astart * 2^c_max + mask
+      <= -2         — rescued read with an out-of-band eq class
+    ``eq_of_cid`` maps every non-(-1) cid to its eq-class list.
+    """
+    raw = engine.align_raw_compact_from_matrix(mat, lens)
+    c_max = engine.c_max
+    cid = np.where(
+        raw["passed"],
+        raw["astart"].astype(np.int64) * (1 << c_max) + raw["mask"],
+        np.int64(-1),
+    )
+
+    eq_of_cid: Dict[int, List[int]] = {}
+    next_rescue_id = -2
+    for i in np.flatnonzero(raw["needs_host"]):
         codes = mat[i, : lens[i]]
         alignment, _ = pseudoalign(codes, engine.index, engine.config, MIN_READ_LENGTH)
         if alignment is not None:
-            raw["passed"][i] = True
-            rescued[int(i)] = alignment[0]
-    return rescued
-
-
-def _void_rows(mat: np.ndarray) -> np.ndarray:
-    """Rows of a 2-D array as one void scalar each (for exact np.unique)."""
-    c = np.ascontiguousarray(mat)
-    return c.view([("", c.dtype)] * c.shape[1]).reshape(-1)
+            eq_of_cid[next_rescue_id] = alignment[0]
+            cid[i] = next_rescue_id
+            next_rescue_id -= 1
+        else:
+            cid[i] = -1
+    return cid, eq_of_cid
 
 
 def fast_count_calls_matrix(
@@ -77,95 +92,81 @@ def fast_count_calls_matrix(
 ) -> List[Tuple[List[str], Tuple[int, List[str], List[str]]]]:
     """Counts identical to ``sort_score_vector(get_calls(...)[0])`` with
     empty metadata (the FASTQ path)."""
-    from nimble_tpu.models.aligner import EQ_PAD
-
     n = mat.shape[0]
-    raw1 = engine.align_raw_from_matrix(mat, lens)
-    rescued1 = _rescue_matrix(mat, lens, raw1, engine)
-    if mate_mat is not None:
-        raw2 = engine.align_raw_from_matrix(mate_mat, mate_lens)
-        rescued2 = _rescue_matrix(mate_mat, mate_lens, raw2, engine)
-    else:
-        raw2, rescued2 = None, {}
-
-    eq1 = np.where(raw1["passed"][:, None], raw1["eq_sorted"], EQ_PAD)
-    if raw2 is not None:
-        eq2 = np.where(raw2["passed"][:, None], raw2["eq_sorted"], EQ_PAD)
-    else:
-        eq2 = np.full_like(eq1, EQ_PAD)
-
-    has_rescue = bool(rescued1) or bool(rescued2)
-
-    def eq_tuple(i: int, which: int) -> Tuple[int, ...]:
-        """Exact eq class of read i (handles rescued wide classes)."""
-        raw, rescued, eq = (raw1, rescued1, eq1) if which == 1 else (raw2, rescued2, eq2)
-        if raw is None or not raw["passed"][i]:
-            return ()
-        r = rescued.get(int(i))
-        if r is not None:
-            return tuple(r)
-        row = eq[i]
-        return tuple(int(x) for x in row[row != EQ_PAD])
-
-    nonempty1 = eq1[:, 0] != EQ_PAD
-    nonempty2 = eq2[:, 0] != EQ_PAD
-    for i in rescued1:
-        nonempty1[i] = True
-    for i in rescued2:
-        nonempty2[i] = True
-
-    # score-map admission (`src/align.rs:582-604`)
-    keep = nonempty1 | nonempty2
-    if config.require_valid_pair and mate_mat is not None:
-        valid = nonempty1 & nonempty2 & (eq1 == eq2).all(axis=1)
-        for i in set(rescued1) | set(rescued2):
-            valid[i] = bool(eq_tuple(i, 1)) and eq_tuple(i, 1) == eq_tuple(i, 2)
-        keep &= valid
-
-    if not keep.any():
+    if n == 0:
         return []
 
-    # --- dedupe read pairs by sequence bytes (vectorized) ---
-    kept = np.flatnonzero(keep)
+    cid1, rescued1 = _combo_ids(mat, lens, engine, "r1")
     if mate_mat is not None:
-        key_mat = np.concatenate(
-            [
-                mat[kept].astype(np.uint8),
-                lens[kept, None].astype(np.int32).view(np.uint8).reshape(len(kept), 4),
-                mate_mat[kept].astype(np.uint8),
-                mate_lens[kept, None].astype(np.int32).view(np.uint8).reshape(len(kept), 4),
-            ],
-            axis=1,
-        )
+        cid2, rescued2 = _combo_ids(mate_mat, mate_lens, engine, "r2")
     else:
-        key_mat = np.concatenate(
-            [
-                mat[kept].astype(np.uint8),
-                lens[kept, None].astype(np.int32).view(np.uint8).reshape(len(kept), 4),
-            ],
-            axis=1,
-        )
-    _, first_idx = np.unique(_void_rows(key_mat), return_index=True)
-    distinct = kept[first_idx]  # one representative per distinct pair
+        cid2 = np.full(n, -1, dtype=np.int64)
+        rescued2 = {}
 
-    # --- group distinct pairs by eq combo (vectorized) ---
-    combo_mat = np.concatenate([eq1[distinct], eq2[distinct]], axis=1)
-    combos, counts = np.unique(_void_rows(combo_mat), return_counts=True)
-    combo_rows = combos.view(combo_mat.dtype).reshape(len(combos), combo_mat.shape[1])
-    c = eq1.shape[1]
+    def eq_of(cid_val: int, rescued: Dict[int, List[int]]) -> List[int]:
+        if cid_val == -1:
+            return []
+        if cid_val < -1:
+            return list(rescued[int(cid_val)])
+        c_max = engine.c_max
+        return engine.decode_combo(cid_val >> c_max, cid_val & ((1 << c_max) - 1))
 
+    # --- per-combo eq decode + pair validity (vectorized over combos) ---
+    pair_mat = np.stack([cid1, cid2], axis=1)
+    combos, inverse = np.unique(pair_mat, axis=0, return_inverse=True)
+    eq_cache: List[Tuple[List[int], List[int]]] = []
+    keep_combo = np.zeros(len(combos), dtype=bool)
+    for ci, (c1, c2) in enumerate(combos):
+        e1 = eq_of(int(c1), rescued1)
+        e2 = eq_of(int(c2), rescued2)
+        eq_cache.append((e1, e2))
+        keep = bool(e1) or bool(e2)  # score-map admission (src/align.rs:604)
+        if keep and config.require_valid_pair and mate_mat is not None:
+            # filter_pair (src/align.rs:732-760): sorted eq equality
+            keep = bool(e1) and bool(e2) and e1 == e2
+        keep_combo[ci] = keep
+
+    keep_mask = keep_combo[inverse]
+    if not keep_mask.any():
+        return []
+
+    # --- dedupe kept read pairs by sequence bytes (score-map keys) ---
+    kept = np.flatnonzero(keep_mask)
+    key_rows1 = np.ascontiguousarray(mat[kept]).view(
+        f"|S{mat.shape[1]}"
+    )[:, 0]
+    if mate_mat is not None:
+        key_rows2 = np.ascontiguousarray(mate_mat[kept]).view(
+            f"|S{mate_mat.shape[1]}"
+        )[:, 0]
+    kept_inverse = inverse[kept]
+    seen: Dict[Tuple, int] = {}
+    combo_mult: Dict[int, int] = {}
+    for j in range(len(kept)):
+        if mate_mat is not None:
+            key = (key_rows1[j], int(lens[kept[j]]),
+                   key_rows2[j], int(mate_lens[kept[j]]))
+        else:
+            key = (key_rows1[j], int(lens[kept[j]]))
+        if key in seen:
+            continue
+        seen[key] = 1
+        ci = int(kept_inverse[j])
+        combo_mult[ci] = combo_mult.get(ci, 0) + 1
+
+    # --- memoized orientation pipeline per combo ---
     results: Dict[Tuple[str, ...], int] = {}
-
-    def run_combo(eq1_list, eq2_list, multiplicity):
+    for ci, mult in combo_mult.items():
+        e1, e2 = eq_cache[ci]
         state = (
-            PairState.BOTH if (eq1_list and eq2_list)
-            else PairState.FIRST if eq1_list
+            PairState.BOTH if (e1 and e2)
+            else PairState.FIRST if e1
             else PairState.SECOND
         )
         call = (
             state,
-            (eq1_list, 0.0) if eq1_list else None,
-            (eq2_list, 0.0) if eq2_list else None,
+            (e1, 0.0) if e1 else None,
+            (e2, 0.0) if e2 else None,
             [],
             [],
         )
@@ -174,21 +175,7 @@ def fast_count_calls_matrix(
             call, tmp, reference, config, "", {}
         )
         for callset in tmp:
-            results[callset] = results.get(callset, 0) + multiplicity
-
-    if not has_rescue:
-        for row, mult in zip(combo_rows, counts):
-            e1 = [int(x) for x in row[:c] if x != EQ_PAD]
-            e2 = [int(x) for x in row[c:] if x != EQ_PAD]
-            run_combo(e1, e2, int(mult))
-    else:
-        # rare path: rescued reads carry out-of-band (wide) eq lists
-        combo_counts: Dict[Tuple[Tuple[int, ...], Tuple[int, ...]], int] = {}
-        for i in distinct:
-            key = (eq_tuple(i, 1), eq_tuple(i, 2))
-            combo_counts[key] = combo_counts.get(key, 0) + 1
-        for (e1, e2), mult in combo_counts.items():
-            run_combo(list(e1), list(e2), mult)
+            results[callset] = results.get(callset, 0) + mult
 
     ret = [(list(callset), (count, [], [])) for callset, count in results.items()]
     return sort_score_vector(ret)

@@ -40,7 +40,7 @@ from nimble_tpu.core.filters import (
 )
 from nimble_tpu.index.build import KmerIndex
 from nimble_tpu.ops.device_index import DeviceIndex, build_device_index
-from nimble_tpu.ops.engine_xla import probe_and_walk
+from nimble_tpu.ops.engine_xla import probe_and_walk, probe_and_walk_compact
 
 DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 
@@ -85,6 +85,7 @@ class DeviceAlignEngine:
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
         self.didx: DeviceIndex = build_device_index(index)
+        self._s_min_cache: dict = {}
         self._dev = {
             "table_key_lo": jnp.asarray(self.didx.table_key_lo),
             "table_key_hi": jnp.asarray(self.didx.table_key_hi),
@@ -222,6 +223,108 @@ class DeviceAlignEngine:
 
         mat, lens = pack_matrix(clean)
         return self.align_raw_from_matrix(mat, lens)
+
+    # --- compact interface: ~6 downloaded bytes per read ------------------
+
+    def _s_min_table(self, lmax: int) -> np.ndarray:
+        """Exact integer threshold table for the normalized-score gate.
+
+        s_min[L] = min integer s with (s / L) >= score_percent under f64,
+        the same expression the reference evaluates per read
+        (`src/align.rs:968`, `src/filter/align.rs:17`) — so the device-side
+        integer compare `score >= s_min[len]` is bit-equivalent.
+        """
+        key = (self.config.score_percent, lmax)
+        cached = self._s_min_cache.get(key)
+        if cached is not None:
+            return cached
+        p = float(self.config.score_percent)
+        table = np.zeros(lmax + 1, dtype=np.int32)
+        for L in range(1, lmax + 1):
+            s = max(0, min(int(np.ceil(p * L)), L + 1))
+            while s > 0 and (s - 1) / L >= p:
+                s -= 1
+            while s <= L and s / L < p:
+                s += 1
+            table[L] = s
+        table[0] = np.int32(2**31 - 1)
+        self._s_min_cache[key] = table
+        return table
+
+    def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
+        """Minimum-download batch alignment: the whole filter chain runs on
+        device; the result identifies each read's equivalence class as
+        (anchor postings start, live-lane bitmask) — see
+        `ops.engine_xla.probe_and_walk_compact` and :meth:`decode_combo`.
+
+        Returns dict arrays over N reads:
+          astart (N,) int64, mask (N,) int32, passed (N,) bool,
+          needs_host (N,) bool
+        """
+        n, width = mat.shape
+        lens = np.asarray(lens, dtype=np.int32)
+        astart = np.zeros(n, dtype=np.int64)
+        mask = np.zeros(n, dtype=np.int32)
+        passed = np.zeros(n, dtype=bool)
+        needs_host = lens > self.buckets[-1]
+        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
+        if not eligible.any():
+            return {"astart": astart, "mask": mask, "passed": passed,
+                    "needs_host": needs_host}
+
+        cfg = self.config
+        bucket_arr = np.asarray(self.buckets)
+        bucket_idx = np.searchsorted(bucket_arr, lens)
+        for bi in np.unique(bucket_idx[eligible]):
+            bucket = int(bucket_arr[bi])
+            sel = np.flatnonzero(eligible & (bucket_idx == bi))
+            m = len(sel)
+            B = max(self.min_batch, 1 << (m - 1).bit_length())
+            reads = np.zeros((B, bucket), dtype=np.int8)
+            take = min(bucket, width)
+            reads[:m, :take] = mat[sel, :take]
+            blens = np.zeros(B, dtype=np.int32)
+            blens[:m] = lens[sel]
+
+            out = probe_and_walk_compact(
+                jnp.asarray(reads), jnp.asarray(blens),
+                self._dev["table_key_lo"], self._dev["table_key_hi"],
+                self._dev["table_start"], self._dev["table_count"],
+                self._dev["postings_row"], self._dev["postings_off"],
+                self._dev["ref_codes"], self._dev["row_starts"],
+                self._dev["row_lengths"],
+                jnp.asarray(self._s_min_table(bucket)),
+                jnp.int32(cfg.score_threshold),
+                jnp.int32(cfg.num_mismatches),
+                jnp.bool_(cfg.discard_multiple_matches),
+                jnp.bool_(cfg.discard_nonzero_mismatch),
+                k=self.didx.k,
+                max_probe=self.didx.max_probe,
+                c_max=self.c_max,
+                table_mask=self.didx.table_size - 1,
+            )
+            out = jax.device_get(out)
+            astart[sel] = out["astart"][:m]
+            mask[sel] = out["mask"][:m]
+            passed[sel] = out["passed"][:m]
+            needs_host[sel] = out["needs_host"][:m]
+
+        return {"astart": astart, "mask": mask, "passed": passed,
+                "needs_host": needs_host}
+
+    def decode_combo(self, astart: int, mask: int) -> List[int]:
+        """(astart, mask) -> sorted distinct eq-class row ids (host-side)."""
+        rows = []
+        c = 0
+        m = int(mask)
+        base = int(astart)
+        prow = self.didx.postings_row
+        while m:
+            if m & 1:
+                rows.append(int(prow[base + c]))
+            m >>= 1
+            c += 1
+        return sorted(set(rows))
 
     # --- internals --------------------------------------------------------
 

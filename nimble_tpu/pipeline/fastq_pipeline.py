@@ -24,7 +24,7 @@ def process(
     aligner_configs: Sequence[AlignFilterConfig],
     output_paths: Sequence[str],
 ) -> None:
-    fast = all(hasattr(e, "align_raw_from_matrix") for e in engines)
+    fast = all(hasattr(e, "align_raw_compact_from_matrix") for e in engines)
 
     if fast:
         mat, lens = read_fastq_matrix(input_files[0])
