@@ -84,6 +84,62 @@ class HostAlignEngine:
         ]
 
 
+def prepare_trimmed(
+    reads: Sequence[np.ndarray],
+    mate_reads: Optional[Sequence[np.ndarray]],
+    metadata: Sequence[List[str]],
+    config: AlignFilterConfig,
+) -> Tuple[List[Optional[np.ndarray]], List[Optional[np.ndarray]]]:
+    """Stage 1 of score_sequences: quality trim + dummy-skip flags
+    (`src/align.rs:514-558`).  Skipped (dummy) reads become None entries.
+
+    Factored out so batching callers (e.g. the BAM consumer) can pre-align
+    many groups' reads in one engine call with identical inputs.
+    """
+
+    def meta_at(i: int) -> List[str]:
+        return metadata[i] if i < len(metadata) else []
+
+    trimmed_r1: List[Optional[np.ndarray]] = []
+    trimmed_r2: List[Optional[np.ndarray]] = []
+    for i in range(len(reads)):
+        m1, m2 = meta_at(2 * i), meta_at(2 * i + 1)
+        r1 = reads[i]
+        t1 = (
+            trim_codes(r1, m1[1], config.trim_target_length, config.trim_strictness)
+            if m1
+            else r1
+        )
+        trimmed_r1.append(None if (m1 and m1[37] == "TRUE") else t1)
+        if mate_reads is not None:
+            r2 = mate_reads[i]
+            t2 = (
+                trim_codes(r2, m2[1], config.trim_target_length, config.trim_strictness)
+                if m2
+                else r2
+            )
+            trimmed_r2.append(None if (m2 and m2[37] == "TRUE") else t2)
+    return trimmed_r1, trimmed_r2
+
+
+class PrecomputedEngine:
+    """Serves pre-aligned results in align_batch call order.
+
+    Used by batching callers that aligned several groups' reads in one bulk
+    engine call: per group, score_sequences issues exactly one align_batch
+    for R1 and (for paired data) one for R2 — this engine replays the
+    precomputed slices in that order.
+    """
+
+    def __init__(self, *result_slices):
+        self._slices = list(result_slices)
+
+    def align_batch(self, seqs):
+        results = self._slices.pop(0)
+        assert len(results) == len(seqs)
+        return results
+
+
 def filter_pair(
     sequence_equivalence_class: List[int],
     mate_sequence_equivalence_class: List[int],
@@ -123,27 +179,7 @@ def score_sequences(
     def meta_at(i: int) -> List[str]:
         return meta[i] if i < len(meta) else []
 
-    # Stage 1: trimming + dummy-skip flags, batched (`src/align.rs:514-558`).
-    trimmed_r1: List[Optional[np.ndarray]] = []
-    trimmed_r2: List[Optional[np.ndarray]] = []
-    for i in range(n):
-        m1, m2 = meta_at(2 * i), meta_at(2 * i + 1)
-        r1 = reads[i]
-        t1 = (
-            trim_codes(r1, m1[1], config.trim_target_length, config.trim_strictness)
-            if m1
-            else r1
-        )
-        trimmed_r1.append(None if (m1 and m1[37] == "TRUE") else t1)
-        if mate_reads is not None:
-            r2 = mate_reads[i]
-            t2 = (
-                trim_codes(r2, m2[1], config.trim_target_length, config.trim_strictness)
-                if m2
-                else r2
-            )
-            trimmed_r2.append(None if (m2 and m2[37] == "TRUE") else t2)
-
+    trimmed_r1, trimmed_r2 = prepare_trimmed(reads, mate_reads, meta, config)
     results_r1 = engine.align_batch(trimmed_r1)
     results_r2 = engine.align_batch(trimmed_r2) if mate_reads is not None else None
 

@@ -39,7 +39,12 @@ from nimble_tpu.core.filters import (
     pseudoalign,
 )
 from nimble_tpu.index.build import KmerIndex
-from nimble_tpu.ops.device_index import DeviceIndex, build_device_index
+from nimble_tpu.ops.device_index import (
+    DeviceIndex,
+    build_bucketed_index,
+    build_device_index,
+)
+from nimble_tpu.ops.engine_fast import probe_walk_filter
 from nimble_tpu.ops.engine_xla import probe_and_walk, probe_and_walk_compact
 
 DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
@@ -78,14 +83,29 @@ class DeviceAlignEngine:
         c_max: int = 8,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
+        phase_a_positions: int = 8,
     ):
         self.index = index
         self.config = config
         self.c_max = int(c_max)
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
+        self.phase_a_positions = int(phase_a_positions)
         self.didx: DeviceIndex = build_device_index(index)
         self._s_min_cache: dict = {}
+        # bucketized layout for the fast compact path
+        self.bidx = build_bucketed_index(index)
+        self._dev_fast = {
+            "bkey_lo": jnp.asarray(self.bidx.bkey_lo),
+            "bkey_hi": jnp.asarray(self.bidx.bkey_hi),
+            "bstart": jnp.asarray(self.bidx.bstart),
+            "bcount": jnp.asarray(self.bidx.bcount),
+            "postings_row": jnp.asarray(self.bidx.postings_row),
+            "postings_off": jnp.asarray(self.bidx.postings_off),
+            "ref_codes_padded": jnp.asarray(self.bidx.ref_codes_padded),
+            "row_starts": jnp.asarray(self.bidx.row_starts),
+            "row_lengths": jnp.asarray(self.bidx.row_lengths),
+        }
         self._dev = {
             "table_key_lo": jnp.asarray(self.didx.table_key_lo),
             "table_key_hi": jnp.asarray(self.didx.table_key_hi),
@@ -286,24 +306,25 @@ class DeviceAlignEngine:
             blens = np.zeros(B, dtype=np.int32)
             blens[:m] = lens[sel]
 
-            out = probe_and_walk_compact(
-                jnp.asarray(reads), jnp.asarray(blens),
-                self._dev["table_key_lo"], self._dev["table_key_hi"],
-                self._dev["table_start"], self._dev["table_count"],
-                self._dev["postings_row"], self._dev["postings_off"],
-                self._dev["ref_codes"], self._dev["row_starts"],
-                self._dev["row_lengths"],
-                jnp.asarray(self._s_min_table(bucket)),
-                jnp.int32(cfg.score_threshold),
-                jnp.int32(cfg.num_mismatches),
-                jnp.bool_(cfg.discard_multiple_matches),
-                jnp.bool_(cfg.discard_nonzero_mismatch),
-                k=self.didx.k,
-                max_probe=self.didx.max_probe,
-                c_max=self.c_max,
-                table_mask=self.didx.table_size - 1,
+            # phase A: probe only the first few k-mer positions (real reads
+            # anchor at/near position 0); phase B reruns unresolved reads
+            # with the full position range.
+            out = self._run_fast_kernel(reads, blens, bucket, self.phase_a_positions)
+            unresolved = ~out["has_anchor"][:m] & (
+                blens[:m].astype(np.int64) - self.didx.k + 1 > self.phase_a_positions
             )
-            out = jax.device_get(out)
+            if unresolved.any():
+                sub = np.flatnonzero(unresolved)
+                ms = len(sub)
+                Bs = max(self.min_batch, 1 << (ms - 1).bit_length())
+                reads_s = np.zeros((Bs, bucket), dtype=np.int8)
+                reads_s[:ms] = reads[sub]
+                blens_s = np.zeros(Bs, dtype=np.int32)
+                blens_s[:ms] = blens[sub]
+                out_b = self._run_fast_kernel(reads_s, blens_s, bucket, bucket)
+                for key in ("astart", "mask", "passed", "needs_host"):
+                    out[key][sub] = out_b[key][:ms]
+
             astart[sel] = out["astart"][:m]
             mask[sel] = out["mask"][:m]
             passed[sel] = out["passed"][:m]
@@ -312,13 +333,36 @@ class DeviceAlignEngine:
         return {"astart": astart, "mask": mask, "passed": passed,
                 "needs_host": needs_host}
 
+    def _run_fast_kernel(self, reads, blens, bucket, p_limit):
+        cfg = self.config
+        out = probe_walk_filter(
+            jnp.asarray(reads), jnp.asarray(blens),
+            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+            self._dev_fast["bstart"], self._dev_fast["bcount"],
+            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
+            self._dev_fast["ref_codes_padded"], self._dev_fast["row_starts"],
+            self._dev_fast["row_lengths"],
+            jnp.asarray(self._s_min_table(bucket)),
+            jnp.int32(cfg.score_threshold),
+            jnp.int32(cfg.num_mismatches),
+            jnp.bool_(cfg.discard_multiple_matches),
+            jnp.bool_(cfg.discard_nonzero_mismatch),
+            k=self.bidx.k,
+            max_probe=self.bidx.max_probe,
+            c_max=self.c_max,
+            bucket_mask=self.bidx.n_buckets - 1,
+            p_limit=min(p_limit, bucket - self.bidx.k + 1),
+            ref_pad=self.bidx.ref_pad,
+        )
+        return {k: np.array(v) for k, v in jax.device_get(out).items()}
+
     def decode_combo(self, astart: int, mask: int) -> List[int]:
         """(astart, mask) -> sorted distinct eq-class row ids (host-side)."""
         rows = []
         c = 0
         m = int(mask)
         base = int(astart)
-        prow = self.didx.postings_row
+        prow = self.bidx.postings_row  # compact astart indexes the bucketized postings
         while m:
             if m & 1:
                 rows.append(int(prow[base + c]))

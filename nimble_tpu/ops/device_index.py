@@ -65,6 +65,113 @@ class DeviceIndex:
     max_postings: int         # largest postings span in the index
 
 
+@dataclass
+class BucketedDeviceIndex:
+    """Bucketized hash layout for fast TPU probing.
+
+    Element-wise linear probing (DeviceIndex) costs one random gather per
+    probe step; TPU gathers are slow, so this layout packs WIDTH slots into
+    one contiguous bucket row — a single gather fetches the whole bucket and
+    the lane compare runs on the VPU.  ``max_probe`` counts BUCKET hops
+    (nearly always 1 at load <= 0.5).
+
+    ``ref_codes_padded`` carries ``ref_pad`` guard zeros on both sides so the
+    walk can slice fixed-size candidate spans without bounds clamping.
+    """
+
+    k: int
+    n_buckets: int
+    width: int
+    max_probe: int
+    bkey_lo: np.ndarray     # (n_buckets, width) uint32
+    bkey_hi: np.ndarray     # (n_buckets, width) uint32
+    bstart: np.ndarray      # (n_buckets, width) int32
+    bcount: np.ndarray      # (n_buckets, width) int32
+    postings_row: np.ndarray
+    postings_off: np.ndarray
+    ref_codes_padded: np.ndarray  # (ref_pad + total_len + ref_pad) int8
+    ref_pad: int
+    row_starts: np.ndarray
+    row_lengths: np.ndarray
+    max_postings: int
+
+
+def build_bucketed_index(
+    index: KmerIndex, width: int = 8, load_factor: float = 0.5,
+    ref_pad: int = 1024 + 32,
+) -> BucketedDeviceIndex:
+    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64, count=len(index.kmer_map))
+    n_keys = len(keys)
+
+    counts = np.array(
+        [len(index.kmer_map[int(kk)]) for kk in keys], dtype=np.int64
+    ) if n_keys else np.empty(0, dtype=np.int64)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1] if n_keys else np.empty(0, dtype=np.int64)
+    total_postings = int(counts.sum()) if n_keys else 0
+    postings_row = np.zeros(max(total_postings, 1), dtype=np.int32)
+    postings_off = np.zeros(max(total_postings, 1), dtype=np.int32)
+    for i, kk in enumerate(keys):
+        p = index.kmer_map[int(kk)]
+        s = int(starts[i])
+        postings_row[s : s + len(p)] = p[:, 0]
+        postings_off[s : s + len(p)] = p[:, 1]
+
+    n_buckets = 16
+    while n_buckets * width * load_factor < max(n_keys, 1):
+        n_buckets *= 2
+    mask = n_buckets - 1
+
+    bkey_lo = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+    bkey_hi = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+    bstart = np.zeros((n_buckets, width), dtype=np.int32)
+    bcount = np.zeros((n_buckets, width), dtype=np.int32)
+    fill = np.zeros(n_buckets, dtype=np.int64)
+
+    key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    h = hash_kmer(key_lo, key_hi).astype(np.int64) & mask
+
+    max_probe = 1
+    for i in range(n_keys):
+        b = int(h[i])
+        probe = 1
+        while fill[b] >= width:
+            b = (b + 1) & mask
+            probe += 1
+        lane = fill[b]
+        bkey_lo[b, lane] = key_lo[i]
+        bkey_hi[b, lane] = key_hi[i]
+        bstart[b, lane] = starts[i]
+        bcount[b, lane] = counts[i]
+        fill[b] += 1
+        max_probe = max(max_probe, probe)
+
+    row_lengths = index.row_lengths.astype(np.int32)
+    row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)
+    total_len = int(row_lengths.sum())
+    ref_padded = np.zeros(ref_pad + max(total_len, 1) + ref_pad, dtype=np.int8)
+    for r, codes in enumerate(index.row_codes):
+        ref_padded[ref_pad + row_starts[r] : ref_pad + row_starts[r] + len(codes)] = codes
+
+    return BucketedDeviceIndex(
+        k=index.k,
+        n_buckets=n_buckets,
+        width=width,
+        max_probe=max_probe,
+        bkey_lo=bkey_lo,
+        bkey_hi=bkey_hi,
+        bstart=bstart,
+        bcount=bcount,
+        postings_row=postings_row,
+        postings_off=postings_off,
+        ref_codes_padded=ref_padded,
+        ref_pad=ref_pad,
+        row_starts=row_starts,
+        row_lengths=row_lengths,
+        max_postings=int(counts.max()) if n_keys else 0,
+    )
+
+
 def build_device_index(index: KmerIndex, load_factor: float = 0.4) -> DeviceIndex:
     """Lay the host KmerIndex out as flat device-ready arrays."""
     k = index.k

@@ -1,0 +1,217 @@
+"""TPU-fast alignment kernel: bucketized probe + span walk + on-device filters.
+
+This is the production single-chip kernel behind the compact engine
+interface.  It computes the same function as `engine_xla.probe_and_walk_compact`
+(equivalence-tested) but is shaped around what TPUs do well:
+
+  * HASH PROBE — the table is bucketized (`device_index.build_bucketed_index`):
+    one gather fetches a whole 8-lane bucket row (contiguous bytes) and the
+    lane compare runs on the VPU, instead of `max_probe` scalar-ish gathers
+    per position.  Bucket-level probing almost always terminates in 1 hop.
+  * ANCHOR SEARCH is two-phase (driven by the engine): a cheap pass over the
+    first few k-mer positions resolves the overwhelming majority of reads
+    (real reads anchor at position 0); only unresolved reads rerun with the
+    full position range.
+  * WALK — instead of per-base random gathers, each candidate's reference
+    neighborhood [off-T, off+k+T) is fetched as ONE contiguous slice from the
+    guard-padded reference array; the read is sliced the same way around its
+    anchor, so the whole walk input reduces to a single elementwise equality
+    on (B, C, span) plus arithmetic masks.  The recurrence itself is the same
+    `_walk_scan` used everywhere.
+  * FILTERS — full `pseudoalign` chain on device with exact integer
+    thresholds (see `engine_xla.probe_and_walk_compact` for the exactness
+    argument); ~6 bytes/read leave the chip.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from nimble_tpu.ops.engine_xla import (
+    _hash_kmer,
+    _rolling_keys,
+    _walk_scan,
+    ENTROPY_BOUNDARY_BAND,
+    MIN_ENTROPY_SCORE_F32,
+)
+
+
+def _probe_bucketed(
+    reads_i32, read_lens, bkey_lo, bkey_hi,
+    *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
+):
+    """Find each read's anchor (first k-mer position present in the table).
+
+    Returns (has_anchor, anchor, bucket_sel, lane_sel) — the bucket/lane
+    locate the anchor key's postings span without a per-position gather.
+    Only positions [0, p_limit) are probed.
+    """
+    B, Lmax = reads_i32.shape
+    P_full = Lmax - k + 1
+    P = min(P_full, p_limit)
+
+    lo, hi = _rolling_keys(reads_i32[:, : P + k - 1], k)  # (B, P)
+    h = _hash_kmer(lo, hi) & jnp.uint32(bucket_mask)
+
+    found = jnp.zeros((B, P), dtype=bool)
+    bucket_rec = jnp.zeros((B, P), dtype=jnp.int32)
+    lane_rec = jnp.zeros((B, P), dtype=jnp.int32)
+    for p in range(max_probe):
+        bidx = ((h + jnp.uint32(p)) & jnp.uint32(bucket_mask)).astype(jnp.int32)
+        blo = bkey_lo[bidx]                      # (B, P, W) — contiguous rows
+        bhi = bkey_hi[bidx]
+        lane_eq = (blo == lo[:, :, None]) & (bhi == hi[:, :, None])
+        hit_p = lane_eq.any(axis=2)
+        lane_p = jnp.argmax(lane_eq, axis=2).astype(jnp.int32)
+        new = hit_p & ~found
+        bucket_rec = jnp.where(new, bidx, bucket_rec)
+        lane_rec = jnp.where(new, lane_p, lane_rec)
+        found = found | hit_p
+
+    pos_valid = (
+        jnp.arange(P, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
+    )
+    found = found & pos_valid
+
+    has_anchor = found.any(axis=1)
+    anchor = jnp.argmax(found, axis=1).astype(jnp.int32)
+    take = lambda a: jnp.take_along_axis(a, anchor[:, None], axis=1)[:, 0]
+    return has_anchor, anchor, take(bucket_rec), take(lane_rec)
+
+
+def _span_walk(
+    reads_i32, read_lens, anchor, rows, offs, live0,
+    ref_codes_padded, row_starts, row_lengths,
+    *, k: int, ref_pad: int,
+):
+    """Forward+left walk from contiguous spans; see module docstring."""
+    B, Lmax = reads_i32.shape
+    T = Lmax - k
+    W = 2 * T + k
+
+    # read span around the anchor: padded coords [anchor, anchor + W)
+    reads_padded = jnp.pad(reads_i32, ((0, 0), (T, T)))
+    read_span = jax.vmap(
+        lambda r, s: jax.lax.dynamic_slice(r, (s,), (W,))
+    )(reads_padded, anchor)                                   # (B, W)
+
+    # candidate spans: padded coords [ref_pad + r_start + off - T, ... + W)
+    r_start = row_starts[rows]
+    starts = (r_start + offs - T + ref_pad).reshape(-1)
+    ref_span = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ref_codes_padded, (s,), (W,))
+    )(starts).reshape(rows.shape[0], rows.shape[1], W).astype(jnp.int32)
+
+    match_full = ref_span == read_span[:, None, :]            # (B, C, W)
+
+    t_idx = jnp.arange(T, dtype=jnp.int32)
+    r_len = row_lengths[rows]
+
+    # forward: t = 0..T-1, span x = T+k+t; row pos off+k+t; read pos anchor+k+t
+    f_match_raw = match_full[:, :, T + k :]
+    f_alive = (offs[:, :, None] + k + t_idx[None, None, :]) < r_len[:, :, None]
+    f_match = f_match_raw & f_alive
+    f_active = (anchor[:, None] + k + t_idx[None, :]) < read_lens[:, None]
+
+    # left: j = 1..T, span x = T-j  (reverse of the first T span columns)
+    l_match_raw = match_full[:, :, :T][:, :, ::-1]
+    j_idx = t_idx + 1
+    l_alive = (offs[:, :, None] - j_idx[None, None, :]) >= 0
+    l_match = l_match_raw & l_alive
+    l_active = (anchor[:, None] - j_idx[None, :]) >= 0
+
+    live, f_score, f_mm = _walk_scan(live0, f_alive, f_match, f_active)
+    live, l_score, l_mm = _walk_scan(live, l_alive, l_match, l_active)
+    return live, f_score + l_score, f_mm + l_mm
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad"),
+)
+def probe_walk_filter(
+    reads, read_lens,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_padded, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+):
+    """Fast compact kernel; same outputs as probe_and_walk_compact plus
+    ``has_anchor`` (the engine's two-phase driver needs it)."""
+    B, Lmax = reads.shape
+    reads_i32 = reads.astype(jnp.int32)
+
+    has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
+        reads_i32, read_lens, bkey_lo, bkey_hi,
+        k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+    )
+    astart = bstart[bucket_sel, lane_sel]
+    acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
+    overflow = acnt > c_max
+
+    c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+    live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
+    pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
+    rows = postings_row[pidx]
+    offs = postings_off[pidx].astype(jnp.int32)
+
+    live, walk_score, walk_mm = _span_walk(
+        reads_i32, read_lens, anchor, rows, offs, live0,
+        ref_codes_padded, row_starts, row_lengths, k=k, ref_pad=ref_pad,
+    )
+    score = jnp.where(has_anchor, k + walk_score, 0)
+    mm = jnp.where(has_anchor, walk_mm, 0)
+
+    # entropy gate (f32 + boundary band, see engine_xla)
+    pos_mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < read_lens[:, None]
+    inv_len = 1.0 / jnp.maximum(read_lens, 1).astype(jnp.float32)
+    ent = jnp.zeros(B, dtype=jnp.float32)
+    for code in (0, 3, 1, 2):
+        c_count = ((reads_i32 == code) & pos_mask).sum(axis=1).astype(jnp.float32)
+        f = c_count * inv_len
+        ent = ent - jnp.where(f > 0.0, f * jnp.log2(jnp.maximum(f, 1e-30)), 0.0)
+    ent_pass = ent >= jnp.float32(MIN_ENTROPY_SCORE_F32 + ENTROPY_BOUNDARY_BAND)
+    ent_boundary = (
+        jnp.abs(ent - jnp.float32(MIN_ENTROPY_SCORE_F32))
+        <= jnp.float32(ENTROPY_BOUNDARY_BAND)
+    )
+
+    big = jnp.int32(2**31 - 1)
+    sorted_rows = jnp.sort(jnp.where(live, rows, big), axis=1)
+    distinct = (sorted_rows[:, :1] != big).astype(jnp.int32).squeeze(1) + (
+        (sorted_rows[:, 1:] != sorted_rows[:, :-1]) & (sorted_rows[:, 1:] != big)
+    ).astype(jnp.int32).sum(axis=1)
+
+    s_min = s_min_table[jnp.clip(read_lens, 0, s_min_table.shape[0] - 1)]
+    passed = (
+        ent_pass
+        & has_anchor
+        & (score >= score_threshold)
+        & (score >= s_min)
+        & (mm <= num_mismatches)
+        & jnp.where(discard_multiple, distinct <= 1, True)
+        & jnp.where(discard_nonzero, mm == 0, True)
+    )
+
+    lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
+    mask = jnp.where(live, lane, 0).sum(axis=1)
+    needs_host = has_anchor & (overflow | ent_boundary)
+
+    return {
+        "astart": astart,
+        "mask": mask,
+        "passed": passed & ~needs_host,
+        "needs_host": needs_host,
+        "has_anchor": has_anchor,
+    }

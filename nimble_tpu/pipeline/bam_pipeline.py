@@ -38,7 +38,12 @@ from nimble_tpu.config import (
     AlignmentOrientation,
     FilterReason,
 )
-from nimble_tpu.core.calls import AlignEngine, call
+from nimble_tpu.core.calls import (
+    AlignEngine,
+    PrecomputedEngine,
+    call,
+    prepare_trimmed,
+)
 from nimble_tpu.io.umi import BAM_FIELDS_TO_REPORT, UMIReader
 from nimble_tpu.library import Reference
 from nimble_tpu.utils.dna import encode_bases, revcomp
@@ -108,7 +113,8 @@ def align_umi_to_libraries(
 
     for i, engine in enumerate(engines):
         s, _, filter_reasons = call(
-            r1_reads, r2_reads, umi_metadata, engine, references[i], aligner_configs[i]
+            r1_reads, r2_reads, umi_metadata, engine, references[i],
+            aligner_configs[i],
         )
 
         if len(s) == 0:
@@ -146,6 +152,66 @@ def align_umi_to_libraries(
         results.append(transformed)
 
     return results
+
+
+def _oriented_reads(umi_seqs, umi_metadata):
+    """Orientation-corrected coded R1/R2 lists (`src/process/bam.rs:260-292`)."""
+    reverse_flags = [parse_str_as_bool(m[2]) for m in umi_metadata]
+    oriented = [
+        encode_bases(reverse_comp_if_needed(s, r))
+        for s, r in zip(umi_seqs, reverse_flags)
+    ]
+    return oriented[0::2], oriented[1::2]
+
+
+def align_groups_batched(
+    groups: List[Tuple[List[str], List[List[str]]]],
+    engines: Sequence[AlignEngine],
+    references: Sequence[Reference],
+    aligner_configs: Sequence[AlignFilterConfig],
+):
+    """Align many UMI groups with ONE bulk engine call per library+mate.
+
+    Per-group device dispatch is prohibitively latency-bound (a UMI group is
+    a handful of reads); this batches the trimmed reads of all ``groups``
+    into single align_batch calls and replays the per-group slices through
+    `PrecomputedEngine`, so the per-group logic (pairing, forensics, output
+    quirks) is byte-identical to the unbatched path.
+
+    Returns a list over groups of align_umi_to_libraries results.
+    """
+    prepared = [_oriented_reads(s, m) for s, m in groups]
+
+    per_lib_slices = []
+    for i, engine in enumerate(engines):
+        cfg = aligner_configs[i]
+        all_t1, all_t2, splits = [], [], []
+        for (r1, r2), (_, meta) in zip(prepared, groups):
+            t1, t2 = prepare_trimmed(r1, r2, meta, cfg)
+            splits.append(len(t1))
+            all_t1.extend(t1)
+            all_t2.extend(t2)
+        res1 = engine.align_batch(all_t1)
+        res2 = engine.align_batch(all_t2)
+        slices = []
+        o = 0
+        for m in splits:
+            slices.append((res1[o : o + m], res2[o : o + m]))
+            o += m
+        per_lib_slices.append(slices)
+
+    out = []
+    for g, (umi_seqs, umi_metadata) in enumerate(groups):
+        group_engines = [
+            PrecomputedEngine(per_lib_slices[i][g][0], per_lib_slices[i][g][1])
+            for i in range(len(engines))
+        ]
+        out.append(
+            align_umi_to_libraries(
+                umi_seqs, umi_metadata, group_engines, references, aligner_configs
+            )
+        )
+    return out
 
 
 def format_log_row(features: List[str], rec) -> str:
@@ -195,6 +261,7 @@ def process(
     num_cores: int,
     force_bam_paired: bool,
     parity_quirks: bool = True,
+    group_batch: int = 32,
 ) -> None:
     log_queue: "queue.Queue" = queue.Queue()
     work_queue: "queue.Queue" = queue.Queue(maxsize=MAX_UMIS_IN_CHANNEL)
@@ -246,13 +313,26 @@ def process(
             data = work_queue.get()
             if data is None:
                 break
-            umi_seqs, metadata = data
-            results = align_umi_to_libraries(
-                umi_seqs, metadata, engines, references, aligner_configs
+            # drain additional queued groups so the device aligns them in one
+            # bulk call (per-group dispatch is latency-bound)
+            groups = [data]
+            while len(groups) < group_batch:
+                try:
+                    more = work_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if more is None:
+                    work_queue.put(None)  # preserve shutdown signal
+                    break
+                groups.append(more)
+
+            batch_results = align_groups_batched(
+                groups, engines, references, aligner_configs
             )
-            for i, library_scores in enumerate(results):
-                for score in library_scores:
-                    log_queue.put((score, i))
+            for results in batch_results:
+                for i, library_scores in enumerate(results):
+                    for score in library_scores:
+                        log_queue.put((score, i))
 
     log_thread = threading.Thread(target=logger)
     log_thread.start()
