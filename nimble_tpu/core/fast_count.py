@@ -81,6 +81,117 @@ def _combo_ids(mat, lens, engine, which_label):
     return cid, eq_of_cid
 
 
+class FastCounter:
+    """Streaming FASTQ counter: feed chunks, finalize to results.
+
+    Dedupe (score-map key semantics) and combo accumulation are GLOBAL
+    across chunks — feeding a file in chunks produces results identical to
+    one giant batch, with memory bounded by distinct reads + combos (the
+    same asymptotics as the reference's score map).
+    """
+
+    def __init__(self, engine, reference: Reference, config: AlignFilterConfig):
+        self.engine = engine
+        self.reference = reference
+        self.config = config
+        self._seen: set = set()
+        # combo key -> [eq1, eq2, multiplicity]
+        self._combos: Dict[Tuple, list] = {}
+
+    def _eq_key(self, cid_val: int, rescued: Dict[int, List[int]]):
+        """Chunk-stable combo key half + eq list for a combo id."""
+        if cid_val == -1:
+            return None, []
+        if cid_val < -1:
+            eq = list(rescued[int(cid_val)])
+            return ("r", tuple(eq)), eq
+        c_max = self.engine.c_max
+        eq = self.engine.decode_combo(
+            cid_val >> c_max, cid_val & ((1 << c_max) - 1)
+        )
+        return ("c", int(cid_val)), eq
+
+    def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:
+        n = mat.shape[0]
+        if n == 0:
+            return
+        engine, config = self.engine, self.config
+
+        cid1, rescued1 = _combo_ids(mat, lens, engine, "r1")
+        if mate_mat is not None:
+            cid2, rescued2 = _combo_ids(mate_mat, mate_lens, engine, "r2")
+        else:
+            cid2 = np.full(n, -1, dtype=np.int64)
+            rescued2 = {}
+
+        # per-combo eq decode + pair validity (vectorized over combos)
+        pair_mat = np.stack([cid1, cid2], axis=1)
+        combos, inverse = np.unique(pair_mat, axis=0, return_inverse=True)
+        combo_info = []  # (key, eq1, eq2) or None (filtered)
+        for c1, c2 in combos:
+            k1, e1 = self._eq_key(int(c1), rescued1)
+            k2, e2 = self._eq_key(int(c2), rescued2)
+            keep = bool(e1) or bool(e2)  # score-map admission (src/align.rs:604)
+            if keep and config.require_valid_pair and mate_mat is not None:
+                # filter_pair (src/align.rs:732-760): sorted eq equality
+                keep = bool(e1) and bool(e2) and e1 == e2
+            combo_info.append(((k1, k2), e1, e2) if keep else None)
+
+        keep_mask = np.array([combo_info[i] is not None for i in inverse])
+        if not keep_mask.any():
+            return
+
+        # dedupe kept read pairs by sequence bytes (GLOBAL across chunks —
+        # keys are the exact-length read bytes so chunk padding width is
+        # irrelevant)
+        kept = np.flatnonzero(keep_mask)
+        kept_inverse = inverse[kept]
+        for j in range(len(kept)):
+            i = kept[j]
+            if mate_mat is not None:
+                key = (mat[i, : lens[i]].tobytes(),
+                       mate_mat[i, : mate_lens[i]].tobytes())
+            else:
+                key = mat[i, : lens[i]].tobytes()
+            if key in self._seen:
+                continue
+            self._seen.add(key)
+            combo_key, e1, e2 = combo_info[int(kept_inverse[j])]
+            entry = self._combos.get(combo_key)
+            if entry is None:
+                self._combos[combo_key] = [e1, e2, 1]
+            else:
+                entry[2] += 1
+
+    def finalize(self) -> List[Tuple[List[str], Tuple[int, List[str], List[str]]]]:
+        """Memoized orientation pipeline per combo -> sorted results."""
+        results: Dict[Tuple[str, ...], int] = {}
+        for e1, e2, mult in self._combos.values():
+            state = (
+                PairState.BOTH if (e1 and e2)
+                else PairState.FIRST if e1
+                else PairState.SECOND
+            )
+            call = (
+                state,
+                (e1, 0.0) if e1 else None,
+                (e2, 0.0) if e2 else None,
+                [],
+                [],
+            )
+            tmp: Dict[Tuple[str, ...], list] = {}
+            filter_and_coerce_sequence_call_orientations(
+                call, tmp, self.reference, self.config, "", {}
+            )
+            for callset in tmp:
+                results[callset] = results.get(callset, 0) + mult
+
+        ret = [
+            (list(callset), (count, [], [])) for callset, count in results.items()
+        ]
+        return sort_score_vector(ret)
+
+
 def fast_count_calls_matrix(
     mat: np.ndarray,
     lens: np.ndarray,
@@ -92,93 +203,9 @@ def fast_count_calls_matrix(
 ) -> List[Tuple[List[str], Tuple[int, List[str], List[str]]]]:
     """Counts identical to ``sort_score_vector(get_calls(...)[0])`` with
     empty metadata (the FASTQ path)."""
-    n = mat.shape[0]
-    if n == 0:
-        return []
-
-    cid1, rescued1 = _combo_ids(mat, lens, engine, "r1")
-    if mate_mat is not None:
-        cid2, rescued2 = _combo_ids(mate_mat, mate_lens, engine, "r2")
-    else:
-        cid2 = np.full(n, -1, dtype=np.int64)
-        rescued2 = {}
-
-    def eq_of(cid_val: int, rescued: Dict[int, List[int]]) -> List[int]:
-        if cid_val == -1:
-            return []
-        if cid_val < -1:
-            return list(rescued[int(cid_val)])
-        c_max = engine.c_max
-        return engine.decode_combo(cid_val >> c_max, cid_val & ((1 << c_max) - 1))
-
-    # --- per-combo eq decode + pair validity (vectorized over combos) ---
-    pair_mat = np.stack([cid1, cid2], axis=1)
-    combos, inverse = np.unique(pair_mat, axis=0, return_inverse=True)
-    eq_cache: List[Tuple[List[int], List[int]]] = []
-    keep_combo = np.zeros(len(combos), dtype=bool)
-    for ci, (c1, c2) in enumerate(combos):
-        e1 = eq_of(int(c1), rescued1)
-        e2 = eq_of(int(c2), rescued2)
-        eq_cache.append((e1, e2))
-        keep = bool(e1) or bool(e2)  # score-map admission (src/align.rs:604)
-        if keep and config.require_valid_pair and mate_mat is not None:
-            # filter_pair (src/align.rs:732-760): sorted eq equality
-            keep = bool(e1) and bool(e2) and e1 == e2
-        keep_combo[ci] = keep
-
-    keep_mask = keep_combo[inverse]
-    if not keep_mask.any():
-        return []
-
-    # --- dedupe kept read pairs by sequence bytes (score-map keys) ---
-    kept = np.flatnonzero(keep_mask)
-    key_rows1 = np.ascontiguousarray(mat[kept]).view(
-        f"|S{mat.shape[1]}"
-    )[:, 0]
-    if mate_mat is not None:
-        key_rows2 = np.ascontiguousarray(mate_mat[kept]).view(
-            f"|S{mate_mat.shape[1]}"
-        )[:, 0]
-    kept_inverse = inverse[kept]
-    seen: Dict[Tuple, int] = {}
-    combo_mult: Dict[int, int] = {}
-    for j in range(len(kept)):
-        if mate_mat is not None:
-            key = (key_rows1[j], int(lens[kept[j]]),
-                   key_rows2[j], int(mate_lens[kept[j]]))
-        else:
-            key = (key_rows1[j], int(lens[kept[j]]))
-        if key in seen:
-            continue
-        seen[key] = 1
-        ci = int(kept_inverse[j])
-        combo_mult[ci] = combo_mult.get(ci, 0) + 1
-
-    # --- memoized orientation pipeline per combo ---
-    results: Dict[Tuple[str, ...], int] = {}
-    for ci, mult in combo_mult.items():
-        e1, e2 = eq_cache[ci]
-        state = (
-            PairState.BOTH if (e1 and e2)
-            else PairState.FIRST if e1
-            else PairState.SECOND
-        )
-        call = (
-            state,
-            (e1, 0.0) if e1 else None,
-            (e2, 0.0) if e2 else None,
-            [],
-            [],
-        )
-        tmp: Dict[Tuple[str, ...], list] = {}
-        filter_and_coerce_sequence_call_orientations(
-            call, tmp, reference, config, "", {}
-        )
-        for callset in tmp:
-            results[callset] = results.get(callset, 0) + mult
-
-    ret = [(list(callset), (count, [], [])) for callset, count in results.items()]
-    return sort_score_vector(ret)
+    counter = FastCounter(engine, reference, config)
+    counter.add(mat, lens, mate_mat, mate_lens)
+    return counter.finalize()
 
 
 def fast_count_calls(

@@ -64,6 +64,24 @@ def read_fastq_codes(path: str) -> List[np.ndarray]:
     return list(iter_fastq_codes(path))
 
 
+def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
+    """Yield (codes_matrix, lengths) chunks of up to ``chunk_reads`` records.
+
+    Streaming form of :func:`read_fastq_matrix` for inputs too large to hold
+    as one matrix.
+    """
+    from nimble_tpu.core.fast_count import pack_matrix
+
+    batch = []
+    for codes in iter_fastq_codes(path):
+        batch.append(codes)
+        if len(batch) >= chunk_reads:
+            yield pack_matrix(batch)
+            batch = []
+    if batch:
+        yield pack_matrix(batch)
+
+
 def read_fastq_matrix(path: str):
     """Whole FASTQ file as a padded (N, Lmax) int8 code matrix + lengths.
 

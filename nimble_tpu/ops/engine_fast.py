@@ -82,25 +82,64 @@ def _probe_bucketed(
     return has_anchor, anchor, take(bucket_rec), take(lane_rec)
 
 
+def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
+    """The walk recurrence with B on the LAST axis.
+
+    lax.scan steps are sequential; with the (B, C) layout each step touches
+    only C=8 lanes and drowns in per-step overhead.  Transposed to (C, B)
+    every step is a full-width VPU op.  alive/match: (T, C, B); active:
+    (T, B); live0: (C, B).
+    """
+
+    def step(carry, xs):
+        live, score, mm = carry
+        alive_t, match_t, active_t = xs
+        la = live & alive_t
+        lm = live & match_t
+        any_alive = la.any(axis=0)
+        any_match = lm.any(axis=0)
+        act = active_t & any_alive
+        act_match = act & any_match
+        live = jnp.where(act_match[None, :], lm, jnp.where(act[None, :], la, live))
+        score = score + act_match.astype(jnp.int32)
+        mm = mm + (act & ~any_match).astype(jnp.int32)
+        return (live, score, mm), None
+
+    B = live0_cb.shape[1]
+    init = (
+        live0_cb,
+        jnp.zeros(B, dtype=jnp.int32),
+        jnp.zeros(B, dtype=jnp.int32),
+    )
+    (live, score, mm), _ = jax.lax.scan(step, init, (alive_tcb, match_tcb, active_tb))
+    return live, score, mm
+
+
 def _span_walk(
     reads_i32, read_lens, anchor, rows, offs, live0,
     ref_codes_padded, row_starts, row_lengths,
-    *, k: int, ref_pad: int,
+    *, k: int, ref_pad: int, l_steps: int,
 ):
-    """Forward+left walk from contiguous spans; see module docstring."""
+    """Forward+left walk from contiguous spans; see module docstring.
+
+    ``l_steps`` bounds the left walk: the anchor position is < p_limit, so
+    at most p_limit-1 left steps can ever be active (phase A probes only the
+    first few positions — this collapses the left scan to a handful of
+    steps for the overwhelmingly common case).
+    """
     B, Lmax = reads_i32.shape
     T = Lmax - k
-    W = 2 * T + k
+    W = l_steps + k + T
 
     # read span around the anchor: padded coords [anchor, anchor + W)
-    reads_padded = jnp.pad(reads_i32, ((0, 0), (T, T)))
+    reads_padded = jnp.pad(reads_i32, ((0, 0), (l_steps, T)))
     read_span = jax.vmap(
         lambda r, s: jax.lax.dynamic_slice(r, (s,), (W,))
     )(reads_padded, anchor)                                   # (B, W)
 
-    # candidate spans: padded coords [ref_pad + r_start + off - T, ... + W)
+    # candidate spans: padded coords [ref_pad + r_start + off - l_steps, +W)
     r_start = row_starts[rows]
-    starts = (r_start + offs - T + ref_pad).reshape(-1)
+    starts = (r_start + offs - l_steps + ref_pad).reshape(-1)
     ref_span = jax.vmap(
         lambda s: jax.lax.dynamic_slice(ref_codes_padded, (s,), (W,))
     )(starts).reshape(rows.shape[0], rows.shape[1], W).astype(jnp.int32)
@@ -110,22 +149,37 @@ def _span_walk(
     t_idx = jnp.arange(T, dtype=jnp.int32)
     r_len = row_lengths[rows]
 
-    # forward: t = 0..T-1, span x = T+k+t; row pos off+k+t; read pos anchor+k+t
-    f_match_raw = match_full[:, :, T + k :]
+    # forward: t = 0..T-1, span x = l_steps+k+t; row pos off+k+t
+    f_match_raw = match_full[:, :, l_steps + k :]
     f_alive = (offs[:, :, None] + k + t_idx[None, None, :]) < r_len[:, :, None]
     f_match = f_match_raw & f_alive
     f_active = (anchor[:, None] + k + t_idx[None, :]) < read_lens[:, None]
 
-    # left: j = 1..T, span x = T-j  (reverse of the first T span columns)
-    l_match_raw = match_full[:, :, :T][:, :, ::-1]
-    j_idx = t_idx + 1
-    l_alive = (offs[:, :, None] - j_idx[None, None, :]) >= 0
-    l_match = l_match_raw & l_alive
-    l_active = (anchor[:, None] - j_idx[None, :]) >= 0
+    live_cb = jnp.moveaxis(live0, 1, 0)
+    live_cb, f_score, f_mm = _walk_scan_t(
+        live_cb,
+        jnp.transpose(f_alive, (2, 1, 0)),
+        jnp.transpose(f_match, (2, 1, 0)),
+        jnp.transpose(f_active, (1, 0)),
+    )
 
-    live, f_score, f_mm = _walk_scan(live0, f_alive, f_match, f_active)
-    live, l_score, l_mm = _walk_scan(live, l_alive, l_match, l_active)
-    return live, f_score + l_score, f_mm + l_mm
+    if l_steps > 0:
+        # left: j = 1..l_steps, span x = l_steps-j (reverse of first columns)
+        j_idx = jnp.arange(l_steps, dtype=jnp.int32) + 1
+        l_match_raw = match_full[:, :, :l_steps][:, :, ::-1]
+        l_alive = (offs[:, :, None] - j_idx[None, None, :]) >= 0
+        l_match = l_match_raw & l_alive
+        l_active = (anchor[:, None] - j_idx[None, :]) >= 0
+        live_cb, l_score, l_mm = _walk_scan_t(
+            live_cb,
+            jnp.transpose(l_alive, (2, 1, 0)),
+            jnp.transpose(l_match, (2, 1, 0)),
+            jnp.transpose(l_active, (1, 0)),
+        )
+    else:
+        l_score = l_mm = jnp.zeros(B, dtype=jnp.int32)
+
+    return jnp.moveaxis(live_cb, 0, 1), f_score + l_score, f_mm + l_mm
 
 
 @partial(
@@ -168,7 +222,9 @@ def probe_walk_filter(
 
     live, walk_score, walk_mm = _span_walk(
         reads_i32, read_lens, anchor, rows, offs, live0,
-        ref_codes_padded, row_starts, row_lengths, k=k, ref_pad=ref_pad,
+        ref_codes_padded, row_starts, row_lengths,
+        k=k, ref_pad=ref_pad,
+        l_steps=min(p_limit - 1, Lmax - k),
     )
     score = jnp.where(has_anchor, k + walk_score, 0)
     mm = jnp.where(has_anchor, walk_mm, 0)

@@ -11,10 +11,17 @@ from typing import List, Optional, Sequence
 
 from nimble_tpu.config import AlignFilterConfig
 from nimble_tpu.core.calls import AlignEngine, call
-from nimble_tpu.core.fast_count import fast_count_calls_matrix
-from nimble_tpu.io.fastq import read_fastq_codes, read_fastq_matrix
+from nimble_tpu.core.fast_count import FastCounter
+from nimble_tpu.io.fastq import (
+    iter_fastq_matrix_chunks,
+    read_fastq_codes,
+    read_fastq_matrix,
+)
 from nimble_tpu.io.writers import write_to_tsv
 from nimble_tpu.library import Reference
+
+# streaming chunk size for the fast path (reads per device batch)
+DEFAULT_CHUNK_READS = 1 << 17
 
 
 def process(
@@ -23,20 +30,40 @@ def process(
     references: Sequence[Reference],
     aligner_configs: Sequence[AlignFilterConfig],
     output_paths: Sequence[str],
+    chunk_reads: int = DEFAULT_CHUNK_READS,
 ) -> None:
     fast = all(hasattr(e, "align_raw_compact_from_matrix") for e in engines)
 
     if fast:
-        mat, lens = read_fastq_matrix(input_files[0])
-        mate_mat, mate_lens = (
-            read_fastq_matrix(input_files[1]) if len(input_files) > 1 else (None, None)
+        # streaming fast path: chunks flow through all libraries' counters;
+        # dedupe/count state is global so chunking is invisible in results
+        counters = [
+            FastCounter(engines[i], references[i], aligner_configs[i])
+            for i in range(len(engines))
+        ]
+        r1_chunks = iter_fastq_matrix_chunks(input_files[0], chunk_reads)
+        r2_chunks = (
+            iter_fastq_matrix_chunks(input_files[1], chunk_reads)
+            if len(input_files) > 1
+            else None
         )
-        for i, engine in enumerate(engines):
-            # batched fast path: counts only, identical to the general path
-            results = fast_count_calls_matrix(
-                mat, lens, mate_mat, mate_lens, engine,
-                references[i], aligner_configs[i],
-            )
+        for mat, lens in r1_chunks:
+            if r2_chunks is not None:
+                try:
+                    mate_mat, mate_lens = next(r2_chunks)
+                except StopIteration:
+                    mate_mat, mate_lens = None, None
+                if mate_mat is None or mate_mat.shape[0] < mat.shape[0]:
+                    raise ValueError(
+                        "Error -- read and reverse read files do not have "
+                        "matching lengths: "
+                    )
+            else:
+                mate_mat, mate_lens = None, None
+            for counter in counters:
+                counter.add(mat, lens, mate_mat, mate_lens)
+        for i, counter in enumerate(counters):
+            results = counter.finalize()
             write_to_tsv(
                 [(features, entry[0]) for features, entry in results],
                 output_paths[i],

@@ -1,0 +1,53 @@
+"""Chunked/streaming fast counting must equal one-shot counting."""
+
+import numpy as np
+
+from nimble_tpu.config import AlignFilterConfig
+from nimble_tpu.core.fast_count import FastCounter, fast_count_calls_matrix, pack_matrix
+from nimble_tpu.index.build import build_index
+from nimble_tpu.library import Reference
+from nimble_tpu.models.aligner import DeviceAlignEngine
+from nimble_tpu.utils.dna import encode_bases, revcomp
+
+
+def _setup():
+    rng = np.random.default_rng(23)
+    feats = ["".join(rng.choice(list("ACGT"), size=220)) for _ in range(6)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    names = []
+    for i in range(6):
+        names += [f"g{i}", f"g{i}§rev"]
+    ref = Reference(
+        group_on=0, headers=["sequence_name", "sequence"],
+        columns=[names, doubled], sequence_name_idx=0, sequence_idx=1,
+    )
+    cfg = AlignFilterConfig(
+        score_percent=0.2, score_threshold=40, num_mismatches=1,
+        max_hits_to_report=8,
+    )
+    index = build_index(doubled)
+    engine = DeviceAlignEngine(index, cfg)
+
+    reads = []
+    for i in range(300):
+        f = int(rng.integers(0, len(doubled)))
+        s = int(rng.integers(0, 150))
+        frag = doubled[f][s : s + 60]
+        reads.append(encode_bases(frag))
+    # force duplicates across chunk boundaries
+    reads = reads + reads[:50]
+    return engine, ref, cfg, reads
+
+
+def test_chunked_equals_oneshot():
+    engine, ref, cfg, reads = _setup()
+    mat, lens = pack_matrix(reads)
+    oneshot = fast_count_calls_matrix(mat, lens, None, None, engine, ref, cfg)
+
+    counter = FastCounter(engine, ref, cfg)
+    for start in range(0, len(reads), 64):
+        cm, cl = pack_matrix(reads[start : start + 64])
+        counter.add(cm, cl)
+    chunked = counter.finalize()
+    assert chunked == oneshot
+    assert len(chunked) > 0
