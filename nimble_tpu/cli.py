@@ -95,7 +95,7 @@ def main(argv: List[str] | None = None) -> int:
                 f"target length: {length}, strictness: {strictness}"
             )
         seqs, _names = get_reference_sequence_data(reference)
-        index = build_index(seqs)
+        index = build_index(seqs, num_threads=args.num_cores)
         if args.engine == "device":
             from nimble_tpu.models.aligner import DeviceAlignEngine
 

@@ -75,21 +75,40 @@ class KmerIndex:
         return self.kmer_map.get(int(key))
 
 
-def build_index(sequences: List[str], k: int = KMER_SIZE) -> KmerIndex:
+def _row_keys(codes: np.ndarray, k: int) -> np.ndarray:
+    """Rolling keys for one row; native C++ extractor when available."""
+    from nimble_tpu import native
+
+    keys = native.extract_kmer_keys(codes, k)
+    if keys is None:
+        keys = pack_kmer_keys(codes, k)
+    return keys
+
+
+def build_index(
+    sequences: List[str], k: int = KMER_SIZE, num_threads: int = 1
+) -> KmerIndex:
     """Build the k-mer postings index from (doubled) library row sequences.
 
-    Mirrors the role of `debruijn_mapping::build_index` (`src/bin/main.rs:121`):
-    the input must already contain both orientations of every feature (rows
-    interleaved fwd/rev by the library loader).
+    Mirrors the role of `debruijn_mapping::build_index` (`src/bin/main.rs:121`),
+    including its ``num_threads`` build parallelism: rows are key-extracted
+    concurrently (NumPy/native code releases the GIL).
     """
     row_codes = [encode_bases(s) for s in sequences]
     row_lengths = np.array([len(c) for c in row_codes], dtype=np.int32)
 
+    if num_threads > 1 and len(row_codes) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=num_threads) as pool:
+            all_keys = list(pool.map(lambda c: _row_keys(c, k), row_codes))
+    else:
+        all_keys = [_row_keys(c, k) for c in row_codes]
+
     keys_per_row = []
     rows_per_row = []
     offs_per_row = []
-    for row_id, codes in enumerate(row_codes):
-        keys = pack_kmer_keys(codes, k)
+    for row_id, keys in enumerate(all_keys):
         if len(keys) == 0:
             continue
         keys_per_row.append(keys)

@@ -102,7 +102,7 @@ class DeviceAlignEngine:
             "bcount": jnp.asarray(self.bidx.bcount),
             "postings_row": jnp.asarray(self.bidx.postings_row),
             "postings_off": jnp.asarray(self.bidx.postings_off),
-            "ref_codes_padded": jnp.asarray(self.bidx.ref_codes_padded),
+            "ref_codes_packed": jnp.asarray(self.bidx.ref_codes_packed),
             "row_starts": jnp.asarray(self.bidx.row_starts),
             "row_lengths": jnp.asarray(self.bidx.row_lengths),
         }
@@ -340,7 +340,7 @@ class DeviceAlignEngine:
             self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
             self._dev_fast["bstart"], self._dev_fast["bcount"],
             self._dev_fast["postings_row"], self._dev_fast["postings_off"],
-            self._dev_fast["ref_codes_padded"], self._dev_fast["row_starts"],
+            self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
             self._dev_fast["row_lengths"],
             jnp.asarray(self._s_min_table(bucket)),
             jnp.int32(cfg.score_threshold),

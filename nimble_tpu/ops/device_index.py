@@ -90,6 +90,7 @@ class BucketedDeviceIndex:
     postings_row: np.ndarray
     postings_off: np.ndarray
     ref_codes_padded: np.ndarray  # (ref_pad + total_len + ref_pad) int8
+    ref_codes_packed: np.ndarray  # same data 2-bit packed, 16 bases/uint32
     ref_pad: int
     row_starts: np.ndarray
     row_lengths: np.ndarray
@@ -149,9 +150,18 @@ def build_bucketed_index(
     row_lengths = index.row_lengths.astype(np.int32)
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)
     total_len = int(row_lengths.sum())
-    ref_padded = np.zeros(ref_pad + max(total_len, 1) + ref_pad, dtype=np.int8)
+    padded_len = ref_pad + max(total_len, 1) + ref_pad
+    padded_len = (padded_len + 15) // 16 * 16  # whole uint32 words
+    ref_padded = np.zeros(padded_len, dtype=np.int8)
     for r, codes in enumerate(index.row_codes):
         ref_padded[ref_pad + row_starts[r] : ref_pad + row_starts[r] + len(codes)] = codes
+
+    # 2-bit packing, 16 bases per uint32: base j lives in word j>>4 at bit
+    # 2*(j&15) — TPU gathers cost per element, so spans are fetched as a
+    # few words and unpacked on the VPU.
+    w = ref_padded.astype(np.uint32).reshape(-1, 16)
+    shifts = (np.uint32(2) * np.arange(16, dtype=np.uint32))[None, :]
+    ref_packed = (w << shifts).sum(axis=1, dtype=np.uint32)
 
     return BucketedDeviceIndex(
         k=index.k,
@@ -165,6 +175,7 @@ def build_bucketed_index(
         postings_row=postings_row,
         postings_off=postings_off,
         ref_codes_padded=ref_padded,
+        ref_codes_packed=ref_packed,
         ref_pad=ref_pad,
         row_starts=row_starts,
         row_lengths=row_lengths,

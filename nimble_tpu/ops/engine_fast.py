@@ -117,7 +117,7 @@ def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
 
 def _span_walk(
     reads_i32, read_lens, anchor, rows, offs, live0,
-    ref_codes_padded, row_starts, row_lengths,
+    ref_codes_packed, row_starts, row_lengths,
     *, k: int, ref_pad: int, l_steps: int,
 ):
     """Forward+left walk from contiguous spans; see module docstring.
@@ -137,12 +137,28 @@ def _span_walk(
         lambda r, s: jax.lax.dynamic_slice(r, (s,), (W,))
     )(reads_padded, anchor)                                   # (B, W)
 
-    # candidate spans: padded coords [ref_pad + r_start + off - l_steps, +W)
+    # candidate spans: padded coords [ref_pad + r_start + off - l_steps, +W).
+    # The reference lives 2-bit packed (16 bases/uint32) so each span is a
+    # handful of gathered words + a VPU unpack — TPU gathers cost per
+    # element, and the unpacked span would be W elements instead of ~W/16.
     r_start = row_starts[rows]
     starts = (r_start + offs - l_steps + ref_pad).reshape(-1)
-    ref_span = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(ref_codes_padded, (s,), (W,))
-    )(starts).reshape(rows.shape[0], rows.shape[1], W).astype(jnp.int32)
+    NW = (W + 15) // 16 + 1
+    w0 = starts >> 4
+    phase = (starts & 15).astype(jnp.int32)
+    words = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ref_codes_packed, (s,), (NW,))
+    )(w0)                                                     # (B*C, NW) uint32
+    x_idx = jnp.arange(W, dtype=jnp.int32)
+    j = phase[:, None] + x_idx[None, :]                       # (B*C, W)
+    widx = j >> 4
+    shift = ((j & 15) * 2).astype(jnp.uint32)
+    acc = jnp.zeros(j.shape, dtype=jnp.uint32)
+    for w in range(NW):
+        acc = jnp.where(widx == w, words[:, w][:, None], acc)
+    ref_span = ((acc >> shift) & jnp.uint32(3)).astype(jnp.int32).reshape(
+        rows.shape[0], rows.shape[1], W
+    )
 
     match_full = ref_span == read_span[:, None, :]            # (B, C, W)
 
@@ -190,7 +206,7 @@ def probe_walk_filter(
     reads, read_lens,
     bkey_lo, bkey_hi, bstart, bcount,
     postings_row, postings_off,
-    ref_codes_padded, row_starts, row_lengths,
+    ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
     discard_multiple, discard_nonzero,
     *,
@@ -222,7 +238,7 @@ def probe_walk_filter(
 
     live, walk_score, walk_mm = _span_walk(
         reads_i32, read_lens, anchor, rows, offs, live0,
-        ref_codes_padded, row_starts, row_lengths,
+        ref_codes_packed, row_starts, row_lengths,
         k=k, ref_pad=ref_pad,
         l_steps=min(p_limit - 1, Lmax - k),
     )
