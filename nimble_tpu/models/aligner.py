@@ -44,7 +44,7 @@ from nimble_tpu.ops.device_index import (
     build_bucketed_index,
     build_device_index,
 )
-from nimble_tpu.ops.engine_fast import probe_walk_filter
+from nimble_tpu.ops.engine_fast import probe_walk_filter, probe_walk_full
 from nimble_tpu.ops.engine_xla import probe_and_walk, probe_and_walk_compact
 
 DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
@@ -405,9 +405,43 @@ class DeviceAlignEngine:
             lens[j] = len(s)
         return reads, lens
 
+    def _run_full_kernel(self, reads, blens, bucket, p_limit):
+        out = probe_walk_full(
+            jnp.asarray(reads), jnp.asarray(blens),
+            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+            self._dev_fast["bstart"], self._dev_fast["bcount"],
+            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
+            self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
+            self._dev_fast["row_lengths"],
+            k=self.bidx.k,
+            max_probe=self.bidx.max_probe,
+            c_max=self.c_max,
+            bucket_mask=self.bidx.n_buckets - 1,
+            p_limit=min(p_limit, bucket - self.bidx.k + 1),
+            ref_pad=self.bidx.ref_pad,
+        )
+        return {k: np.array(v) for k, v in jax.device_get(out).items()}
+
     def _run_bucket(self, seqs, idxs, bucket, results) -> None:
         reads, lens = self._pad_batch(seqs, idxs, bucket)
-        out = self._run_kernel(reads, lens)
+        m = len(idxs)
+
+        # two-phase anchor search, like the compact path
+        out = self._run_full_kernel(reads, lens, bucket, self.phase_a_positions)
+        unresolved = ~out["has_anchor"][:m] & (
+            lens[:m].astype(np.int64) - self.bidx.k + 1 > self.phase_a_positions
+        )
+        if unresolved.any():
+            sub = np.flatnonzero(unresolved)
+            ms = len(sub)
+            Bs = max(self.min_batch, 1 << (ms - 1).bit_length())
+            reads_s = np.zeros((Bs, bucket), dtype=np.int8)
+            reads_s[:ms] = reads[sub]
+            blens_s = np.zeros(Bs, dtype=np.int32)
+            blens_s[:ms] = lens[sub]
+            out_b = self._run_full_kernel(reads_s, blens_s, bucket, bucket)
+            for key in out:
+                out[key][sub] = out_b[key][:ms]
 
         # Host-exact gates + filters.
         ent = batch_entropy(reads, lens)
@@ -424,7 +458,7 @@ class DeviceAlignEngine:
             if not out["has_anchor"][j]:
                 results[i] = (None, (FilterReason.NO_MATCH, 0.0, 0))
                 continue
-            eq = sorted(set(out["rows"][j, out["live"][j]].tolist()))
+            eq = self.decode_combo(int(out["astart"][j]), int(out["mask"][j]))
             score = int(out["score"][j])
             mismatches = int(out["mismatches"][j])
             normalized = score / len(s)  # f64, parity with `src/align.rs:968`

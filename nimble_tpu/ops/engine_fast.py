@@ -132,10 +132,13 @@ def _span_walk(
     W = l_steps + k + T
 
     # read span around the anchor: padded coords [anchor, anchor + W)
+    # (plain integer-index gathers — vmap'd dynamic_slice is ~15x slower on
+    # TPU for hundreds of thousands of small slices)
     reads_padded = jnp.pad(reads_i32, ((0, 0), (l_steps, T)))
-    read_span = jax.vmap(
-        lambda r, s: jax.lax.dynamic_slice(r, (s,), (W,))
-    )(reads_padded, anchor)                                   # (B, W)
+    x_w = jnp.arange(W, dtype=jnp.int32)
+    read_span = jnp.take_along_axis(
+        reads_padded, anchor[:, None] + x_w[None, :], axis=1
+    )                                                          # (B, W)
 
     # candidate spans: padded coords [ref_pad + r_start + off - l_steps, +W).
     # The reference lives 2-bit packed (16 bases/uint32) so each span is a
@@ -146,9 +149,11 @@ def _span_walk(
     NW = (W + 15) // 16 + 1
     w0 = starts >> 4
     phase = (starts & 15).astype(jnp.int32)
-    words = jax.vmap(
-        lambda s: jax.lax.dynamic_slice(ref_codes_packed, (s,), (NW,))
-    )(w0)                                                     # (B*C, NW) uint32
+    word_idx = jnp.clip(
+        w0[:, None] + jnp.arange(NW, dtype=jnp.int32)[None, :],
+        0, ref_codes_packed.shape[0] - 1,
+    )
+    words = ref_codes_packed[word_idx]                        # (B*C, NW) uint32
     x_idx = jnp.arange(W, dtype=jnp.int32)
     j = phase[:, None] + x_idx[None, :]                       # (B*C, W)
     widx = j >> 4
@@ -286,4 +291,62 @@ def probe_walk_filter(
         "passed": passed & ~needs_host,
         "needs_host": needs_host,
         "has_anchor": has_anchor,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad"),
+)
+def probe_walk_full(
+    reads, read_lens,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+):
+    """Fast kernel, full per-read outputs for the forensic path.
+
+    Returns astart/mask (eq identity), raw score, mismatches, has_anchor and
+    overflow — the host applies the exact f64 gates and builds the per-read
+    (AlignmentScore, Filter) tuples (`DeviceAlignEngine.align_batch`).
+    """
+    B, Lmax = reads.shape
+    reads_i32 = reads.astype(jnp.int32)
+
+    has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
+        reads_i32, read_lens, bkey_lo, bkey_hi,
+        k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+    )
+    astart = bstart[bucket_sel, lane_sel]
+    acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
+    overflow = acnt > c_max
+
+    c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+    live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
+    pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
+    rows = postings_row[pidx]
+    offs = postings_off[pidx].astype(jnp.int32)
+
+    live, walk_score, walk_mm = _span_walk(
+        reads_i32, read_lens, anchor, rows, offs, live0,
+        ref_codes_packed, row_starts, row_lengths,
+        k=k, ref_pad=ref_pad, l_steps=min(p_limit - 1, Lmax - k),
+    )
+    lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
+    mask = jnp.where(live, lane, 0).sum(axis=1)
+
+    return {
+        "astart": astart,
+        "mask": mask,
+        "score": jnp.where(has_anchor, k + walk_score, 0),
+        "mismatches": jnp.where(has_anchor, walk_mm, 0),
+        "has_anchor": has_anchor,
+        "overflow": overflow,
     }
