@@ -98,18 +98,42 @@ class FastCounter:
         # combo key -> [eq1, eq2, multiplicity]
         self._combos: Dict[Tuple, list] = {}
 
-    def _eq_key(self, cid_val: int, rescued: Dict[int, List[int]]):
-        """Chunk-stable combo key half + eq list for a combo id."""
-        if cid_val == -1:
-            return None, []
-        if cid_val < -1:
-            eq = list(rescued[int(cid_val)])
-            return ("r", tuple(eq)), eq
+    _EQ_BIG = np.int64(2**62)
+
+    def _decode_many(self, cids: np.ndarray) -> np.ndarray:
+        """Vectorized decode of non-negative combo ids -> sorted deduped
+        eq rows, (M, c_max) padded with _EQ_BIG.  Negative ids (no pass /
+        rescued) come out all-padding; rescued rows are patched by callers.
+        """
         c_max = self.engine.c_max
-        eq = self.engine.decode_combo(
-            cid_val >> c_max, cid_val & ((1 << c_max) - 1)
-        )
-        return ("c", int(cid_val)), eq
+        if not hasattr(self.engine, "bidx"):
+            # engines with interned combo ids (e.g. MeshAlignEngine):
+            # distinct cids == distinct eq contents, decode each via the
+            # engine (cheap — they are few)
+            rows = np.full((len(cids), c_max), self._EQ_BIG, dtype=np.int64)
+            for idx, cid in enumerate(cids):
+                if cid >= 0:
+                    eq = self.engine.decode_combo(
+                        int(cid) >> c_max, int(cid) & ((1 << c_max) - 1)
+                    )
+                    rows[idx, : len(eq)] = eq
+            return rows
+        prow = self.engine.bidx.postings_row
+        valid = cids >= 0
+        astart = np.where(valid, cids >> c_max, 0).astype(np.int64)
+        mask = np.where(valid, cids & ((1 << c_max) - 1), 0).astype(np.int64)
+        lanes = np.arange(c_max, dtype=np.int64)
+        rows = prow[
+            np.clip(astart[:, None] + lanes[None, :], 0, len(prow) - 1)
+        ].astype(np.int64)
+        bit = ((mask[:, None] >> lanes[None, :]) & 1).astype(bool)
+        rows = np.where(bit & valid[:, None], rows, self._EQ_BIG)
+        rows.sort(axis=1)
+        dup = np.zeros_like(rows, dtype=bool)
+        dup[:, 1:] = rows[:, 1:] == rows[:, :-1]
+        rows = np.where(dup, self._EQ_BIG, rows)
+        rows.sort(axis=1)
+        return rows
 
     def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:
         n = mat.shape[0]
@@ -124,26 +148,55 @@ class FastCounter:
             cid2 = np.full(n, -1, dtype=np.int64)
             rescued2 = {}
 
-        # per-combo eq decode + pair validity (vectorized over combos)
+        # distinct (cid1, cid2) combos; decode each ONCE, vectorized
         pair_mat = np.stack([cid1, cid2], axis=1)
         combos, inverse = np.unique(pair_mat, axis=0, return_inverse=True)
-        combo_info = []  # (key, eq1, eq2) or None (filtered)
-        for c1, c2 in combos:
-            k1, e1 = self._eq_key(int(c1), rescued1)
-            k2, e2 = self._eq_key(int(c2), rescued2)
-            keep = bool(e1) or bool(e2)  # score-map admission (src/align.rs:604)
-            if keep and config.require_valid_pair and mate_mat is not None:
-                # filter_pair (src/align.rs:732-760): sorted eq equality
-                keep = bool(e1) and bool(e2) and e1 == e2
-            combo_info.append(((k1, k2), e1, e2) if keep else None)
+        eq_rows1 = self._decode_many(combos[:, 0])
+        eq_rows2 = self._decode_many(combos[:, 1])
+        has_rescue = bool(rescued1) or bool(rescued2)
+        rescue_eqs: Dict[int, Tuple[List[int], List[int]]] = {}
+        if has_rescue:
+            for ci, (c1, c2) in enumerate(combos):
+                if c1 < -1 or c2 < -1:
+                    e1 = rescued1[int(c1)] if c1 < -1 else [
+                        int(x) for x in eq_rows1[ci] if x != self._EQ_BIG
+                    ]
+                    e2 = rescued2[int(c2)] if c2 < -1 else [
+                        int(x) for x in eq_rows2[ci] if x != self._EQ_BIG
+                    ]
+                    rescue_eqs[ci] = (e1, e2)
 
-        keep_mask = np.array([combo_info[i] is not None for i in inverse])
+        # score-map admission + pair validity, vectorized over combos
+        nonempty1 = eq_rows1[:, 0] != self._EQ_BIG
+        nonempty2 = eq_rows2[:, 0] != self._EQ_BIG
+        keep_combo = nonempty1 | nonempty2
+        if config.require_valid_pair and mate_mat is not None:
+            keep_combo &= nonempty1 & nonempty2 & (eq_rows1 == eq_rows2).all(axis=1)
+        for ci, (e1, e2) in rescue_eqs.items():
+            keep = bool(e1) or bool(e2)
+            if keep and config.require_valid_pair and mate_mat is not None:
+                keep = bool(e1) and bool(e2) and sorted(e1) == sorted(e2)
+            keep_combo[ci] = keep
+
+        # group combos by eq CONTENT (different anchors, same eq class ->
+        # one pipeline run); content key = the padded row bytes
+        content_mat = np.concatenate([eq_rows1, eq_rows2], axis=1)
+        content_keys: List = [None] * len(combos)
+        for ci in np.flatnonzero(keep_combo):
+            if ci in rescue_eqs:
+                e1, e2 = rescue_eqs[ci]
+                content_keys[ci] = (tuple(e1), tuple(e2))
+            else:
+                content_keys[ci] = content_mat[ci].tobytes()
+
+        keep_mask = keep_combo[inverse]
         if not keep_mask.any():
             return
 
         # dedupe kept read pairs by sequence bytes (GLOBAL across chunks —
         # keys are the exact-length read bytes so chunk padding width is
         # irrelevant)
+        c_max = engine.c_max
         kept = np.flatnonzero(keep_mask)
         kept_inverse = inverse[kept]
         for j in range(len(kept)):
@@ -156,9 +209,15 @@ class FastCounter:
             if key in self._seen:
                 continue
             self._seen.add(key)
-            combo_key, e1, e2 = combo_info[int(kept_inverse[j])]
+            ci = int(kept_inverse[j])
+            combo_key = content_keys[ci]
             entry = self._combos.get(combo_key)
             if entry is None:
+                if ci in rescue_eqs:
+                    e1, e2 = rescue_eqs[ci]
+                else:
+                    e1 = [int(x) for x in eq_rows1[ci] if x != self._EQ_BIG]
+                    e2 = [int(x) for x in eq_rows2[ci] if x != self._EQ_BIG]
                 self._combos[combo_key] = [e1, e2, 1]
             else:
                 entry[2] += 1
