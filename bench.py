@@ -80,6 +80,7 @@ def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--reads", type=int, default=1 << 16)
+    p.add_argument("--chunk", type=int, default=1 << 14)
     p.add_argument("--timed-rounds", type=int, default=4)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -93,7 +94,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
 
-    from nimble_tpu.core.fast_count import fast_count_calls_matrix
+    from nimble_tpu.core.fast_count import FastCounter, fast_count_calls_matrix
     from nimble_tpu.models.aligner import DeviceAlignEngine
 
     def log(*a):
@@ -112,12 +113,25 @@ def main(argv=None) -> int:
     log(f"warmup: {time.time()-t0:.1f}s, callsets={len(warm)}")
     fast_count_calls_matrix(mat, lens, None, None, engine, reference, cfg)
 
+    n_chunks = max(1, args.reads // args.chunk)
+    chunk_bounds = [
+        (i * args.reads // n_chunks, (i + 1) * args.reads // n_chunks)
+        for i in range(n_chunks)
+    ]
+
     times = []
     for r in range(args.timed_rounds):
         t0 = time.time()
-        results = fast_count_calls_matrix(
-            mat, lens, None, None, engine, reference, cfg
-        )
+        # the pipeline's double-buffered chunk feed
+        counter = FastCounter(engine, reference, cfg)
+        pending = None
+        for lo, hi in chunk_bounds:
+            handle = counter.dispatch(mat[lo:hi], lens[lo:hi])
+            if pending is not None:
+                counter.process(pending)
+            pending = handle
+        counter.process(pending)
+        results = counter.finalize()
         dt = time.time() - t0
         times.append(dt)
         log(f"round {r}: {dt:.3f}s -> {args.reads/dt:,.0f} reads/s")

@@ -50,7 +50,7 @@ def pack_matrix(reads: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
-def _combo_ids(mat, lens, engine, which_label):
+def _combo_ids(mat, lens, engine, which_label, raw=None):
     """Run the compact device path + host rescue for one mate side.
 
     Returns (cid (N,) int64, eq_of_cid dict).  cid semantics:
@@ -59,7 +59,8 @@ def _combo_ids(mat, lens, engine, which_label):
       <= -2         — rescued read with an out-of-band eq class
     ``eq_of_cid`` maps every non-(-1) cid to its eq-class list.
     """
-    raw = engine.align_raw_compact_from_matrix(mat, lens)
+    if raw is None:
+        raw = engine.align_raw_compact_from_matrix(mat, lens)
     c_max = engine.c_max
     cid = np.where(
         raw["passed"],
@@ -135,15 +136,36 @@ class FastCounter:
         rows.sort(axis=1)
         return rows
 
+    def dispatch(self, mat, lens, mate_mat=None, mate_lens=None):
+        """Launch this chunk's device work (async); returns a handle for
+        :meth:`process`.  Lets callers overlap device compute of chunk N+1
+        with host processing of chunk N (double-buffered feed)."""
+        st1 = st2 = None
+        if hasattr(self.engine, "compact_dispatch") and mat.shape[0]:
+            st1 = self.engine.compact_dispatch(mat, lens)
+            if mate_mat is not None:
+                st2 = self.engine.compact_dispatch(mate_mat, mate_lens)
+        return (mat, lens, mate_mat, mate_lens, st1, st2)
+
+    def process(self, handle) -> None:
+        """Collect + count one dispatched chunk."""
+        mat, lens, mate_mat, mate_lens, st1, st2 = handle
+        raw1 = self.engine.compact_collect(st1) if st1 is not None else None
+        raw2 = self.engine.compact_collect(st2) if st2 is not None else None
+        self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
+
     def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:
+        self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
+
+    def _add_with_raw(self, mat, lens, mate_mat, mate_lens, raw1, raw2) -> None:
         n = mat.shape[0]
         if n == 0:
             return
         engine, config = self.engine, self.config
 
-        cid1, rescued1 = _combo_ids(mat, lens, engine, "r1")
+        cid1, rescued1 = _combo_ids(mat, lens, engine, "r1", raw=raw1)
         if mate_mat is not None:
-            cid2, rescued2 = _combo_ids(mate_mat, mate_lens, engine, "r2")
+            cid2, rescued2 = _combo_ids(mate_mat, mate_lens, engine, "r2", raw=raw2)
         else:
             cid2 = np.full(n, -1, dtype=np.int64)
             rescued2 = {}

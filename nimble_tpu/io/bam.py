@@ -210,6 +210,10 @@ def _decode_record(data: bytes) -> BamRecord:
     )
 
 
+class BamRecordError(ValueError):
+    """A single record failed to decode (stream remains positioned)."""
+
+
 class BamReader:
     """Streaming BAM reader (BGZF via gzip's concatenated-member support)."""
 
@@ -237,7 +241,14 @@ class BamReader:
         if len(size_bytes) < 4:
             raise StopIteration
         block_size = struct.unpack("<i", size_bytes)[0]
-        return _decode_record(_read_exact(self._f, block_size))
+        if block_size <= 0:
+            raise BamRecordError(f"invalid record block size {block_size}")
+        body = _read_exact(self._f, block_size)
+        try:
+            return _decode_record(body)
+        except (struct.error, IndexError, UnicodeDecodeError) as e:
+            # stream stays positioned at the next record
+            raise BamRecordError(str(e)) from e
 
     def close(self) -> None:
         self._f.close()

@@ -24,7 +24,7 @@ from __future__ import annotations
 
 from typing import List, Optional
 
-from nimble_tpu.io.bam import BamReader, BamRecord
+from nimble_tpu.io.bam import BamReader, BamRecord, BamRecordError
 
 UMI_TAG_WHITELIST = ("AAAAAAAAAA",)  # `src/parse/sorted_bam_reader.rs:4`
 
@@ -62,7 +62,15 @@ class SortedBamReader:
 
         if self._exhausted:
             return
-        for record in self._records:
+        while True:
+            try:
+                record = next(self._records)
+            except StopIteration:
+                break
+            except BamRecordError:
+                # undecodable records are skipped, mirroring the reference's
+                # `Err(_) => continue` (`src/parse/sorted_bam_reader.rs:38-43`)
+                continue
             if not record.is_paired() and self.force_bam_paired:
                 continue
             if record.aux_string("CB") is None:

@@ -44,7 +44,11 @@ from nimble_tpu.ops.device_index import (
     build_bucketed_index,
     build_device_index,
 )
-from nimble_tpu.ops.engine_fast import probe_walk_filter, probe_walk_full
+from nimble_tpu.ops.engine_fast import (
+    probe_walk_filter,
+    probe_walk_full,
+    unpack_compact,
+)
 from nimble_tpu.ops.engine_xla import probe_and_walk, probe_and_walk_compact
 
 DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
@@ -88,6 +92,7 @@ class DeviceAlignEngine:
         self.index = index
         self.config = config
         self.c_max = int(c_max)
+        assert self.c_max <= 16, "compact result packing holds <=16 candidate lanes"
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
         self.phase_a_positions = int(phase_a_positions)
@@ -271,47 +276,53 @@ class DeviceAlignEngine:
         self._s_min_cache[key] = table
         return table
 
-    def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
-        """Minimum-download batch alignment: the whole filter chain runs on
-        device; the result identifies each read's equivalence class as
-        (anchor postings start, live-lane bitmask) — see
-        `ops.engine_xla.probe_and_walk_compact` and :meth:`decode_combo`.
+    def compact_dispatch(self, mat: np.ndarray, lens: np.ndarray):
+        """Launch phase-A kernels for a chunk; returns an opaque state.
 
-        Returns dict arrays over N reads:
-          astart (N,) int64, mask (N,) int32, passed (N,) bool,
-          needs_host (N,) bool
+        jax dispatch is asynchronous, so the device starts immediately and
+        the caller can overlap host work (e.g. processing the previous
+        chunk) before calling :meth:`compact_collect`.
         """
         n, width = mat.shape
         lens = np.asarray(lens, dtype=np.int32)
+        needs_host = lens > self.buckets[-1]
+        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
+        launches = []
+        if eligible.any():
+            bucket_arr = np.asarray(self.buckets)
+            bucket_idx = np.searchsorted(bucket_arr, lens)
+            for bi in np.unique(bucket_idx[eligible]):
+                bucket = int(bucket_arr[bi])
+                sel = np.flatnonzero(eligible & (bucket_idx == bi))
+                m = len(sel)
+                B = max(self.min_batch, 1 << (m - 1).bit_length())
+                reads = np.zeros((B, bucket), dtype=np.int8)
+                take = min(bucket, width)
+                reads[:m, :take] = mat[sel, :take]
+                blens = np.zeros(B, dtype=np.int32)
+                blens[:m] = lens[sel]
+                packed = self._launch_fast_kernel(
+                    reads, blens, bucket, self.phase_a_positions
+                )
+                launches.append((bucket, sel, m, reads, blens, packed))
+        return {"n": n, "lens": lens, "needs_host": needs_host,
+                "launches": launches}
+
+    def compact_collect(self, state):
+        """Fetch phase-A results, run phase B for unresolved reads, and
+        assemble the flat result dict (see align_raw_compact_from_matrix)."""
+        n = state["n"]
         astart = np.zeros(n, dtype=np.int64)
         mask = np.zeros(n, dtype=np.int32)
         passed = np.zeros(n, dtype=bool)
-        needs_host = lens > self.buckets[-1]
-        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
-        if not eligible.any():
-            return {"astart": astart, "mask": mask, "passed": passed,
-                    "needs_host": needs_host}
+        needs_host = state["needs_host"]
 
-        cfg = self.config
-        bucket_arr = np.asarray(self.buckets)
-        bucket_idx = np.searchsorted(bucket_arr, lens)
-        for bi in np.unique(bucket_idx[eligible]):
-            bucket = int(bucket_arr[bi])
-            sel = np.flatnonzero(eligible & (bucket_idx == bi))
-            m = len(sel)
-            B = max(self.min_batch, 1 << (m - 1).bit_length())
-            reads = np.zeros((B, bucket), dtype=np.int8)
-            take = min(bucket, width)
-            reads[:m, :take] = mat[sel, :take]
-            blens = np.zeros(B, dtype=np.int32)
-            blens[:m] = lens[sel]
-
-            # phase A: probe only the first few k-mer positions (real reads
-            # anchor at/near position 0); phase B reruns unresolved reads
-            # with the full position range.
-            out = self._run_fast_kernel(reads, blens, bucket, self.phase_a_positions)
+        for bucket, sel, m, reads, blens, packed in state["launches"]:
+            out = unpack_compact(np.asarray(packed))
+            # phase B: reads without an anchor in the first few positions
             unresolved = ~out["has_anchor"][:m] & (
-                blens[:m].astype(np.int64) - self.didx.k + 1 > self.phase_a_positions
+                blens[:m].astype(np.int64) - self.bidx.k + 1
+                > self.phase_a_positions
             )
             if unresolved.any():
                 sub = np.flatnonzero(unresolved)
@@ -321,7 +332,9 @@ class DeviceAlignEngine:
                 reads_s[:ms] = reads[sub]
                 blens_s = np.zeros(Bs, dtype=np.int32)
                 blens_s[:ms] = blens[sub]
-                out_b = self._run_fast_kernel(reads_s, blens_s, bucket, bucket)
+                out_b = unpack_compact(
+                    np.asarray(self._launch_fast_kernel(reads_s, blens_s, bucket, bucket))
+                )
                 for key in ("astart", "mask", "passed", "needs_host"):
                     out[key][sub] = out_b[key][:ms]
 
@@ -333,9 +346,21 @@ class DeviceAlignEngine:
         return {"astart": astart, "mask": mask, "passed": passed,
                 "needs_host": needs_host}
 
-    def _run_fast_kernel(self, reads, blens, bucket, p_limit):
+    def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
+        """Minimum-download batch alignment: the whole filter chain runs on
+        device; the result identifies each read's equivalence class as
+        (anchor postings start, live-lane bitmask) — see
+        `ops.engine_fast.probe_walk_filter` and :meth:`decode_combo`.
+
+        Returns dict arrays over N reads:
+          astart (N,) int64, mask (N,) int32, passed (N,) bool,
+          needs_host (N,) bool
+        """
+        return self.compact_collect(self.compact_dispatch(mat, lens))
+
+    def _launch_fast_kernel(self, reads, blens, bucket, p_limit):
         cfg = self.config
-        out = probe_walk_filter(
+        return probe_walk_filter(
             jnp.asarray(reads), jnp.asarray(blens),
             self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
             self._dev_fast["bstart"], self._dev_fast["bcount"],
@@ -354,7 +379,6 @@ class DeviceAlignEngine:
             p_limit=min(p_limit, bucket - self.bidx.k + 1),
             ref_pad=self.bidx.ref_pad,
         )
-        return {k: np.array(v) for k, v in jax.device_get(out).items()}
 
     def decode_combo(self, astart: int, mask: int) -> List[int]:
         """(astart, mask) -> sorted distinct eq-class row ids (host-side)."""

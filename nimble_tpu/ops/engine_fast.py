@@ -285,12 +285,35 @@ def probe_walk_filter(
     mask = jnp.where(live, lane, 0).sum(axis=1)
     needs_host = has_anchor & (overflow | ent_boundary)
 
+    # ONE fetched array per kernel call: remote tunnels charge ~45ms of
+    # latency per device->host fetch, so the 5 logical outputs are packed
+    # into an int32 (B, 2) matrix (col 0 = astart; col 1 = mask | flag bits).
+    flags = (
+        mask
+        | ((passed & ~needs_host).astype(jnp.int32) << 16)
+        | (needs_host.astype(jnp.int32) << 17)
+        | (has_anchor.astype(jnp.int32) << 18)
+    )
+    return jnp.stack([astart, flags], axis=1)
+
+
+COMPACT_MASK_BITS = 16
+COMPACT_PASSED_BIT = 1 << 16
+COMPACT_NEEDS_HOST_BIT = 1 << 17
+COMPACT_HAS_ANCHOR_BIT = 1 << 18
+
+
+def unpack_compact(packed: "np.ndarray"):
+    """Host-side unpack of probe_walk_filter's (B, 2) int32 result."""
+    import numpy as np
+
+    flags = packed[:, 1]
     return {
-        "astart": astart,
-        "mask": mask,
-        "passed": passed & ~needs_host,
-        "needs_host": needs_host,
-        "has_anchor": has_anchor,
+        "astart": packed[:, 0].astype(np.int64),
+        "mask": (flags & (COMPACT_PASSED_BIT - 1)).astype(np.int32),
+        "passed": (flags & COMPACT_PASSED_BIT) != 0,
+        "needs_host": (flags & COMPACT_NEEDS_HOST_BIT) != 0,
+        "has_anchor": (flags & COMPACT_HAS_ANCHOR_BIT) != 0,
     }
 
 

@@ -47,6 +47,9 @@ def process(
             if len(input_files) > 1
             else None
         )
+        # double-buffered feed: chunk N+1's kernels launch (async) before
+        # chunk N's host-side counting runs
+        pending: List = []
         for mat, lens in r1_chunks:
             if r2_chunks is not None:
                 try:
@@ -60,8 +63,15 @@ def process(
                     )
             else:
                 mate_mat, mate_lens = None, None
-            for counter in counters:
-                counter.add(mat, lens, mate_mat, mate_lens)
+            handles = [
+                counter.dispatch(mat, lens, mate_mat, mate_lens)
+                for counter in counters
+            ]
+            for counter, handle in pending:
+                counter.process(handle)
+            pending = list(zip(counters, handles))
+        for counter, handle in pending:
+            counter.process(handle)
         for i, counter in enumerate(counters):
             results = counter.finalize()
             write_to_tsv(
