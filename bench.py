@@ -79,8 +79,8 @@ def build_workload(n_features=50, feat_len=500, read_len=90, n_reads=1 << 16, se
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    p.add_argument("--reads", type=int, default=1 << 16)
-    p.add_argument("--chunk", type=int, default=1 << 14)
+    p.add_argument("--reads", type=int, default=1 << 17)
+    p.add_argument("--chunk", type=int, default=1 << 16)
     p.add_argument("--timed-rounds", type=int, default=4)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
@@ -105,19 +105,20 @@ def main(argv=None) -> int:
     index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
     engine = DeviceAlignEngine(index, cfg)
 
-    # warmup: absorbs kernel compile and the tunnel's first-transfer setup
-    t0 = time.time()
-    warm = fast_count_calls_matrix(
-        mat[:1024], lens[:1024], None, None, engine, reference, cfg
-    )
-    log(f"warmup: {time.time()-t0:.1f}s, callsets={len(warm)}")
-    fast_count_calls_matrix(mat, lens, None, None, engine, reference, cfg)
-
     n_chunks = max(1, args.reads // args.chunk)
     chunk_bounds = [
         (i * args.reads // n_chunks, (i + 1) * args.reads // n_chunks)
         for i in range(n_chunks)
     ]
+
+    # warmup: absorbs kernel compiles and the tunnel's first-transfer setup,
+    # through the same chunked pathway the timed rounds use
+    t0 = time.time()
+    warm_counter = FastCounter(engine, reference, cfg)
+    for lo, hi in chunk_bounds:
+        warm_counter.process(warm_counter.dispatch(mat[lo:hi], lens[lo:hi]))
+    warm = warm_counter.finalize()
+    log(f"warmup: {time.time()-t0:.1f}s, callsets={len(warm)}")
 
     times = []
     for r in range(args.timed_rounds):

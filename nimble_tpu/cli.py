@@ -49,8 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="TARGET_LENGTH:STRICTNESS per library, comma-separated")
     p.add_argument("-p", "--force_bam_paired", action="store_true",
                    help="Skip alignment of unpaired reads in a .bam")
-    p.add_argument("--engine", choices=("device", "host"), default="device",
-                   help="Alignment engine: batched TPU/XLA (default) or host oracle")
+    p.add_argument("--engine", choices=("device", "host", "mesh"), default="device",
+                   help="Alignment engine: batched single-chip TPU/XLA (default), "
+                        "NumPy host oracle, or multi-chip sharded mesh")
     p.add_argument("--no-parity-quirks", action="store_true",
                    help="Disable reproduction of reference output quirks "
                         "(e.g. dropping the final UMI group of a BAM)")
@@ -100,6 +101,10 @@ def main(argv: List[str] | None = None) -> int:
             from nimble_tpu.models.aligner import DeviceAlignEngine
 
             engines.append(DeviceAlignEngine(index, aligner_config))
+        elif args.engine == "mesh":
+            from nimble_tpu.models.mesh_aligner import MeshAlignEngine
+
+            engines.append(MeshAlignEngine(index, aligner_config))
         else:
             engines.append(HostAlignEngine(index, aligner_config))
         references.append(reference)
