@@ -14,6 +14,14 @@
 
 #include <cstdint>
 #include <cstring>
+#include <string>
+#include <unordered_set>
+
+namespace {
+struct DedupSet {
+    std::unordered_set<std::string> seen;
+};
+}  // namespace
 
 extern "C" {
 
@@ -131,6 +139,47 @@ int32_t nimble_build_hash_table(
         if (probe > max_probe) max_probe = probe;
     }
     return max_probe;
+}
+
+// ---------------------------------------------------------------------------
+// global read-pair dedupe set (the score map is keyed by read strings,
+// `src/align.rs:574-579`; duplicates count once).  Keys are exact-length
+// byte strings; the handle owns an arena-backed hash set that persists
+// across chunks for streaming runs.
+// ---------------------------------------------------------------------------
+void* nimble_dedupe_new() { return new DedupSet(); }
+
+void nimble_dedupe_free(void* handle) { delete static_cast<DedupSet*>(handle); }
+
+int64_t nimble_dedupe_size(void* handle) {
+    return (int64_t)static_cast<DedupSet*>(handle)->seen.size();
+}
+
+// r1/r2 are the flattened exact-length read bytes; offsets have n+1 entries.
+// r2 may be null (single-end).  out_is_new[i]=1 iff the pair was unseen.
+// Returns the number of new pairs.
+int64_t nimble_dedupe_insert(
+    void* handle,
+    const int8_t* r1, const int64_t* off1,
+    const int8_t* r2, const int64_t* off2,
+    int64_t n, uint8_t* out_is_new) {
+    auto& seen = static_cast<DedupSet*>(handle)->seen;
+    int64_t n_new = 0;
+    std::string key;
+    for (int64_t i = 0; i < n; ++i) {
+        key.clear();
+        key.append(reinterpret_cast<const char*>(r1 + off1[i]),
+                   (size_t)(off1[i + 1] - off1[i]));
+        if (r2 != nullptr) {
+            key.push_back('\xff');
+            key.append(reinterpret_cast<const char*>(r2 + off2[i]),
+                       (size_t)(off2[i + 1] - off2[i]));
+        }
+        bool inserted = seen.insert(key).second;
+        out_is_new[i] = inserted ? 1 : 0;
+        n_new += inserted;
+    }
+    return n_new;
 }
 
 }  // extern "C"

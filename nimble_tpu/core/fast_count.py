@@ -95,6 +95,10 @@ class FastCounter:
         self.engine = engine
         self.reference = reference
         self.config = config
+        from nimble_tpu import native
+
+        # native C++ hash set when available; Python set fallback
+        self._native_seen = native.make_dedupe_set()
         self._seen: set = set()
         # combo key -> [eq1, eq2, multiplicity]
         self._combos: Dict[Tuple, list] = {}
@@ -218,20 +222,10 @@ class FastCounter:
         # dedupe kept read pairs by sequence bytes (GLOBAL across chunks —
         # keys are the exact-length read bytes so chunk padding width is
         # irrelevant)
-        c_max = engine.c_max
         kept = np.flatnonzero(keep_mask)
         kept_inverse = inverse[kept]
-        for j in range(len(kept)):
-            i = kept[j]
-            if mate_mat is not None:
-                key = (mat[i, : lens[i]].tobytes(),
-                       mate_mat[i, : mate_lens[i]].tobytes())
-            else:
-                key = mat[i, : lens[i]].tobytes()
-            if key in self._seen:
-                continue
-            self._seen.add(key)
-            ci = int(kept_inverse[j])
+
+        def bump_combo(ci: int, count: int) -> None:
             combo_key = content_keys[ci]
             entry = self._combos.get(combo_key)
             if entry is None:
@@ -240,9 +234,44 @@ class FastCounter:
                 else:
                     e1 = [int(x) for x in eq_rows1[ci] if x != self._EQ_BIG]
                     e2 = [int(x) for x in eq_rows2[ci] if x != self._EQ_BIG]
-                self._combos[combo_key] = [e1, e2, 1]
+                self._combos[combo_key] = [e1, e2, count]
             else:
-                entry[2] += 1
+                entry[2] += count
+
+        if self._native_seen is not None:
+            # vectorized key extraction + native hash-set insert
+            def flatten(m, ls):
+                km = m[kept]
+                kl = ls[kept].astype(np.int64)
+                valid = np.arange(m.shape[1])[None, :] < kl[:, None]
+                flat = km[valid]  # row-major -> concatenated exact rows
+                offs = np.zeros(len(kept) + 1, dtype=np.int64)
+                np.cumsum(kl, out=offs[1:])
+                return flat, offs
+
+            flat1, off1 = flatten(mat, lens)
+            if mate_mat is not None:
+                flat2, off2 = flatten(mate_mat, mate_lens)
+            else:
+                flat2, off2 = None, None
+            is_new = self._native_seen.insert_batch(flat1, off1, flat2, off2)
+            counts_per_combo = np.bincount(
+                kept_inverse[is_new], minlength=len(combos)
+            )
+            for ci in np.flatnonzero(counts_per_combo):
+                bump_combo(int(ci), int(counts_per_combo[ci]))
+        else:
+            for j in range(len(kept)):
+                i = kept[j]
+                if mate_mat is not None:
+                    key = (mat[i, : lens[i]].tobytes(),
+                           mate_mat[i, : mate_lens[i]].tobytes())
+                else:
+                    key = mat[i, : lens[i]].tobytes()
+                if key in self._seen:
+                    continue
+                self._seen.add(key)
+                bump_combo(int(kept_inverse[j]), 1)
 
     def finalize(self) -> List[Tuple[List[str], Tuple[int, List[str], List[str]]]]:
         """Memoized orientation pipeline per combo -> sorted results."""

@@ -50,6 +50,16 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64]
+            lib.nimble_dedupe_new.restype = ctypes.c_void_p
+            lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
+            lib.nimble_dedupe_size.restype = ctypes.c_int64
+            lib.nimble_dedupe_size.argtypes = [ctypes.c_void_p]
+            lib.nimble_dedupe_insert.restype = ctypes.c_int64
+            lib.nimble_dedupe_insert.argtypes = [
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p]
             _lib = lib
         except Exception:
             _lib = None
@@ -107,6 +117,54 @@ def extract_kmer_keys(codes: np.ndarray, k: int) -> np.ndarray | None:
     out = np.empty(n - k + 1, dtype=np.uint64)
     lib.nimble_extract_kmer_keys(codes.ctypes.data, n, k, out.ctypes.data)
     return out
+
+
+class DedupeSet:
+    """Native global read-pair dedupe set; None-like when native is absent.
+
+    Use :func:`make_dedupe_set` which returns None without the native lib.
+    """
+
+    def __init__(self, lib):
+        self._lib = lib
+        self._handle = lib.nimble_dedupe_new()
+
+    def __del__(self):
+        if getattr(self, "_handle", None):
+            self._lib.nimble_dedupe_free(self._handle)
+            self._handle = None
+
+    def __len__(self) -> int:
+        return int(self._lib.nimble_dedupe_size(self._handle))
+
+    def insert_batch(
+        self,
+        flat1: np.ndarray, offsets1: np.ndarray,
+        flat2: np.ndarray | None, offsets2: np.ndarray | None,
+    ) -> np.ndarray:
+        """Insert n pairs (flattened exact-length bytes + n+1 offsets);
+        returns a bool mask of which pairs were new."""
+        n = len(offsets1) - 1
+        out = np.empty(n, dtype=np.uint8)
+        flat1 = np.ascontiguousarray(flat1, dtype=np.int8)
+        offsets1 = np.ascontiguousarray(offsets1, dtype=np.int64)
+        if flat2 is not None:
+            flat2 = np.ascontiguousarray(flat2, dtype=np.int8)
+            offsets2 = np.ascontiguousarray(offsets2, dtype=np.int64)
+            p2, o2 = flat2.ctypes.data, offsets2.ctypes.data
+        else:
+            p2, o2 = None, None
+        self._lib.nimble_dedupe_insert(
+            self._handle,
+            flat1.ctypes.data, offsets1.ctypes.data,
+            p2, o2, n, out.ctypes.data,
+        )
+        return out.astype(bool)
+
+
+def make_dedupe_set() -> DedupeSet | None:
+    lib = _load()
+    return DedupeSet(lib) if lib is not None else None
 
 
 def build_hash_table(keys, starts, counts, table_key_lo, table_key_hi,
