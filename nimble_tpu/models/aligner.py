@@ -88,6 +88,7 @@ class DeviceAlignEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
         phase_a_positions: int = 8,
+        use_pallas_walk: bool = False,
     ):
         self.index = index
         self.config = config
@@ -96,6 +97,10 @@ class DeviceAlignEngine:
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
         self.phase_a_positions = int(phase_a_positions)
+        self.use_pallas_walk = bool(use_pallas_walk)
+        if self.use_pallas_walk:
+            # Pallas tiles need 128-aligned read batches
+            self.min_batch = max(self.min_batch, 128)
         self.didx: DeviceIndex = build_device_index(index)
         self._s_min_cache: dict = {}
         # bucketized layout for the fast compact path
@@ -378,6 +383,7 @@ class DeviceAlignEngine:
             bucket_mask=self.bidx.n_buckets - 1,
             p_limit=min(p_limit, bucket - self.bidx.k + 1),
             ref_pad=self.bidx.ref_pad,
+            use_pallas=self.use_pallas_walk,
         )
 
     def decode_combo(self, astart: int, mask: int) -> List[int]:
@@ -443,6 +449,7 @@ class DeviceAlignEngine:
             bucket_mask=self.bidx.n_buckets - 1,
             p_limit=min(p_limit, bucket - self.bidx.k + 1),
             ref_pad=self.bidx.ref_pad,
+            use_pallas=self.use_pallas_walk,
         )
         return {k: np.array(v) for k, v in jax.device_get(out).items()}
 

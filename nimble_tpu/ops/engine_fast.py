@@ -118,7 +118,7 @@ def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
 def _span_walk(
     reads_i32, read_lens, anchor, rows, offs, live0,
     ref_codes_packed, row_starts, row_lengths,
-    *, k: int, ref_pad: int, l_steps: int,
+    *, k: int, ref_pad: int, l_steps: int, use_pallas: bool = False,
 ):
     """Forward+left walk from contiguous spans; see module docstring.
 
@@ -176,6 +176,32 @@ def _span_walk(
     f_match = f_match_raw & f_alive
     f_active = (anchor[:, None] + k + t_idx[None, :]) < read_lens[:, None]
 
+    if use_pallas:
+        # fused Pallas kernel runs both walks in VMEM (ops/pallas_walk.py)
+        from nimble_tpu.ops.pallas_walk import pallas_double_walk
+
+        if l_steps > 0:
+            j_idx = jnp.arange(l_steps, dtype=jnp.int32) + 1
+            l_match_raw = match_full[:, :, :l_steps][:, :, ::-1]
+            l_alive = (offs[:, :, None] - j_idx[None, None, :]) >= 0
+            l_match = l_match_raw & l_alive
+            l_active = (anchor[:, None] - j_idx[None, :]) >= 0
+        else:
+            B_ = reads_i32.shape[0]
+            l_alive = jnp.zeros((B_, live0.shape[1], 1), dtype=bool)
+            l_match = l_alive
+            l_active = jnp.zeros((B_, 1), dtype=bool)
+        B_ = reads_i32.shape[0]
+        tile_b = 512 if B_ % 512 == 0 else (256 if B_ % 256 == 0 else 128)
+        live_p, score_p, mm_p = pallas_double_walk(
+            f_alive.astype(jnp.int8), f_match.astype(jnp.int8),
+            f_active.astype(jnp.int8),
+            l_alive.astype(jnp.int8), l_match.astype(jnp.int8),
+            l_active.astype(jnp.int8),
+            live0.astype(jnp.int8), tile_b=tile_b,
+        )
+        return live_p.astype(bool), score_p, mm_p
+
     live_cb = jnp.moveaxis(live0, 1, 0)
     live_cb, f_score, f_mm = _walk_scan_t(
         live_cb,
@@ -205,7 +231,8 @@ def _span_walk(
 
 @partial(
     jax.jit,
-    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad"),
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "use_pallas"),
 )
 def probe_walk_filter(
     reads, read_lens,
@@ -221,6 +248,7 @@ def probe_walk_filter(
     bucket_mask: int,
     p_limit: int,
     ref_pad: int,
+    use_pallas: bool = False,
 ):
     """Fast compact kernel; same outputs as probe_and_walk_compact plus
     ``has_anchor`` (the engine's two-phase driver needs it)."""
@@ -246,6 +274,7 @@ def probe_walk_filter(
         ref_codes_packed, row_starts, row_lengths,
         k=k, ref_pad=ref_pad,
         l_steps=min(p_limit - 1, Lmax - k),
+        use_pallas=use_pallas,
     )
     score = jnp.where(has_anchor, k + walk_score, 0)
     mm = jnp.where(has_anchor, walk_mm, 0)
@@ -319,7 +348,8 @@ def unpack_compact(packed: "np.ndarray"):
 
 @partial(
     jax.jit,
-    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad"),
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "use_pallas"),
 )
 def probe_walk_full(
     reads, read_lens,
@@ -333,6 +363,7 @@ def probe_walk_full(
     bucket_mask: int,
     p_limit: int,
     ref_pad: int,
+    use_pallas: bool = False,
 ):
     """Fast kernel, full per-read outputs for the forensic path.
 

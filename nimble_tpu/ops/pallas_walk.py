@@ -85,6 +85,7 @@ def pallas_double_walk(
     Returns (live (B, C) int8, score (B,) int32, mm (B,) int32).
     """
     B, C, T = f_alive.shape
+    Tl = l_alive.shape[2]  # the left walk may have a different step count
     assert B % tile_b == 0, (B, tile_b)
     grid = (B // tile_b,)
 
@@ -96,15 +97,20 @@ def pallas_double_walk(
     def tb(x):
         return jnp.transpose(x, (1, 0)).astype(jnp.int32)
 
-    tcb_spec = pl.BlockSpec((T, C, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    tb_spec = pl.BlockSpec((T, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+    def tcb_spec(t):
+        return pl.BlockSpec((t, C, tile_b), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+    def tb_spec(t):
+        return pl.BlockSpec((t, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
+
     cb_spec = pl.BlockSpec((C, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
     s_spec = pl.BlockSpec((1, tile_b), lambda i: (0, i), memory_space=pltpu.VMEM)
 
     live, score, mm = pl.pallas_call(
         _walk_kernel,
         grid=grid,
-        in_specs=[tcb_spec, tcb_spec, tb_spec, tcb_spec, tcb_spec, tb_spec, cb_spec],
+        in_specs=[tcb_spec(T), tcb_spec(T), tb_spec(T),
+                  tcb_spec(Tl), tcb_spec(Tl), tb_spec(Tl), cb_spec],
         out_specs=[cb_spec, s_spec, s_spec],
         out_shape=[
             jax.ShapeDtypeStruct((C, B), jnp.int32),
