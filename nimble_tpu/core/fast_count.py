@@ -243,10 +243,13 @@ class FastCounter:
             def flatten(m, ls):
                 km = m[kept]
                 kl = ls[kept].astype(np.int64)
-                valid = np.arange(m.shape[1])[None, :] < kl[:, None]
-                flat = km[valid]  # row-major -> concatenated exact rows
                 offs = np.zeros(len(kept) + 1, dtype=np.int64)
                 np.cumsum(kl, out=offs[1:])
+                if len(kl) and kl.min() == m.shape[1]:
+                    # uniform full-width reads: rows are already contiguous
+                    return km.reshape(-1), offs
+                valid = np.arange(m.shape[1])[None, :] < kl[:, None]
+                flat = km[valid]  # row-major -> concatenated exact rows
                 return flat, offs
 
             flat1, off1 = flatten(mat, lens)
