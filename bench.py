@@ -85,9 +85,14 @@ def main(argv=None) -> int:
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
-    if args.cpu:
-        import os
+    import os
 
+    # persistent compilation cache: kernel shapes compile once per machine
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nimble_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+    if args.cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 
