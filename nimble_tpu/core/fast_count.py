@@ -102,6 +102,9 @@ class FastCounter:
         self._seen: set = set()
         # combo key -> [eq1, eq2, multiplicity]
         self._combos: Dict[Tuple, list] = {}
+        # phase-A-unresolved reads, batched across chunks and flushed at
+        # finalize (per-chunk phase-B kernels are latency-bound)
+        self._deferred: List = []
 
     _EQ_BIG = np.int64(2**62)
 
@@ -152,10 +155,57 @@ class FastCounter:
         return (mat, lens, mate_mat, mate_lens, st1, st2)
 
     def process(self, handle) -> None:
-        """Collect + count one dispatched chunk."""
+        """Collect + count one dispatched chunk (unresolved reads deferred)."""
         mat, lens, mate_mat, mate_lens, st1, st2 = handle
-        raw1 = self.engine.compact_collect(st1) if st1 is not None else None
-        raw2 = self.engine.compact_collect(st2) if st2 is not None else None
+        if st1 is None:
+            self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
+            return
+        raw1 = self.engine.compact_collect(st1, defer_unresolved=True)
+        raw2 = (
+            self.engine.compact_collect(st2, defer_unresolved=True)
+            if st2 is not None
+            else None
+        )
+        defer = raw1.pop("unresolved")
+        if raw2 is not None:
+            defer = defer | raw2.pop("unresolved")
+        if defer.any():
+            for i in np.flatnonzero(defer):
+                self._deferred.append(
+                    (
+                        mat[i, : lens[i]].copy(),
+                        mate_mat[i, : mate_lens[i]].copy()
+                        if mate_mat is not None
+                        else None,
+                    )
+                )
+            keep_now = ~defer
+            self._add_with_raw(
+                mat[keep_now], lens[keep_now],
+                mate_mat[keep_now] if mate_mat is not None else None,
+                mate_lens[keep_now] if mate_lens is not None else None,
+                {k: v[keep_now] for k, v in raw1.items()},
+                {k: v[keep_now] for k, v in raw2.items()} if raw2 is not None else None,
+            )
+        else:
+            self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
+
+    def _flush_deferred(self) -> None:
+        if not self._deferred:
+            return
+        deferred, self._deferred = self._deferred, []
+        r1_list = [d[0] for d in deferred]
+        mat, lens = pack_matrix(r1_list)
+        if deferred[0][1] is not None:
+            mate_mat, mate_lens = pack_matrix([d[1] for d in deferred])
+        else:
+            mate_mat, mate_lens = None, None
+        raw1 = self.engine.align_raw_compact_full_probe(mat, lens)
+        raw2 = (
+            self.engine.align_raw_compact_full_probe(mate_mat, mate_lens)
+            if mate_mat is not None
+            else None
+        )
         self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
 
     def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:
@@ -278,6 +328,7 @@ class FastCounter:
 
     def finalize(self) -> List[Tuple[List[str], Tuple[int, List[str], List[str]]]]:
         """Memoized orientation pipeline per combo -> sorted results."""
+        self._flush_deferred()
         results: Dict[Tuple[str, ...], int] = {}
         for e1, e2, mult in self._combos.values():
             state = (

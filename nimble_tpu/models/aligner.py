@@ -313,14 +313,21 @@ class DeviceAlignEngine:
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
-    def compact_collect(self, state):
+    def compact_collect(self, state, defer_unresolved: bool = False):
         """Fetch phase-A results, run phase B for unresolved reads, and
-        assemble the flat result dict (see align_raw_compact_from_matrix)."""
+        assemble the flat result dict (see align_raw_compact_from_matrix).
+
+        With ``defer_unresolved`` the phase-B kernel is NOT launched; reads
+        without a phase-A anchor are flagged in the returned ``unresolved``
+        array instead, so a streaming caller can batch them across chunks
+        (phase-B launches are latency-bound on small batches).
+        """
         n = state["n"]
         astart = np.zeros(n, dtype=np.int64)
         mask = np.zeros(n, dtype=np.int32)
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
+        unresolved_out = np.zeros(n, dtype=bool)
 
         for bucket, sel, m, reads, blens, packed in state["launches"]:
             out = unpack_compact(np.asarray(packed))
@@ -329,6 +336,9 @@ class DeviceAlignEngine:
                 blens[:m].astype(np.int64) - self.bidx.k + 1
                 > self.phase_a_positions
             )
+            if defer_unresolved:
+                unresolved_out[sel] = unresolved
+                unresolved = np.zeros_like(unresolved)
             if unresolved.any():
                 sub = np.flatnonzero(unresolved)
                 ms = len(sub)
@@ -348,6 +358,42 @@ class DeviceAlignEngine:
             passed[sel] = out["passed"][:m]
             needs_host[sel] = out["needs_host"][:m]
 
+        result = {"astart": astart, "mask": mask, "passed": passed,
+                  "needs_host": needs_host}
+        if defer_unresolved:
+            result["unresolved"] = unresolved_out
+        return result
+
+    def align_raw_compact_full_probe(self, mat: np.ndarray, lens: np.ndarray):
+        """Compact alignment probing ALL k-mer positions (single phase);
+        used for flushed backlogs of phase-A-unresolved reads."""
+        n, width = mat.shape
+        lens = np.asarray(lens, dtype=np.int32)
+        astart = np.zeros(n, dtype=np.int64)
+        mask = np.zeros(n, dtype=np.int32)
+        passed = np.zeros(n, dtype=bool)
+        needs_host = lens > self.buckets[-1]
+        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
+        if eligible.any():
+            bucket_arr = np.asarray(self.buckets)
+            bucket_idx = np.searchsorted(bucket_arr, lens)
+            for bi in np.unique(bucket_idx[eligible]):
+                bucket = int(bucket_arr[bi])
+                sel = np.flatnonzero(eligible & (bucket_idx == bi))
+                m = len(sel)
+                B = max(self.min_batch, 1 << (m - 1).bit_length())
+                reads = np.zeros((B, bucket), dtype=np.int8)
+                take = min(bucket, width)
+                reads[:m, :take] = mat[sel, :take]
+                blens = np.zeros(B, dtype=np.int32)
+                blens[:m] = lens[sel]
+                out = unpack_compact(
+                    np.asarray(self._launch_fast_kernel(reads, blens, bucket, bucket))
+                )
+                astart[sel] = out["astart"][:m]
+                mask[sel] = out["mask"][:m]
+                passed[sel] = out["passed"][:m]
+                needs_host[sel] = out["needs_host"][:m]
         return {"astart": astart, "mask": mask, "passed": passed,
                 "needs_host": needs_host}
 
