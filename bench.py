@@ -76,12 +76,61 @@ def build_workload(n_features=50, feat_len=500, read_len=90, n_reads=1 << 16, se
     return index, reference, cfg, mat, lens
 
 
+def bench_bam(args, log) -> dict:
+    """End-to-end threaded BAM pipeline throughput (records/s)."""
+    import tempfile
+
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.io.synth import make_synthetic_bam
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.pipeline import bam_pipeline
+
+    index, reference, cfg, _, _ = build_workload(n_reads=1)
+    engine = DeviceAlignEngine(index, cfg)
+    feats = reference.columns[1][0::2]
+
+    with tempfile.TemporaryDirectory() as td:
+        bam = f"{td}/bench.bam"
+        n_records = make_synthetic_bam(
+            bam, feats, n_groups=args.bam_groups, pairs_per_group=4,
+            read_len=90, seed=1, mutate_every=5,
+        )
+        log(f"synthetic BAM: {n_records} records, {args.bam_groups} groups")
+
+        import contextlib, io as _io
+
+        def run(out):
+            with contextlib.redirect_stdout(_io.StringIO()):
+                bam_pipeline.process(
+                    [bam], [engine], [reference], [cfg], [out], 2, False
+                )
+
+        run(f"{td}/warm.tsv.gz")  # warmup (compiles + tunnel setup)
+        times = []
+        for r in range(2):
+            t0 = time.time()
+            run(f"{td}/out{r}.tsv.gz")
+            dt = time.time() - t0
+            times.append(dt)
+            log(f"bam round {r}: {dt:.2f}s -> {n_records/dt:,.0f} records/s")
+    rps = n_records / min(times)
+    return {
+        "metric": "bam_pipeline_records_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "records/s",
+        "vs_baseline": round(rps / RUST_BASELINE_READS_PER_SEC, 2),
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--reads", type=int, default=1 << 17)
     p.add_argument("--chunk", type=int, default=1 << 16)
     p.add_argument("--timed-rounds", type=int, default=4)
+    p.add_argument("--bam", action="store_true",
+                   help="benchmark the threaded BAM pipeline instead")
+    p.add_argument("--bam-groups", type=int, default=4096)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -107,6 +156,10 @@ def main(argv=None) -> int:
             print(*a, file=sys.stderr)
 
     log("devices:", jax.devices())
+
+    if args.bam:
+        print(json.dumps(bench_bam(args, log)))
+        return 0
     index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
     engine = DeviceAlignEngine(index, cfg)
 

@@ -34,7 +34,7 @@ from nimble_tpu.core.orientation import (
     TriageMap,
     filter_and_coerce_sequence_call_orientations,
 )
-from nimble_tpu.core.trim import trim_codes
+from nimble_tpu.core.trim import maxinfo_batch, trim_codes
 from nimble_tpu.index.build import KmerIndex
 from nimble_tpu.library import Reference
 from nimble_tpu.utils.dna import decode_bases
@@ -100,24 +100,34 @@ def prepare_trimmed(
     def meta_at(i: int) -> List[str]:
         return metadata[i] if i < len(metadata) else []
 
+    # batch the MAXINFO trims (one vectorized pass instead of per-read)
+    quals: List[str] = []
+    qual_slots: List[Tuple[int, int]] = []  # (read index, mate side)
+    for i in range(len(reads)):
+        if meta_at(2 * i):
+            quals.append(meta_at(2 * i)[1])
+            qual_slots.append((i, 0))
+        if mate_reads is not None and meta_at(2 * i + 1):
+            quals.append(meta_at(2 * i + 1)[1])
+            qual_slots.append((i, 1))
+    trim_lens: dict = {}
+    if quals:
+        lengths = maxinfo_batch(
+            quals, config.trim_target_length, config.trim_strictness
+        )
+        for (slot, L) in zip(qual_slots, lengths):
+            trim_lens[slot] = int(L)
+
     trimmed_r1: List[Optional[np.ndarray]] = []
     trimmed_r2: List[Optional[np.ndarray]] = []
     for i in range(len(reads)):
         m1, m2 = meta_at(2 * i), meta_at(2 * i + 1)
         r1 = reads[i]
-        t1 = (
-            trim_codes(r1, m1[1], config.trim_target_length, config.trim_strictness)
-            if m1
-            else r1
-        )
+        t1 = r1[: trim_lens[(i, 0)]] if m1 else r1
         trimmed_r1.append(None if (m1 and m1[37] == "TRUE") else t1)
         if mate_reads is not None:
             r2 = mate_reads[i]
-            t2 = (
-                trim_codes(r2, m2[1], config.trim_target_length, config.trim_strictness)
-                if m2
-                else r2
-            )
+            t2 = r2[: trim_lens[(i, 1)]] if m2 else r2
             trimmed_r2.append(None if (m2 and m2[37] == "TRUE") else t2)
     return trimmed_r1, trimmed_r2
 

@@ -120,3 +120,53 @@ def trim_codes(codes: np.ndarray, quality: str, target_length: int, strictness: 
     """Trim a coded read to its MAXINFO prefix (`trim_sequence`, `src/align.rs:866-871`)."""
     trimmed_length = maxinfo(quality, target_length, strictness)
     return codes[:trimmed_length]
+
+
+def maxinfo_batch(
+    quals: "list[str | bytes]", target_length: int, strictness: float
+) -> np.ndarray:
+    """Vectorized :func:`maxinfo` over many quality strings.
+
+    Identical i64 fixed-point math per read (same tables, same accumulate/
+    argmax semantics), batched across a padded matrix for throughput on the
+    BAM path where every read is quality-trimmed.
+    """
+    n = len(quals)
+    out = np.zeros(n, dtype=np.int64)
+    if n == 0:
+        return out
+    lens = np.fromiter((len(q) for q in quals), dtype=np.int64, count=n)
+    width = int(lens.max()) if n else 0
+    if width == 0:
+        return out
+
+    length_scores, qual_probs = _tables(int(target_length), float(strictness))
+
+    qmat = np.zeros((n, width), dtype=np.uint8)
+    for i, q in enumerate(quals):
+        b = q.encode("latin-1") if isinstance(q, str) else bytes(q)
+        qmat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+
+    q = np.minimum(qmat.astype(np.int64), MAXQUAL)
+    accum = np.cumsum(qual_probs[q], axis=1)
+    ls = np.zeros(width, dtype=np.int64)
+    m = min(width, LONGEST_READ)
+    ls[:m] = length_scores[:m]
+    scores = (ls[None, :] + accum).astype(np.float64)
+
+    # mask beyond each read's length, then last-argmax with ">=" semantics
+    pos = np.arange(width)[None, :]
+    valid = pos < lens[:, None]
+    scores = np.where(valid, scores, -np.inf)
+    gmax = scores.max(axis=1)
+    # last occurrence of the max (running ">=" keeps the last)
+    is_max = (scores == gmax[:, None]) & valid
+    last_pos = width - 1 - np.argmax(is_max[:, ::-1], axis=1)
+    max_score_position = last_pos + 1
+
+    result = np.where(
+        (max_score_position < 1) | (gmax == 0.0),
+        0,
+        np.minimum(max_score_position, lens),
+    )
+    return result.astype(np.int64)

@@ -26,9 +26,12 @@ import zlib
 from dataclasses import dataclass, field
 from typing import BinaryIO, Dict, Iterator, List, Optional, Tuple
 
+import numpy as np
+
 # 4-bit seq codes per the BAM spec
 _SEQ_DECODE = "=ACMGRSVTWYHKDBN"
 _SEQ_ENCODE = {c: i for i, c in enumerate(_SEQ_DECODE)}
+_SEQ_DECODE_LUT = np.frombuffer(_SEQ_DECODE.encode("ascii"), dtype=np.uint8)
 
 FLAG_PAIRED = 0x1
 FLAG_PROPER_PAIR = 0x2
@@ -194,11 +197,11 @@ def _decode_record(data: bytes) -> BamRecord:
         cigar_ops.append((v >> 4, v & 0xF))
         off += 4
     n_seq_bytes = (l_seq + 1) // 2
-    seq_chars = []
-    for i in range(l_seq):
-        b = data[off + (i // 2)]
-        code = (b >> 4) if i % 2 == 0 else (b & 0xF)
-        seq_chars.append(_SEQ_DECODE[code])
+    packed = np.frombuffer(data, dtype=np.uint8, count=n_seq_bytes, offset=off)
+    nibbles = np.empty(n_seq_bytes * 2, dtype=np.uint8)
+    nibbles[0::2] = packed >> 4
+    nibbles[1::2] = packed & 0xF
+    seq = _SEQ_DECODE_LUT[nibbles[:l_seq]].tobytes().decode("ascii")
     off += n_seq_bytes
     qual = data[off : off + l_seq]
     off += l_seq
@@ -206,7 +209,7 @@ def _decode_record(data: bytes) -> BamRecord:
     return BamRecord(
         qname=qname, flag=flag, tid=tid, pos=pos, mapq=mapq,
         mtid=mtid, mpos=mpos, tlen=tlen,
-        seq="".join(seq_chars), qual=bytes(qual), cigar_ops=cigar_ops, tags=tags,
+        seq=seq, qual=bytes(qual), cigar_ops=cigar_ops, tags=tags,
     )
 
 

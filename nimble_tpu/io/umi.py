@@ -67,58 +67,53 @@ def strip_nonbio_regions_qual(qual: str, rev_comp: bool) -> str:
     return trimmed[::-1] if rev_comp else trimmed
 
 
+# per-field value getters (dispatch table beats a 22-way if-chain in the
+# per-record hot path); QUAL and SEQ are injected by record_metadata
+_FIELD_GETTERS = {
+    "QNAME": lambda r: r.qname,
+    "REVERSE": lambda r: _rust_bool(r.is_reverse()),
+    "MATE_REVERSE": lambda r: _rust_bool(r.is_mate_reverse()),
+    "PAIRED": lambda r: _rust_bool(r.is_paired()),
+    "PROPER_PAIRED": lambda r: _rust_bool(r.is_proper_pair()),
+    "PAIR_ORIENTATION": lambda r: r.read_pair_orientation(),
+    "UNMAPPED": lambda r: _rust_bool(r.is_unmapped()),
+    "MATE_UNMAPPED": lambda r: _rust_bool(r.is_mate_unmapped()),
+    "FIRST_IN_TEMPLATE": lambda r: _rust_bool(r.is_first_in_template()),
+    "LAST_IN_TEMPLATE": lambda r: _rust_bool(r.is_last_in_template()),
+    "STRAND": lambda r: r.strand_symbol(),
+    "MAPQ": lambda r: str(r.mapq),
+    "POS": lambda r: str(r.pos),
+    "MATE_POS": lambda r: str(r.mpos),
+    "SEQ_LEN": lambda r: str(r.seq_len()),
+    "INSERT_SIZE": lambda r: str(r.insert_size()),
+    "QUALITY_FAILED": lambda r: _rust_bool(r.is_quality_check_failed()),
+    "SECONDARY": lambda r: _rust_bool(r.is_secondary()),
+    "DUPLICATE": lambda r: _rust_bool(r.is_duplicate()),
+    "SUPPLEMENTARY": lambda r: _rust_bool(r.is_supplementary()),
+}
+_FIELD_PLAN = [
+    (f, f[:2], _FIELD_GETTERS.get(f)) for f in BAM_FIELDS_TO_REPORT
+]
+
+
 def record_metadata(record: BamRecord, seq: str, qual: str) -> List[str]:
-    """The 38-field metadata row (`src/parse/bam.rs:197-236`)."""
+    """The 38-field metadata row (`src/parse/bam.rs:197-236`).
+
+    Per field: a string (Z) aux tag whose first two bytes match wins
+    (htslib's 2-byte tag resolution), then the built-in accessor, else "".
+    """
+    tags = record.tags
     fields = []
-    for field in BAM_FIELDS_TO_REPORT:
-        aux = record.aux_string(field)
-        if aux is not None:
-            fields.append(aux)
-            continue
-        if field == "QNAME":
-            fields.append(record.qname)
-        elif field == "QUAL":
+    for name, tag2, getter in _FIELD_PLAN:
+        t = tags.get(tag2)
+        if t is not None and t[0] == "Z":
+            fields.append(str(t[1]))
+        elif name == "QUAL":
             fields.append(qual)
-        elif field == "REVERSE":
-            fields.append(_rust_bool(record.is_reverse()))
-        elif field == "MATE_REVERSE":
-            fields.append(_rust_bool(record.is_mate_reverse()))
-        elif field == "PAIRED":
-            fields.append(_rust_bool(record.is_paired()))
-        elif field == "PROPER_PAIRED":
-            fields.append(_rust_bool(record.is_proper_pair()))
-        elif field == "PAIR_ORIENTATION":
-            fields.append(record.read_pair_orientation())
-        elif field == "UNMAPPED":
-            fields.append(_rust_bool(record.is_unmapped()))
-        elif field == "MATE_UNMAPPED":
-            fields.append(_rust_bool(record.is_mate_unmapped()))
-        elif field == "FIRST_IN_TEMPLATE":
-            fields.append(_rust_bool(record.is_first_in_template()))
-        elif field == "LAST_IN_TEMPLATE":
-            fields.append(_rust_bool(record.is_last_in_template()))
-        elif field == "STRAND":
-            fields.append(record.strand_symbol())
-        elif field == "MAPQ":
-            fields.append(str(record.mapq))
-        elif field == "POS":
-            fields.append(str(record.pos))
-        elif field == "MATE_POS":
-            fields.append(str(record.mpos))
-        elif field == "SEQ":
+        elif name == "SEQ":
             fields.append(seq)
-        elif field == "SEQ_LEN":
-            fields.append(str(record.seq_len()))
-        elif field == "INSERT_SIZE":
-            fields.append(str(record.insert_size()))
-        elif field == "QUALITY_FAILED":
-            fields.append(_rust_bool(record.is_quality_check_failed()))
-        elif field == "SECONDARY":
-            fields.append(_rust_bool(record.is_secondary()))
-        elif field == "DUPLICATE":
-            fields.append(_rust_bool(record.is_duplicate()))
-        elif field == "SUPPLEMENTARY":
-            fields.append(_rust_bool(record.is_supplementary()))
+        elif getter is not None:
+            fields.append(getter(record))
         else:
             fields.append("")
     return fields

@@ -181,16 +181,25 @@ def align_groups_batched(
     Returns a list over groups of align_umi_to_libraries results.
     """
     prepared = [_oriented_reads(s, m) for s, m in groups]
+    # concatenate all groups' reads+metadata so trimming (one vectorized
+    # MAXINFO pass) and alignment (one device batch) run once per batch
+    cat_r1, cat_r2, cat_meta, splits = [], [], [], []
+    for (r1, r2), (_, meta) in zip(prepared, groups):
+        if len(r2) < len(r1):
+            # SortedBamReader guarantees paired interleaving; a short mate
+            # list would corrupt the concatenation
+            raise ValueError(
+                "Error -- read and reverse read files do not have matching lengths: "
+            )
+        splits.append(len(r1))
+        cat_r1.extend(r1)
+        cat_r2.extend(r2)
+        cat_meta.extend(meta)
 
     per_lib_slices = []
     for i, engine in enumerate(engines):
         cfg = aligner_configs[i]
-        all_t1, all_t2, splits = [], [], []
-        for (r1, r2), (_, meta) in zip(prepared, groups):
-            t1, t2 = prepare_trimmed(r1, r2, meta, cfg)
-            splits.append(len(t1))
-            all_t1.extend(t1)
-            all_t2.extend(t2)
+        all_t1, all_t2 = prepare_trimmed(cat_r1, cat_r2, cat_meta, cfg)
         res1 = engine.align_batch(all_t1)
         res2 = engine.align_batch(all_t2)
         slices = []
@@ -268,7 +277,9 @@ def process(
 
     def logger() -> None:
         print("Spawning logging thread.")
-        files = [gzip.open(p, "wt") for p in output_paths]
+        # compresslevel 6 = flate2's Compression::default() in the reference
+        # (`src/process/bam.rs:73`); Python's default 9 is ~5x slower
+        files = [gzip.open(p, "wt", compresslevel=6) for p in output_paths]
         first_write = [True] * len(files)
         while True:
             msg = log_queue.get()

@@ -60,18 +60,29 @@ _REVCOMP_MAP = {
 _VALID_BASES = set("AaCcGgTtUuNn")
 
 
+# byte translation table for the fast path; 0 marks invalid characters
+_REVCOMP_LUT = np.zeros(256, dtype=np.uint8)
+for _bp, _c in _REVCOMP_MAP.items():
+    _REVCOMP_LUT[ord(_bp)] = ord(_c)
+
+
 def revcomp(sequence: str) -> str:
     """String-level reverse complement, parity with `src/utils.rs:61-94`.
 
     Case-preserving for ACGTU; N/n -> 'N'; raises on any other character
     (the reference panics: "Input sequence base is not DNA").
     """
-    out = []
-    for bp in reversed(sequence):
-        if bp not in _VALID_BASES:
-            raise ValueError(f"Input sequence base is not DNA: {bp}")
-        out.append(_REVCOMP_MAP[bp])
-    return "".join(out)
+    try:
+        raw = np.frombuffer(sequence.encode("latin-1"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        raw = np.zeros(1, dtype=np.uint8)  # non-latin char: certainly invalid
+    out = _REVCOMP_LUT[raw[::-1]]
+    if (out == 0).any():
+        # find the first invalid character in the reference's scan order
+        for bp in reversed(sequence):
+            if bp not in _VALID_BASES:
+                raise ValueError(f"Input sequence base is not DNA: {bp}")
+    return out.tobytes().decode("latin-1")
 
 
 def shannon_entropy(dna: str) -> float:

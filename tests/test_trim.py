@@ -51,3 +51,20 @@ def test_maxinfo_strictness_1():
 
 def test_maxinfo_strictness_0():
     assert maxinfo(adjust_quality("I" * 20), 15, 0.0) == 20
+
+
+def test_maxinfo_batch_matches_scalar():
+    """Vectorized batch MAXINFO must equal the scalar oracle per read."""
+    import numpy as np
+    from nimble_tpu.core.trim import maxinfo_batch
+
+    rng = np.random.default_rng(7)
+    quals = []
+    for _ in range(200):
+        n = int(rng.integers(1, 150))
+        quals.append("".join(chr(int(q)) for q in rng.integers(0, 45, n)))
+    quals.append("")  # empty edge case
+    for target, strict in [(15, 0.5), (40, 0.9), (15, 0.0), (15, 1.0), (80, 0.7)]:
+        batch = maxinfo_batch(quals, target, strict)
+        for i, q in enumerate(quals):
+            assert batch[i] == maxinfo(q, target, strict), (i, target, strict)
