@@ -187,7 +187,8 @@ class UMIReader:
             seq = decode_bases(
                 encode_bases(strip_nonbio_regions(record.seq, record.is_reverse()))
             )
-            qual = "".join(chr(q) for q in record.qual)
+            # latin-1 maps byte k -> chr(k): the qual-value-as-chars string
+            qual = record.qual.decode("latin-1")
             qual = strip_nonbio_regions_qual(qual, record.is_reverse())
             fields = record_metadata(record, seq, qual)
 
