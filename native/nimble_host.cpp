@@ -147,6 +147,118 @@ int32_t nimble_build_hash_table(
 // byte strings; the handle owns an arena-backed hash set that persists
 // across chunks for streaming runs.
 // ---------------------------------------------------------------------------
+// ---------------------------------------------------------------------------
+// BAM record batch scan: parses a decompressed BAM record stream into flat
+// arrays (the role htslib's C decoder plays for the reference).  Returns the
+// number of complete records parsed; *consumed gets the bytes consumed so a
+// streaming caller can carry partial trailing records into the next chunk.
+// Z-type aux tags are extracted into a compact blob per record
+// ([tag 2B][len u16][bytes]); other aux types are skipped (every consumer in
+// the pipeline filters for Z — htslib semantics are preserved).
+// ---------------------------------------------------------------------------
+static const char kSeqDecode[17] = "=ACMGRSVTWYHKDBN";
+
+int64_t nimble_bam_scan(
+    const uint8_t* buf, int64_t n, int64_t max_records,
+    int32_t* fixed,          // (max_records, 8): flag,tid,pos,mapq,mtid,mpos,tlen,l_seq
+    int64_t* qname_off, uint8_t* qname_flat,
+    int64_t* seq_off, uint8_t* seq_flat,
+    int64_t* qual_off, uint8_t* qual_flat,
+    int64_t* aux_off, uint8_t* aux_flat,
+    int64_t* cigar_off, uint32_t* cigar_flat,
+    int64_t* consumed) {
+    int64_t pos = 0, count = 0;
+    int64_t qn = 0, sq = 0, ql = 0, ax = 0, cg = 0;
+    qname_off[0] = seq_off[0] = qual_off[0] = aux_off[0] = cigar_off[0] = 0;
+    while (count < max_records) {
+        if (pos + 4 > n) break;
+        int32_t block_size;
+        std::memcpy(&block_size, buf + pos, 4);
+        if (block_size <= 0 || pos + 4 + block_size > n) break;
+        const uint8_t* r = buf + pos + 4;
+        int32_t tid, rpos, l_seq, mtid, mpos, tlen;
+        std::memcpy(&tid, r + 0, 4);
+        std::memcpy(&rpos, r + 4, 4);
+        uint8_t l_read_name = r[8];
+        uint8_t mapq = r[9];
+        uint16_t n_cigar, flag;
+        std::memcpy(&n_cigar, r + 12, 2);
+        std::memcpy(&flag, r + 14, 2);
+        std::memcpy(&l_seq, r + 16, 4);
+        std::memcpy(&mtid, r + 20, 4);
+        std::memcpy(&mpos, r + 24, 4);
+        std::memcpy(&tlen, r + 28, 4);
+
+        int32_t* f = fixed + count * 8;
+        f[0] = flag; f[1] = tid; f[2] = rpos; f[3] = mapq;
+        f[4] = mtid; f[5] = mpos; f[6] = tlen; f[7] = l_seq;
+
+        int64_t off = 32;
+        // qname (drop trailing NUL)
+        std::memcpy(qname_flat + qn, r + off, l_read_name - 1);
+        qn += l_read_name - 1;
+        off += l_read_name;
+        std::memcpy(cigar_flat + cg, r + off, 4LL * n_cigar);
+        cg += n_cigar;
+        off += 4LL * n_cigar;
+        // seq: unpack 4-bit codes to ASCII
+        const uint8_t* sp = r + off;
+        for (int32_t i = 0; i < l_seq; ++i) {
+            uint8_t b = sp[i >> 1];
+            seq_flat[sq + i] = kSeqDecode[(i & 1) ? (b & 0xF) : (b >> 4)];
+        }
+        sq += l_seq;
+        off += (l_seq + 1) / 2;
+        // qual (raw values)
+        std::memcpy(qual_flat + ql, r + off, l_seq);
+        ql += l_seq;
+        off += l_seq;
+        // aux: extract Z tags into [tag2][u16 len][bytes] entries
+        while (off + 3 <= block_size) {
+            uint8_t t0 = r[off], t1 = r[off + 1];
+            char typ = (char)r[off + 2];
+            off += 3;
+            if (typ == 'Z' || typ == 'H') {
+                int64_t s = off;
+                while (off < block_size && r[off] != 0) ++off;
+                int64_t len = off - s;
+                aux_flat[ax] = t0; aux_flat[ax + 1] = t1;
+                uint16_t l16 = (uint16_t)(len > 65535 ? 65535 : len);
+                std::memcpy(aux_flat + ax + 2, &l16, 2);
+                std::memcpy(aux_flat + ax + 4, r + s, l16);
+                ax += 4 + l16;
+                ++off;  // NUL
+            } else if (typ == 'A' || typ == 'c' || typ == 'C') {
+                off += 1;
+            } else if (typ == 's' || typ == 'S') {
+                off += 2;
+            } else if (typ == 'i' || typ == 'I' || typ == 'f') {
+                off += 4;
+            } else if (typ == 'B') {
+                if (off + 5 > block_size) break;
+                char sub = (char)r[off];
+                int32_t cnt32;
+                std::memcpy(&cnt32, r + off + 1, 4);
+                int64_t esz = (sub == 'c' || sub == 'C') ? 1
+                             : (sub == 's' || sub == 'S') ? 2 : 4;
+                off += 5 + esz * cnt32;
+            } else {
+                break;  // unknown type
+            }
+        }
+
+        ++count;
+        qname_off[count] = qn;
+        seq_off[count] = sq;
+        qual_off[count] = ql;
+        aux_off[count] = ax;
+        cigar_off[count] = cg;
+        pos += 4 + block_size;
+    }
+    *consumed = pos;
+    return count;
+}
+
 void* nimble_dedupe_new() { return new DedupSet(); }
 
 void nimble_dedupe_free(void* handle) { delete static_cast<DedupSet*>(handle); }

@@ -218,9 +218,16 @@ class BamRecordError(ValueError):
 
 
 class BamReader:
-    """Streaming BAM reader (BGZF via gzip's concatenated-member support)."""
+    """Streaming BAM reader (BGZF via gzip's concatenated-member support).
 
-    def __init__(self, path: str):
+    When the native library is available, records are parsed in bulk by the
+    C++ batch scanner (`nimble_bam_scan`) from chunked reads of the
+    decompressed stream; otherwise each record is decoded in Python.
+    """
+
+    _CHUNK = 4 << 20
+
+    def __init__(self, path: str, use_native: bool = True):
         self._f = gzip.open(path, "rb")
         magic = _read_exact(self._f, 4)
         if magic != b"BAM\x01":
@@ -236,10 +243,25 @@ class BamReader:
             refs.append((name, l_ref))
         self.header = BamHeader(text=text, references=refs)
 
+        from nimble_tpu import native
+
+        self._native = native if (use_native and native.available()) else None
+        self._pending: list = []
+        self._pending_pos = 0
+        self._carry = b""
+        self._eof = False
+
     def __iter__(self) -> Iterator[BamRecord]:
         return self
 
     def __next__(self) -> BamRecord:
+        if self._native is not None:
+            if self._pending_pos >= len(self._pending):
+                self._fill_native()
+            rec = self._pending[self._pending_pos]
+            self._pending_pos += 1
+            return rec
+
         size_bytes = self._f.read(4)
         if len(size_bytes) < 4:
             raise StopIteration
@@ -252,6 +274,59 @@ class BamReader:
         except (struct.error, IndexError, UnicodeDecodeError) as e:
             # stream stays positioned at the next record
             raise BamRecordError(str(e)) from e
+
+    def _fill_native(self) -> None:
+        """Bulk-parse the next chunk of records via the C++ scanner."""
+        while True:
+            if not self._eof:
+                chunk = self._f.read(self._CHUNK)
+                if len(chunk) < self._CHUNK:
+                    self._eof = True
+                data = self._carry + chunk
+            else:
+                data = self._carry
+            if not data:
+                raise StopIteration
+            res = self._native.bam_scan(data, len(data) // 36 + 1)
+            (count, consumed, fixed, (qno, qnf), (sqo, sqf),
+             (qlo, qlf), (axo, axf), (cgo, cgf)) = res
+            self._carry = data[consumed:]
+            if count == 0:
+                if self._eof:
+                    if self._carry:
+                        raise EOFError("truncated BAM stream")
+                    raise StopIteration
+                continue  # need more bytes for even one record
+
+            qn_all = qnf[: qno[count]].tobytes()
+            sq_all = sqf[: sqo[count]].tobytes()
+            ql_all = qlf[: qlo[count]].tobytes()
+            ax_all = axf[: axo[count]].tobytes()
+
+            pending = []
+            for i in range(count):
+                f = fixed[i]
+                tags: Dict[str, Tuple[str, object]] = {}
+                a, b = axo[i], axo[i + 1]
+                while a < b:
+                    tag = ax_all[a : a + 2].decode("ascii", "replace")
+                    ln = ax_all[a + 2] | (ax_all[a + 3] << 8)
+                    tags[tag] = ("Z", ax_all[a + 4 : a + 4 + ln].decode(
+                        "ascii", "replace"))
+                    a += 4 + ln
+                cops = cgf[cgo[i] : cgo[i + 1]]
+                pending.append(BamRecord(
+                    qname=qn_all[qno[i] : qno[i + 1]].decode("ascii", "replace"),
+                    flag=int(f[0]), tid=int(f[1]), pos=int(f[2]), mapq=int(f[3]),
+                    mtid=int(f[4]), mpos=int(f[5]), tlen=int(f[6]),
+                    seq=sq_all[sqo[i] : sqo[i + 1]].decode("ascii"),
+                    qual=ql_all[qlo[i] : qlo[i + 1]],
+                    cigar_ops=[(int(v) >> 4, int(v) & 0xF) for v in cops],
+                    tags=tags,
+                ))
+            self._pending = pending
+            self._pending_pos = 0
+            return
 
     def close(self) -> None:
         self._f.close()

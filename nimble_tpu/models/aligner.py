@@ -49,7 +49,7 @@ from nimble_tpu.ops.engine_fast import (
     probe_walk_full,
     unpack_compact,
 )
-from nimble_tpu.ops.engine_xla import probe_and_walk, probe_and_walk_compact
+from nimble_tpu.ops.engine_xla import probe_and_walk
 
 DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 
@@ -164,95 +164,6 @@ class DeviceAlignEngine:
         for bucket, idxs in by_bucket.items():
             self._run_bucket(seqs, idxs, bucket, results)
         return results
-
-    def align_raw_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
-        """Vectorized batch alignment for the fast counting path.
-
-        ``mat`` is a padded (N, Lmax) int8 code matrix, ``lens`` the true
-        lengths.  Returns a dict of numpy arrays over all N entries:
-          passed    (N,)  bool  — survived the full per-read filter chain
-          eq_sorted (N,C) int64 — sorted deduped eq-class row ids, padded
-                                  with EQ_PAD (only meaningful where passed)
-          needs_host(N,)  bool  — entries this engine could not bound
-                                  (C_MAX overflow / oversized read); caller
-                                  must rescue them via the host oracle
-        Semantics are identical to align_batch/pseudoalign; only the output
-        representation differs (flat arrays instead of per-read tuples).
-        """
-        n, width = mat.shape
-        c = self.c_max
-        lens = np.asarray(lens, dtype=np.int32)
-        passed = np.zeros(n, dtype=bool)
-        eq_sorted = np.full((n, c), EQ_PAD, dtype=np.int64)
-        needs_host = lens > self.buckets[-1]
-        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
-        if not eligible.any():
-            return {"passed": passed, "eq_sorted": eq_sorted, "needs_host": needs_host}
-
-        cfg = self.config
-        # each read goes to the smallest bucket that fits it
-        bucket_arr = np.asarray(self.buckets)
-        bucket_idx = np.searchsorted(bucket_arr, lens)
-        for bi in np.unique(bucket_idx[eligible]):
-            bucket = int(bucket_arr[bi])
-            sel = np.flatnonzero(eligible & (bucket_idx == bi))
-            m = len(sel)
-            B = max(self.min_batch, 1 << (m - 1).bit_length())
-            reads = np.zeros((B, bucket), dtype=np.int8)
-            take = min(bucket, width)
-            reads[:m, :take] = mat[sel, :take]
-            blens = np.zeros(B, dtype=np.int32)
-            blens[:m] = lens[sel]
-
-            out = self._run_kernel(reads, blens)
-            lens_m = blens[:m].astype(np.float64)
-
-            ent = batch_entropy(reads[:m], blens[:m])
-            has_anchor = out["has_anchor"][:m]
-            overflow = out["overflow"][:m]
-            score = out["score"][:m].astype(np.int64)
-            mm = out["mismatches"][:m].astype(np.int64)
-            rows = out["rows"][:m].astype(np.int64)
-            live = out["live"][:m]
-
-            # sorted, deduped eq classes (masked rows -> EQ_PAD sentinel)
-            eq = np.where(live, rows, EQ_PAD)
-            eq.sort(axis=1)
-            dup = np.zeros_like(live)
-            dup[:, 1:] = eq[:, 1:] == eq[:, :-1]
-            eq = np.where(dup, EQ_PAD, eq)
-            eq.sort(axis=1)
-            n_distinct = (eq != EQ_PAD).sum(axis=1)
-
-            # full filter chain, vectorized (parity: core.filters.pseudoalign)
-            normalized = score / lens_m  # f64, matches src/align.rs:968
-            ok = (
-                (ent >= MIN_ENTROPY_SCORE)
-                & has_anchor
-                & (score >= cfg.score_threshold)
-                & (normalized >= cfg.score_percent)
-                & (n_distinct > 0)
-                & (mm <= cfg.num_mismatches)
-            )
-            if cfg.discard_multiple_matches:
-                ok &= n_distinct <= 1
-            if cfg.discard_nonzero_mismatch:
-                ok &= mm == 0
-
-            host_mask = overflow & (ent >= MIN_ENTROPY_SCORE)
-            passed[sel] = ok & ~host_mask
-            eq_sorted[sel] = eq
-            needs_host[sel] = host_mask
-
-        return {"passed": passed, "eq_sorted": eq_sorted, "needs_host": needs_host}
-
-    def align_raw(self, seqs: Sequence[Optional[np.ndarray]]):
-        """List-of-arrays wrapper over align_raw_from_matrix (None -> fail)."""
-        clean = [s if s is not None else np.zeros(0, dtype=np.int8) for s in seqs]
-        from nimble_tpu.core.fast_count import pack_matrix
-
-        mat, lens = pack_matrix(clean)
-        return self.align_raw_from_matrix(mat, lens)
 
     # --- compact interface: ~6 downloaded bytes per read ------------------
 
@@ -447,26 +358,6 @@ class DeviceAlignEngine:
         return sorted(set(rows))
 
     # --- internals --------------------------------------------------------
-
-    def _run_kernel(self, reads, lens):
-        out = probe_and_walk(
-            jnp.asarray(reads),
-            jnp.asarray(lens),
-            self._dev["table_key_lo"],
-            self._dev["table_key_hi"],
-            self._dev["table_start"],
-            self._dev["table_count"],
-            self._dev["postings_row"],
-            self._dev["postings_off"],
-            self._dev["ref_codes"],
-            self._dev["row_starts"],
-            self._dev["row_lengths"],
-            k=self.didx.k,
-            max_probe=self.didx.max_probe,
-            c_max=self.c_max,
-            table_mask=self.didx.table_size - 1,
-        )
-        return {k: np.asarray(v) for k, v in out.items()}
 
     def _pad_batch(self, seqs, idxs, bucket):
         B = 1

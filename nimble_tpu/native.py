@@ -50,6 +50,16 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64]
+            lib.nimble_bam_scan.restype = ctypes.c_int64
+            lib.nimble_bam_scan.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p]
             lib.nimble_dedupe_new.restype = ctypes.c_void_p
             lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
             lib.nimble_dedupe_size.restype = ctypes.c_int64
@@ -117,6 +127,50 @@ def extract_kmer_keys(codes: np.ndarray, k: int) -> np.ndarray | None:
     out = np.empty(n - k + 1, dtype=np.uint64)
     lib.nimble_extract_kmer_keys(codes.ctypes.data, n, k, out.ctypes.data)
     return out
+
+
+def bam_scan(buf: bytes, max_records: int):
+    """Parse a decompressed BAM record stream into flat arrays; None when
+    the native library is unavailable.
+
+    Returns (count, consumed_bytes, fixed (count,8) int32, and
+    (qname_off, qname_flat), (seq_off, seq_flat), (qual_off, qual_flat),
+    (aux_off, aux_flat)) — aux_flat holds only Z/H tags as
+    [tag 2B][len u16][bytes] entries.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    n = len(arr)
+    fixed = np.empty((max_records, 8), dtype=np.int32)
+    qname_off = np.empty(max_records + 1, dtype=np.int64)
+    qname_flat = np.empty(max(n, 1), dtype=np.uint8)
+    seq_off = np.empty(max_records + 1, dtype=np.int64)
+    seq_flat = np.empty(max(2 * n, 1), dtype=np.uint8)
+    qual_off = np.empty(max_records + 1, dtype=np.int64)
+    qual_flat = np.empty(max(n, 1), dtype=np.uint8)
+    aux_off = np.empty(max_records + 1, dtype=np.int64)
+    aux_flat = np.empty(max(2 * n, 1), dtype=np.uint8)
+    cigar_off = np.empty(max_records + 1, dtype=np.int64)
+    cigar_flat = np.empty(max(n // 4 + 1, 1), dtype=np.uint32)
+    consumed = np.zeros(1, dtype=np.int64)
+    count = lib.nimble_bam_scan(
+        arr.ctypes.data, n, max_records,
+        fixed.ctypes.data,
+        qname_off.ctypes.data, qname_flat.ctypes.data,
+        seq_off.ctypes.data, seq_flat.ctypes.data,
+        qual_off.ctypes.data, qual_flat.ctypes.data,
+        aux_off.ctypes.data, aux_flat.ctypes.data,
+        cigar_off.ctypes.data, cigar_flat.ctypes.data,
+        consumed.ctypes.data,
+    )
+    return (
+        int(count), int(consumed[0]), fixed,
+        (qname_off, qname_flat), (seq_off, seq_flat),
+        (qual_off, qual_flat), (aux_off, aux_flat),
+        (cigar_off, cigar_flat),
+    )
 
 
 class DedupeSet:

@@ -233,110 +233,7 @@ def probe_and_walk(
     }
 
 
-# minimum-download variant for the fast counting path -----------------------
-
+# entropy gate constants shared with the fast kernel (ops/engine_fast.py):
+# f32 on device with a boundary band punted to exact host f64
 MIN_ENTROPY_SCORE_F32 = 1.75
-ENTROPY_BOUNDARY_BAND = 1e-4  # reads this close to the gate go to host f64
-
-
-@partial(jax.jit, static_argnames=("k", "max_probe", "c_max", "table_mask"))
-def probe_and_walk_compact(
-    reads, read_lens,
-    table_key_lo, table_key_hi, table_start, table_count,
-    postings_row, postings_off,
-    ref_codes, row_starts, row_lengths,
-    s_min_table,       # (Lmax+1,) int32: min passing score per read length
-    score_threshold,   # () int32
-    num_mismatches,    # () int32
-    discard_multiple,  # () bool
-    discard_nonzero,   # () bool
-    *,
-    k: int,
-    max_probe: int,
-    c_max: int,
-    table_mask: int,
-):
-    """Full per-read filter chain ON DEVICE; downloads ~6 bytes/read.
-
-    Returns:
-      astart (B,) int32 — anchor postings span start (eq-class identity)
-      mask   (B,) int32 — bit c set iff candidate lane c survived the walk
-      passed (B,) bool  — survived every filter (`pseudoalign` semantics)
-      needs_host (B,) bool — candidate overflow OR entropy within the f32
-                             boundary band: redo exactly on host
-
-    Exactness: score/length/mismatch comparisons are integer (the
-    normalized-score threshold is the precomputed exact integer table
-    s_min_table); only the entropy gate uses f32, and reads within
-    ENTROPY_BOUNDARY_BAND of the threshold are punted to the host.
-    """
-    B, Lmax = reads.shape
-    reads_i32 = reads.astype(jnp.int32)
-
-    hit, start, cnt = probe_positions(
-        reads_i32, read_lens,
-        table_key_lo, table_key_hi, table_start, table_count,
-        k=k, max_probe=max_probe, table_mask=table_mask,
-    )
-    has_anchor = hit.any(axis=1)
-    anchor = jnp.argmax(hit, axis=1).astype(jnp.int32)
-    astart = jnp.take_along_axis(start, anchor[:, None], axis=1)[:, 0]
-    acnt = jnp.take_along_axis(cnt, anchor[:, None], axis=1)[:, 0]
-
-    rows, offs, live0, overflow = gather_candidates(
-        astart, acnt, postings_row, postings_off, has_anchor, c_max=c_max
-    )
-    live, walk_score, walk_mm = walk_candidates(
-        reads_i32, read_lens, anchor, rows, offs, live0,
-        ref_codes, row_starts, row_lengths, k=k,
-    )
-    score = jnp.where(has_anchor, k + walk_score, 0)
-    mm = jnp.where(has_anchor, walk_mm, 0)
-
-    # --- entropy gate (f32 with boundary band) ---
-    pos_mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < read_lens[:, None]
-    inv_len = 1.0 / jnp.maximum(read_lens, 1).astype(jnp.float32)
-    ent = jnp.zeros(B, dtype=jnp.float32)
-    for code in (0, 3, 1, 2):  # A, T, C, G — reference summation order
-        c_count = ((reads_i32 == code) & pos_mask).sum(axis=1).astype(jnp.float32)
-        f = c_count * inv_len
-        ent = ent - jnp.where(f > 0.0, f * jnp.log2(jnp.maximum(f, 1e-30)), 0.0)
-    ent_pass = ent >= jnp.float32(MIN_ENTROPY_SCORE_F32 + ENTROPY_BOUNDARY_BAND)
-    ent_boundary = (
-        jnp.abs(ent - jnp.float32(MIN_ENTROPY_SCORE_F32))
-        <= jnp.float32(ENTROPY_BOUNDARY_BAND)
-    )
-
-    # --- distinct-row count for discard_multiple_matches ---
-    big = jnp.int32(2**31 - 1)
-    masked_rows = jnp.where(live, rows, big)
-    sorted_rows = jnp.sort(masked_rows, axis=1)
-    distinct = (sorted_rows[:, :1] != big).astype(jnp.int32).squeeze(1) + (
-        (sorted_rows[:, 1:] != sorted_rows[:, :-1]) & (sorted_rows[:, 1:] != big)
-    ).astype(jnp.int32).sum(axis=1)
-
-    # --- exact integer filter chain ---
-    s_min = s_min_table[jnp.clip(read_lens, 0, s_min_table.shape[0] - 1)]
-    passed = (
-        ent_pass
-        & has_anchor
-        & (score >= score_threshold)
-        & (score >= s_min)
-        & (mm <= num_mismatches)
-        & jnp.where(discard_multiple, distinct <= 1, True)
-        & jnp.where(discard_nonzero, mm == 0, True)
-    )
-
-    lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
-    mask = jnp.where(live, lane, 0).sum(axis=1)
-
-    # host rescue when the device result may be wrong: candidate overflow, or
-    # entropy too close to the gate for f32 (both only matter with an anchor
-    # — without one the outcome is a fail either way)
-    needs_host = has_anchor & (overflow | ent_boundary)
-    return {
-        "astart": astart,
-        "mask": mask,
-        "passed": passed & ~needs_host,
-        "needs_host": needs_host,
-    }
+ENTROPY_BOUNDARY_BAND = 1e-4

@@ -249,3 +249,34 @@ def test_bam_pipeline_clip_124(tmp_path):
     _, rows = _read_rows(out)
     feature_rows = [r for r in rows if r[0] == "gene"]
     assert len(feature_rows) == 1  # clipped reads still align cleanly
+
+
+def test_native_reader_matches_python_reader(tmp_path):
+    """The C++ batch scanner must produce identical records to the Python
+    per-record decoder."""
+    lib = json.load(open(library_path("mismatch.json")))
+    gene = lib[1]["columns"][3][0]
+    path = str(tmp_path / "cmp.bam")
+    make_synthetic_bam(path, [gene], n_groups=4, pairs_per_group=3,
+                       unpaired_per_group=1, seed=9, pad_to_124=True,
+                       read_len=111)
+    from nimble_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    fast = list(BamReader(path, use_native=True))
+    slow = list(BamReader(path, use_native=False))
+    assert len(fast) == len(slow) and len(fast) > 0
+    for a, b in zip(fast, slow):
+        assert a.qname == b.qname
+        assert a.flag == b.flag
+        assert (a.tid, a.pos, a.mapq, a.mtid, a.mpos, a.tlen) == (
+            b.tid, b.pos, b.mapq, b.mtid, b.mpos, b.tlen)
+        assert a.seq == b.seq
+        assert a.qual == b.qual
+        assert a.cigar_ops == b.cigar_ops
+        # Z tags identical (native surfaces only Z/H, which is all the
+        # pipeline consumes)
+        z_a = {k: v for k, v in a.tags.items() if v[0] == "Z"}
+        z_b = {k: v for k, v in b.tags.items() if v[0] == "Z"}
+        assert z_a == z_b
