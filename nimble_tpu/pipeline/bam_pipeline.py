@@ -337,9 +337,13 @@ def process(
                     break
                 groups.append(more)
 
-            batch_results = align_groups_batched(
-                groups, engines, references, aligner_configs
-            )
+            from nimble_tpu.utils.metrics import METRICS
+
+            n_records = sum(len(g[0]) for g in groups)
+            with METRICS.meter("bam_align").measure(n_records):
+                batch_results = align_groups_batched(
+                    groups, engines, references, aligner_configs
+                )
             for results in batch_results:
                 for i, library_scores in enumerate(results):
                     for score in library_scores:
@@ -359,6 +363,8 @@ def process(
         th.start()
         consumers.append(th)
 
+    from nimble_tpu.utils.metrics import METRICS
+
     producer_thread.join()
     print("Joined on producer.")
     for _ in consumers:
@@ -368,4 +374,7 @@ def process(
         print("Joined on consumer.")
     log_queue.put(None)
     log_thread.join()
+    meter = METRICS.meter("bam_align")
+    if meter.items:
+        print(meter.summary())
     print("Joined on logging; terminating.")

@@ -47,6 +47,9 @@ def process(
             if len(input_files) > 1
             else None
         )
+        from nimble_tpu.utils.metrics import METRICS
+
+        meter = METRICS.meter("fastq_align")
         # double-buffered feed: chunk N+1's kernels launch (async) before
         # chunk N's host-side counting runs
         pending: List = []
@@ -63,15 +66,18 @@ def process(
                     )
             else:
                 mate_mat, mate_lens = None, None
-            handles = [
-                counter.dispatch(mat, lens, mate_mat, mate_lens)
-                for counter in counters
-            ]
+            with meter.measure(mat.shape[0] * len(counters)):
+                handles = [
+                    counter.dispatch(mat, lens, mate_mat, mate_lens)
+                    for counter in counters
+                ]
+                for counter, handle in pending:
+                    counter.process(handle)
+                pending = list(zip(counters, handles))
+        with meter.measure(0):
             for counter, handle in pending:
                 counter.process(handle)
-            pending = list(zip(counters, handles))
-        for counter, handle in pending:
-            counter.process(handle)
+        print(meter.summary())
         for i, counter in enumerate(counters):
             results = counter.finalize()
             write_to_tsv(
