@@ -77,3 +77,46 @@ def test_cli_engines_agree(corpus, chem, tmp_path):
     assert outputs["device"] == outputs["host"]
     assert outputs["mesh"] == outputs["host"]
     assert len(outputs["host"].splitlines()) > 5
+
+
+@pytest.fixture(scope="module")
+def paired_corpus(corpus, tmp_path_factory):
+    """R2 mates: mostly same-feature reverse-orientation fragments."""
+    lib_path, fq, td = corpus
+    import json
+
+    feats = json.load(open(lib_path))[1]["columns"][2]
+    rng = np.random.default_rng(55)
+    from nimble_tpu.utils.dna import revcomp
+
+    r1_seqs = []
+    with open(fq) as f:
+        lines = f.read().splitlines()
+        r1_seqs = lines[1::4]
+    r2 = td / "mates.fastq"
+    with open(r2, "w") as f:
+        for i, _ in enumerate(r1_seqs):
+            fi = int(rng.integers(0, len(feats)))
+            start = int(rng.integers(0, 300))
+            frag = revcomp(feats[fi][start : start + 60])
+            if rng.random() < 0.25:
+                frag = "".join(rng.choice(list("ACGT"), size=60))
+            f.write(f"@m{i}\n{frag}\n+\n{'I' * len(frag)}\n")
+    return lib_path, fq, str(r2)
+
+
+@pytest.mark.parametrize("chem", ["unstranded", "fiveprime", "threeprime"])
+def test_cli_paired_engines_agree(paired_corpus, chem, tmp_path):
+    lib_path, fq, r2 = paired_corpus
+    outputs = {}
+    for engine in ("host", "device"):
+        out = str(tmp_path / f"{engine}_{chem}.tsv")
+        rc = main(["-r", lib_path, "-i", fq, "-i", r2, "-o", out, "-f", chem,
+                   "--engine", engine])
+        assert rc == 0
+        outputs[engine] = open(out).read()
+    assert outputs["device"] == outputs["host"]
+    if chem != "threeprime":
+        # this corpus is 5'-oriented (R1 forward / R2 reverse); threeprime
+        # chemistry correctly filters it to nothing on both engines
+        assert len(outputs["host"].splitlines()) > 2
