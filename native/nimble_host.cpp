@@ -222,11 +222,16 @@ int64_t nimble_bam_scan(
                 int64_t s = off;
                 while (off < block_size && r[off] != 0) ++off;
                 int64_t len = off - s;
-                aux_flat[ax] = t0; aux_flat[ax + 1] = t1;
-                uint16_t l16 = (uint16_t)(len > 65535 ? 65535 : len);
-                std::memcpy(aux_flat + ax + 2, &l16, 2);
-                std::memcpy(aux_flat + ax + 4, r + s, l16);
-                ax += 4 + l16;
+                // only Z tags enter the blob: htslib's aux-string lookup
+                // (`Aux::String`) matches Z but not H, and every consumer
+                // filters for Z — keeping H out preserves that semantics
+                if (typ == 'Z') {
+                    aux_flat[ax] = t0; aux_flat[ax + 1] = t1;
+                    uint16_t l16 = (uint16_t)(len > 65535 ? 65535 : len);
+                    std::memcpy(aux_flat + ax + 2, &l16, 2);
+                    std::memcpy(aux_flat + ax + 4, r + s, l16);
+                    ax += 4 + l16;
+                }
                 ++off;  // NUL
             } else if (typ == 'A' || typ == 'c' || typ == 'C') {
                 off += 1;
@@ -257,6 +262,314 @@ int64_t nimble_bam_scan(
     }
     *consumed = pos;
     return count;
+}
+
+// ---------------------------------------------------------------------------
+// Columnar BAM metadata builder: derives, per record, everything the UMI
+// pipeline needs — without ever materializing Python record objects.
+// (The role of `record_metadata` / `src/parse/bam.rs:197-236`, vectorized.)
+//
+// Per record the outputs are:
+//   meta      — the 35 leading output metadata fields tab-joined (field order
+//               of BAM_FIELDS_TO_REPORT minus QUAL(1), SEQ(15) and the
+//               trailing SKIP_ALIGN(37), which the pipeline appends itself);
+//               per field, a Z aux tag whose first two bytes match the field
+//               name wins (htslib 2-byte tag resolution quirk), else the
+//               built-in accessor value
+//   seq2      — 2-bit codes of the clipped, normalized sequence (alignment
+//               input; 124bp 10x rule from `src/parse/bam.rs:258-268`)
+//   meta1     — metadata[1] (QUAL field: aux "QU" override, else the clipped
+//               qual value bytes, reversed for reverse reads)
+//   meta15    — metadata[15] (SEQ field: aux "SE" override, else the
+//               normalized clipped sequence string)
+//   rev2      — metadata[2] (REVERSE: aux "RE" override, else true/false)
+//   qn        — metadata[0] (QNAME: aux "QN" override, else qname)
+//   cb/umi/sk — CB tag, UB-else-UR tag, SK tag (empty when absent)
+//   oflags    — bit0 paired, bit1 reverse, bit2 has_cb, bit3 has_umi
+// Returns 0, or -1 if an output buffer would overflow (caller re-allocates).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct AuxView {
+    const uint8_t* blob;
+    int64_t begin, end;
+    // find a Z tag by its first two bytes; returns length or -1
+    int64_t find(char a, char b, const uint8_t** val) const {
+        int64_t p = begin;
+        while (p + 4 <= end) {
+            uint16_t len = (uint16_t)(blob[p + 2] | (blob[p + 3] << 8));
+            if ((char)blob[p] == a && (char)blob[p + 1] == b) {
+                *val = blob + p + 4;
+                return len;
+            }
+            p += 4 + len;
+        }
+        return -1;
+    }
+};
+
+struct Out {
+    uint8_t* buf;
+    int64_t pos, cap;
+    bool overflow;
+    void put(const uint8_t* src, int64_t n) {
+        if (pos + n > cap) { overflow = true; return; }
+        std::memcpy(buf + pos, src, n);
+        pos += n;
+    }
+    void putc(char c) {
+        if (pos + 1 > cap) { overflow = true; return; }
+        buf[pos++] = (uint8_t)c;
+    }
+    void puts(const char* s) { put((const uint8_t*)s, (int64_t)std::strlen(s)); }
+    void puti(int64_t v) {
+        char tmp[24];
+        int n = 0;
+        if (v < 0) { putc('-'); v = -v; }
+        if (v == 0) tmp[n++] = '0';
+        while (v > 0) { tmp[n++] = (char)('0' + v % 10); v /= 10; }
+        while (n > 0) putc(tmp[--n]);
+    }
+};
+
+const int kClipLength = 13;  // `src/parse/bam.rs:7` CLIP_LENGTH
+
+}  // namespace
+
+int32_t nimble_bam_meta(
+    const int32_t* fixed,
+    const int64_t* qname_off, const uint8_t* qname_flat,
+    const int64_t* seq_off, const uint8_t* seq_flat,
+    const int64_t* qual_off, const uint8_t* qual_flat,
+    const int64_t* aux_off, const uint8_t* aux_flat,
+    int64_t n,
+    uint8_t* meta_flat, int64_t* meta_offs, int64_t meta_cap,
+    int8_t* seq2_flat, int64_t* seq2_offs, int64_t seq2_cap,
+    uint8_t* meta1_flat, int64_t* meta1_offs, int64_t meta1_cap,
+    uint8_t* meta15_flat, int64_t* meta15_offs, int64_t meta15_cap,
+    uint8_t* rev2_flat, int64_t* rev2_offs, int64_t rev2_cap,
+    uint8_t* qn_flat, int64_t* qn_offs, int64_t qn_cap,
+    uint8_t* cb_flat, int64_t* cb_offs, int64_t cb_cap,
+    uint8_t* umi_flat, int64_t* umi_offs, int64_t umi_cap,
+    uint8_t* sk_flat, int64_t* sk_offs, int64_t sk_cap,
+    uint8_t* oflags) {
+    static int8_t code_lut[256];
+    static uint8_t norm_lut[256];
+    static bool init = false;
+    if (!init) {
+        std::memset(code_lut, 0, sizeof(code_lut));
+        code_lut['A'] = 0; code_lut['a'] = 0;
+        code_lut['C'] = 1; code_lut['c'] = 1;
+        code_lut['G'] = 2; code_lut['g'] = 2;
+        code_lut['T'] = 3; code_lut['t'] = 3;
+        static const char dec[4] = {'A', 'C', 'G', 'T'};
+        for (int i = 0; i < 256; ++i) norm_lut[i] = (uint8_t)dec[code_lut[i]];
+        init = true;
+    }
+
+    Out meta{meta_flat, 0, meta_cap, false};
+    Out m1{meta1_flat, 0, meta1_cap, false};
+    Out m15{meta15_flat, 0, meta15_cap, false};
+    Out rv{rev2_flat, 0, rev2_cap, false};
+    Out qn{qn_flat, 0, qn_cap, false};
+    Out cb{cb_flat, 0, cb_cap, false};
+    Out um{umi_flat, 0, umi_cap, false};
+    Out sk{sk_flat, 0, sk_cap, false};
+    int64_t s2 = 0;
+
+    meta_offs[0] = meta1_offs[0] = meta15_offs[0] = rev2_offs[0] = 0;
+    qn_offs[0] = cb_offs[0] = umi_offs[0] = sk_offs[0] = seq2_offs[0] = 0;
+
+    for (int64_t i = 0; i < n; ++i) {
+        const int32_t* f = fixed + i * 8;
+        int32_t flag = f[0], tid = f[1], pos = f[2], mapq = f[3];
+        int32_t mtid = f[4], mpos = f[5], tlen = f[6], l_seq = f[7];
+        bool rev = (flag & 0x10) != 0;
+        AuxView aux{aux_flat, aux_off[i], aux_off[i + 1]};
+        const uint8_t* v;
+        int64_t vl;
+
+        // --- seq2: clipped normalized codes ---
+        const uint8_t* sp = seq_flat + seq_off[i];
+        int64_t slen = seq_off[i + 1] - seq_off[i];
+        int64_t sbeg = 0, send = slen;
+        if (slen == 124) {           // strip_nonbio_regions
+            if (rev) send -= kClipLength; else sbeg += kClipLength;
+        }
+        int64_t clen = send - sbeg;
+        if (s2 + clen > seq2_cap) return -1;
+        for (int64_t j = 0; j < clen; ++j)
+            seq2_flat[s2 + j] = code_lut[sp[sbeg + j]];
+        s2 += clen;
+        seq2_offs[i + 1] = s2;
+
+        // --- meta1 = QUAL field: aux "QU" else clipped (reversed) qual ---
+        if ((vl = aux.find('Q', 'U', &v)) >= 0) {
+            m1.put(v, vl);
+        } else {
+            const uint8_t* qp = qual_flat + qual_off[i];
+            int64_t qlen = qual_off[i + 1] - qual_off[i];
+            int64_t qbeg = 0, qend = qlen;
+            if (qlen == 124) {       // strip_nonbio_regions_qual
+                if (rev) qend -= kClipLength; else qbeg += kClipLength;
+            }
+            if (rev) {
+                for (int64_t j = qend - 1; j >= qbeg; --j) m1.putc((char)qp[j]);
+            } else {
+                m1.put(qp + qbeg, qend - qbeg);
+            }
+        }
+        meta1_offs[i + 1] = m1.pos;
+
+        // --- meta15 = SEQ field: aux "SE" else normalized clipped seq ---
+        if ((vl = aux.find('S', 'E', &v)) >= 0) {
+            m15.put(v, vl);
+        } else {
+            if (m15.pos + clen > m15.cap) return -1;
+            for (int64_t j = 0; j < clen; ++j)
+                m15.buf[m15.pos + j] = norm_lut[sp[sbeg + j]];
+            m15.pos += clen;
+        }
+        meta15_offs[i + 1] = m15.pos;
+
+        // --- rev2 = REVERSE field ---
+        if ((vl = aux.find('R', 'E', &v)) >= 0) rv.put(v, vl);
+        else rv.puts(rev ? "true" : "false");
+        rev2_offs[i + 1] = rv.pos;
+
+        // --- qn = QNAME field ---
+        if ((vl = aux.find('Q', 'N', &v)) >= 0) qn.put(v, vl);
+        else qn.put(qname_flat + qname_off[i], qname_off[i + 1] - qname_off[i]);
+        qn_offs[i + 1] = qn.pos;
+
+        // --- cb / umi / sk tag columns ---
+        uint8_t ofl = 0;
+        if (flag & 0x1) ofl |= 1;
+        if (rev) ofl |= 2;
+        if (flag & 0x40) ofl |= 16;  // first-in-template (pairing order)
+        if ((vl = aux.find('C', 'B', &v)) >= 0) { cb.put(v, vl); ofl |= 4; }
+        cb_offs[i + 1] = cb.pos;
+        if ((vl = aux.find('U', 'B', &v)) >= 0) { um.put(v, vl); ofl |= 8; }
+        else if ((vl = aux.find('U', 'R', &v)) >= 0) { um.put(v, vl); ofl |= 8; }
+        umi_offs[i + 1] = um.pos;
+        if ((vl = aux.find('S', 'K', &v)) >= 0) sk.put(v, vl);
+        sk_offs[i + 1] = sk.pos;
+
+        // --- the 35-field joined metadata prefix ---
+        // field order: BAM_FIELDS_TO_REPORT minus indices 1 (QUAL), 15 (SEQ),
+        // 37 (SKIP_ALIGN, appended by the pipeline)
+        // 0 QNAME
+        if ((vl = aux.find('Q', 'N', &v)) >= 0) meta.put(v, vl);
+        else meta.put(qname_flat + qname_off[i], qname_off[i + 1] - qname_off[i]);
+        meta.putc('\t');
+        // 2 REVERSE
+        if ((vl = aux.find('R', 'E', &v)) >= 0) meta.put(v, vl);
+        else meta.puts(rev ? "true" : "false");
+        meta.putc('\t');
+        // 3 MATE_REVERSE (prefix MA)
+        if ((vl = aux.find('M', 'A', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x20) ? "true" : "false");
+        meta.putc('\t');
+        // 4 PAIRED (prefix PA)
+        if ((vl = aux.find('P', 'A', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x1) ? "true" : "false");
+        meta.putc('\t');
+        // 5 PROPER_PAIRED (prefix PR)
+        if ((vl = aux.find('P', 'R', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x2) ? "true" : "false");
+        meta.putc('\t');
+        // 6 PAIR_ORIENTATION (prefix PA)
+        if ((vl = aux.find('P', 'A', &v)) >= 0) meta.put(v, vl);
+        else {
+            bool paired = (flag & 0x1) != 0;
+            bool unmapped = (flag & 0x4) != 0, munmapped = (flag & 0x8) != 0;
+            if (paired && !unmapped && !munmapped && tid == mtid) {
+                bool first = (flag & 0x40) != 0;
+                bool mrev = (flag & 0x20) != 0;
+                char self_l[3] = {rev ? 'R' : 'F', first ? '1' : '2', 0};
+                char mate_l[3] = {mrev ? 'R' : 'F', first ? '2' : '1', 0};
+                if (pos <= mpos) { meta.puts(self_l); meta.puts(mate_l); }
+                else { meta.puts(mate_l); meta.puts(self_l); }
+            } else {
+                meta.puts("None");
+            }
+        }
+        meta.putc('\t');
+        // 7 UNMAPPED (UN)
+        if ((vl = aux.find('U', 'N', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x4) ? "true" : "false");
+        meta.putc('\t');
+        // 8 MATE_UNMAPPED (MA)
+        if ((vl = aux.find('M', 'A', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x8) ? "true" : "false");
+        meta.putc('\t');
+        // 9 FIRST_IN_TEMPLATE (FI)
+        if ((vl = aux.find('F', 'I', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x40) ? "true" : "false");
+        meta.putc('\t');
+        // 10 LAST_IN_TEMPLATE (LA)
+        if ((vl = aux.find('L', 'A', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x80) ? "true" : "false");
+        meta.putc('\t');
+        // 11 STRAND (ST)
+        if ((vl = aux.find('S', 'T', &v)) >= 0) meta.put(v, vl);
+        else meta.putc(rev ? '-' : '+');
+        meta.putc('\t');
+        // 12 MAPQ (MA)
+        if ((vl = aux.find('M', 'A', &v)) >= 0) meta.put(v, vl);
+        else meta.puti(mapq);
+        meta.putc('\t');
+        // 13 POS (PO)
+        if ((vl = aux.find('P', 'O', &v)) >= 0) meta.put(v, vl);
+        else meta.puti(pos);
+        meta.putc('\t');
+        // 14 MATE_POS (MA)
+        if ((vl = aux.find('M', 'A', &v)) >= 0) meta.put(v, vl);
+        else meta.puti(mpos);
+        meta.putc('\t');
+        // 16 SEQ_LEN (SE)
+        if ((vl = aux.find('S', 'E', &v)) >= 0) meta.put(v, vl);
+        else meta.puti(l_seq);
+        meta.putc('\t');
+        // 17 INSERT_SIZE (IN)
+        if ((vl = aux.find('I', 'N', &v)) >= 0) meta.put(v, vl);
+        else meta.puti(tlen);
+        meta.putc('\t');
+        // 18 QUALITY_FAILED (QU)
+        if ((vl = aux.find('Q', 'U', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x200) ? "true" : "false");
+        meta.putc('\t');
+        // 19 SECONDARY (SE)
+        if ((vl = aux.find('S', 'E', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x100) ? "true" : "false");
+        meta.putc('\t');
+        // 20 DUPLICATE (DU)
+        if ((vl = aux.find('D', 'U', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x400) ? "true" : "false");
+        meta.putc('\t');
+        // 21 SUPPLEMENTARY (SU)
+        if ((vl = aux.find('S', 'U', &v)) >= 0) meta.put(v, vl);
+        else meta.puts((flag & 0x800) ? "true" : "false");
+        meta.putc('\t');
+        // 22..36: aux-only fields NH HI AS GN TX AN nM fx RE CR CY CB UR UY UB
+        static const char tag_fields[15][2] = {
+            {'N','H'},{'H','I'},{'A','S'},{'G','N'},{'T','X'},{'A','N'},
+            {'n','M'},{'f','x'},{'R','E'},{'C','R'},{'C','Y'},{'C','B'},
+            {'U','R'},{'U','Y'},{'U','B'},
+        };
+        for (int t = 0; t < 15; ++t) {
+            if ((vl = aux.find(tag_fields[t][0], tag_fields[t][1], &v)) >= 0)
+                meta.put(v, vl);
+            if (t != 14) meta.putc('\t');
+        }
+        meta_offs[i + 1] = meta.pos;
+        oflags[i] = ofl;
+
+        if (meta.overflow || m1.overflow || m15.overflow || rv.overflow ||
+            qn.overflow || cb.overflow || um.overflow || sk.overflow)
+            return -1;
+    }
+    return 0;
 }
 
 void* nimble_dedupe_new() { return new DedupSet(); }

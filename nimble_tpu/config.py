@@ -86,6 +86,11 @@ class FilterReason(enum.Enum):
         return self.value
 
 
+# stable integer codes for FilterReason (columnar device/host interchange)
+FILTER_REASONS = tuple(FilterReason)
+FILTER_REASON_CODE = {r: i for i, r in enumerate(FILTER_REASONS)}
+
+
 class AlignmentOrientation(enum.Enum):
     """Combined read-pair/feature orientation label (`src/align.rs:105-134`)."""
 

@@ -102,9 +102,6 @@ class FastCounter:
         self._seen: set = set()
         # combo key -> [eq1, eq2, multiplicity]
         self._combos: Dict[Tuple, list] = {}
-        # phase-A-unresolved reads, batched across chunks and flushed at
-        # finalize (per-chunk phase-B kernels are latency-bound)
-        self._deferred: List = []
 
     _EQ_BIG = np.int64(2**62)
 
@@ -155,56 +152,14 @@ class FastCounter:
         return (mat, lens, mate_mat, mate_lens, st1, st2)
 
     def process(self, handle) -> None:
-        """Collect + count one dispatched chunk (unresolved reads deferred)."""
+        """Collect + count one dispatched chunk."""
         mat, lens, mate_mat, mate_lens, st1, st2 = handle
         if st1 is None:
             self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
             return
-        raw1 = self.engine.compact_collect(st1, defer_unresolved=True)
+        raw1 = self.engine.compact_collect(st1)
         raw2 = (
-            self.engine.compact_collect(st2, defer_unresolved=True)
-            if st2 is not None
-            else None
-        )
-        defer = raw1.pop("unresolved")
-        if raw2 is not None:
-            defer = defer | raw2.pop("unresolved")
-        if defer.any():
-            for i in np.flatnonzero(defer):
-                self._deferred.append(
-                    (
-                        mat[i, : lens[i]].copy(),
-                        mate_mat[i, : mate_lens[i]].copy()
-                        if mate_mat is not None
-                        else None,
-                    )
-                )
-            keep_now = ~defer
-            self._add_with_raw(
-                mat[keep_now], lens[keep_now],
-                mate_mat[keep_now] if mate_mat is not None else None,
-                mate_lens[keep_now] if mate_lens is not None else None,
-                {k: v[keep_now] for k, v in raw1.items()},
-                {k: v[keep_now] for k, v in raw2.items()} if raw2 is not None else None,
-            )
-        else:
-            self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
-
-    def _flush_deferred(self) -> None:
-        if not self._deferred:
-            return
-        deferred, self._deferred = self._deferred, []
-        r1_list = [d[0] for d in deferred]
-        mat, lens = pack_matrix(r1_list)
-        if deferred[0][1] is not None:
-            mate_mat, mate_lens = pack_matrix([d[1] for d in deferred])
-        else:
-            mate_mat, mate_lens = None, None
-        raw1 = self.engine.align_raw_compact_full_probe(mat, lens)
-        raw2 = (
-            self.engine.align_raw_compact_full_probe(mate_mat, mate_lens)
-            if mate_mat is not None
-            else None
+            self.engine.compact_collect(st2) if st2 is not None else None
         )
         self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
 
@@ -224,9 +179,20 @@ class FastCounter:
             cid2 = np.full(n, -1, dtype=np.int64)
             rescued2 = {}
 
-        # distinct (cid1, cid2) combos; decode each ONCE, vectorized
-        pair_mat = np.stack([cid1, cid2], axis=1)
-        combos, inverse = np.unique(pair_mat, axis=0, return_inverse=True)
+        # distinct (cid1, cid2) combos; decode each ONCE, vectorized.
+        # (np.unique(axis=0) sorts structured rows and is ~50x slower than
+        # 1-D unique on int64 — compose from per-side uniques instead)
+        u1, inv1 = np.unique(cid1, return_inverse=True)
+        if mate_mat is None:
+            combos = np.stack([u1, np.full(len(u1), -1, dtype=np.int64)], axis=1)
+            inverse = inv1
+        else:
+            u2, inv2 = np.unique(cid2, return_inverse=True)
+            code = inv1.astype(np.int64) * len(u2) + inv2
+            ucode, inverse = np.unique(code, return_inverse=True)
+            combos = np.stack(
+                [u1[ucode // len(u2)], u2[ucode % len(u2)]], axis=1
+            )
         eq_rows1 = self._decode_many(combos[:, 0])
         eq_rows2 = self._decode_many(combos[:, 1])
         has_rescue = bool(rescued1) or bool(rescued2)
@@ -289,15 +255,18 @@ class FastCounter:
                 entry[2] += count
 
         if self._native_seen is not None:
+            all_kept = len(kept) == n
+
             # vectorized key extraction + native hash-set insert
             def flatten(m, ls):
-                km = m[kept]
-                kl = ls[kept].astype(np.int64)
-                offs = np.zeros(len(kept) + 1, dtype=np.int64)
+                kl = (ls if all_kept else ls[kept]).astype(np.int64)
+                offs = np.zeros(len(kl) + 1, dtype=np.int64)
                 np.cumsum(kl, out=offs[1:])
                 if len(kl) and kl.min() == m.shape[1]:
                     # uniform full-width reads: rows are already contiguous
-                    return km.reshape(-1), offs
+                    km = m if all_kept else m[kept]
+                    return np.ascontiguousarray(km).reshape(-1), offs
+                km = m if all_kept else m[kept]
                 valid = np.arange(m.shape[1])[None, :] < kl[:, None]
                 flat = km[valid]  # row-major -> concatenated exact rows
                 return flat, offs
@@ -328,7 +297,6 @@ class FastCounter:
 
     def finalize(self) -> List[Tuple[List[str], Tuple[int, List[str], List[str]]]]:
         """Memoized orientation pipeline per combo -> sorted results."""
-        self._flush_deferred()
         results: Dict[Tuple[str, ...], int] = {}
         for e1, e2, mult in self._combos.values():
             state = (

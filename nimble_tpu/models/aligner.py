@@ -46,6 +46,7 @@ from nimble_tpu.ops.device_index import (
 )
 from nimble_tpu.ops.engine_fast import (
     probe_walk_filter,
+    probe_walk_filter_packed,
     probe_walk_full,
     unpack_compact,
 )
@@ -127,6 +128,17 @@ class DeviceAlignEngine:
             "row_starts": jnp.asarray(self.didx.row_starts),
             "row_lengths": jnp.asarray(self.didx.row_lengths),
         }
+        # device-resident config scalars + per-bucket s_min tables: every
+        # host-side argument to a launch is a separate host->device transfer
+        # (30-45 ms each over the remote tunnel), so all of them are cached
+        # on device once
+        self._dev_scalars = (
+            jnp.asarray(np.int32(config.score_threshold)),
+            jnp.asarray(np.int32(config.num_mismatches)),
+            jnp.asarray(np.bool_(config.discard_multiple_matches)),
+            jnp.asarray(np.bool_(config.discard_nonzero_mismatch)),
+        )
+        self._s_min_dev_cache: dict = {}
 
     # --- AlignEngine interface -------------------------------------------
 
@@ -192,12 +204,36 @@ class DeviceAlignEngine:
         self._s_min_cache[key] = table
         return table
 
-    def compact_dispatch(self, mat: np.ndarray, lens: np.ndarray):
-        """Launch phase-A kernels for a chunk; returns an opaque state.
+    @staticmethod
+    def _pack_reads(mat: np.ndarray, lens: np.ndarray, bucket: int,
+                    B: int) -> np.ndarray:
+        """Pack int8 codes + lengths into ONE uint8 (B, bucket/4 + 2) buffer.
 
-        jax dispatch is asynchronous, so the device starts immediately and
-        the caller can overlap host work (e.g. processing the previous
-        chunk) before calling :meth:`compact_collect`.
+        The remote tunnel charges per-transfer latency, so each launch ships
+        exactly one host array; 2-bit packing also cuts the payload 4x.
+        """
+        m, width = mat.shape
+        nb = (bucket + 3) // 4
+        buf = np.zeros((B, nb + 2), dtype=np.uint8)
+        w4 = nb * 4
+        src = np.zeros((m, w4), dtype=np.uint8)
+        take = min(width, bucket)
+        src[:, :take] = mat[:, :take].astype(np.uint8)
+        q = src.reshape(m, nb, 4)
+        buf[:m, :nb] = q[:, :, 0] | (q[:, :, 1] << 2) | (q[:, :, 2] << 4) | (
+            q[:, :, 3] << 6
+        )
+        buf[:m, nb] = (lens & 0xFF).astype(np.uint8)
+        buf[:m, nb + 1] = (lens >> 8).astype(np.uint8)
+        return buf
+
+    def compact_dispatch(self, mat: np.ndarray, lens: np.ndarray):
+        """Launch the compact kernel for a chunk; returns an opaque state.
+
+        Single-phase: every k-mer position is probed in one launch (device
+        compute is ~0.1 ms per 256k reads — per-launch latency dominates, so
+        fewer, fuller launches win).  jax dispatch is asynchronous; the
+        caller overlaps host work before :meth:`compact_collect`.
         """
         n, width = mat.shape
         lens = np.asarray(lens, dtype=np.int32)
@@ -207,84 +243,76 @@ class DeviceAlignEngine:
         if eligible.any():
             bucket_arr = np.asarray(self.buckets)
             bucket_idx = np.searchsorted(bucket_arr, lens)
-            for bi in np.unique(bucket_idx[eligible]):
+            present = np.unique(bucket_idx[eligible])
+            for bi in present:
                 bucket = int(bucket_arr[bi])
-                sel = np.flatnonzero(eligible & (bucket_idx == bi))
-                m = len(sel)
+                if len(present) == 1 and eligible.all():
+                    sel = None  # whole chunk, no row copy
+                    bmat, blens, m = mat, lens, n
+                else:
+                    sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
+                    sel, m = sel_idx, len(sel_idx)
+                    bmat, blens = mat[sel_idx], lens[sel_idx]
                 B = max(self.min_batch, 1 << (m - 1).bit_length())
-                reads = np.zeros((B, bucket), dtype=np.int8)
-                take = min(bucket, width)
-                reads[:m, :take] = mat[sel, :take]
-                blens = np.zeros(B, dtype=np.int32)
-                blens[:m] = lens[sel]
-                packed = self._launch_fast_kernel(
-                    reads, blens, bucket, self.phase_a_positions
-                )
-                launches.append((bucket, sel, m, reads, blens, packed))
+                buf = self._pack_reads(bmat, blens, bucket, B)
+                packed = self._launch_packed_kernel(buf, bucket)
+                launches.append((bucket, sel, m, packed))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
     def compact_collect(self, state, defer_unresolved: bool = False):
-        """Fetch phase-A results, run phase B for unresolved reads, and
-        assemble the flat result dict (see align_raw_compact_from_matrix).
-
-        With ``defer_unresolved`` the phase-B kernel is NOT launched; reads
-        without a phase-A anchor are flagged in the returned ``unresolved``
-        array instead, so a streaming caller can batch them across chunks
-        (phase-B launches are latency-bound on small batches).
-        """
+        """Fetch results and assemble the flat result dict (see
+        align_raw_compact_from_matrix).  ``defer_unresolved`` is accepted
+        for API compatibility; the single-phase kernel resolves every read
+        in its first launch, so the returned ``unresolved`` mask is all
+        False."""
         n = state["n"]
         astart = np.zeros(n, dtype=np.int64)
         mask = np.zeros(n, dtype=np.int32)
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
-        unresolved_out = np.zeros(n, dtype=bool)
 
-        for bucket, sel, m, reads, blens, packed in state["launches"]:
+        for bucket, sel, m, packed in state["launches"]:
             out = unpack_compact(np.asarray(packed))
-            # phase B: reads without an anchor in the first few positions
-            unresolved = ~out["has_anchor"][:m] & (
-                blens[:m].astype(np.int64) - self.bidx.k + 1
-                > self.phase_a_positions
-            )
-            if defer_unresolved:
-                unresolved_out[sel] = unresolved
-                unresolved = np.zeros_like(unresolved)
-            if unresolved.any():
-                sub = np.flatnonzero(unresolved)
-                ms = len(sub)
-                Bs = max(self.min_batch, 1 << (ms - 1).bit_length())
-                reads_s = np.zeros((Bs, bucket), dtype=np.int8)
-                reads_s[:ms] = reads[sub]
-                blens_s = np.zeros(Bs, dtype=np.int32)
-                blens_s[:ms] = blens[sub]
-                out_b = unpack_compact(
-                    np.asarray(self._launch_fast_kernel(reads_s, blens_s, bucket, bucket))
-                )
-                for key in ("astart", "mask", "passed", "needs_host"):
-                    out[key][sub] = out_b[key][:ms]
-
-            astart[sel] = out["astart"][:m]
-            mask[sel] = out["mask"][:m]
-            passed[sel] = out["passed"][:m]
-            needs_host[sel] = out["needs_host"][:m]
+            if sel is None:
+                astart[:] = out["astart"][:m]
+                mask[:] = out["mask"][:m]
+                passed[:] = out["passed"][:m]
+                needs_host[:] = out["needs_host"][:m]
+            else:
+                astart[sel] = out["astart"][:m]
+                mask[sel] = out["mask"][:m]
+                passed[sel] = out["passed"][:m]
+                needs_host[sel] = out["needs_host"][:m]
 
         result = {"astart": astart, "mask": mask, "passed": passed,
                   "needs_host": needs_host}
         if defer_unresolved:
-            result["unresolved"] = unresolved_out
+            result["unresolved"] = np.zeros(n, dtype=bool)
         return result
 
     def align_raw_compact_full_probe(self, mat: np.ndarray, lens: np.ndarray):
-        """Compact alignment probing ALL k-mer positions (single phase);
-        used for flushed backlogs of phase-A-unresolved reads."""
-        n, width = mat.shape
+        """Compact alignment probing ALL k-mer positions (the default)."""
+        return self.compact_collect(self.compact_dispatch(mat, lens))
+
+    # --- columnar full-output interface (BAM/forensic fast path) ----------
+
+    def full_dispatch(self, mat: np.ndarray, lens: np.ndarray,
+                      active: np.ndarray):
+        """Launch the full-output kernel for a batch; returns opaque state.
+
+        ``active`` marks reads that should be aligned (False = skipped/None
+        entries, which get no result).  Same packing/latency discipline as
+        compact_dispatch.
+        """
+        from nimble_tpu.ops.engine_fast import probe_walk_full_packed
+
+        n = mat.shape[0]
         lens = np.asarray(lens, dtype=np.int32)
-        astart = np.zeros(n, dtype=np.int64)
-        mask = np.zeros(n, dtype=np.int32)
-        passed = np.zeros(n, dtype=bool)
-        needs_host = lens > self.buckets[-1]
-        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
+        act = np.asarray(active, dtype=bool)
+        host_rescue = act & (lens > self.buckets[-1])
+        eligible = act & (lens >= MIN_READ_LENGTH) & ~host_rescue
+        launches = []
         if eligible.any():
             bucket_arr = np.asarray(self.buckets)
             bucket_idx = np.searchsorted(bucket_arr, lens)
@@ -293,20 +321,191 @@ class DeviceAlignEngine:
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
                 m = len(sel)
                 B = max(self.min_batch, 1 << (m - 1).bit_length())
-                reads = np.zeros((B, bucket), dtype=np.int8)
-                take = min(bucket, width)
-                reads[:m, :take] = mat[sel, :take]
-                blens = np.zeros(B, dtype=np.int32)
-                blens[:m] = lens[sel]
-                out = unpack_compact(
-                    np.asarray(self._launch_fast_kernel(reads, blens, bucket, bucket))
+                buf = self._pack_reads(mat[sel], lens[sel], bucket, B)
+                out = probe_walk_full_packed(
+                    jnp.asarray(buf),
+                    self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                    self._dev_fast["bstart"], self._dev_fast["bcount"],
+                    self._dev_fast["postings_row"],
+                    self._dev_fast["postings_off"],
+                    self._dev_fast["ref_codes_packed"],
+                    self._dev_fast["row_starts"],
+                    self._dev_fast["row_lengths"],
+                    k=self.bidx.k, max_probe=self.bidx.max_probe,
+                    c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
+                    p_limit=bucket - self.bidx.k + 1,
+                    ref_pad=self.bidx.ref_pad, bucket=bucket,
+                    use_pallas=self.use_pallas_walk,
                 )
-                astart[sel] = out["astart"][:m]
-                mask[sel] = out["mask"][:m]
-                passed[sel] = out["passed"][:m]
-                needs_host[sel] = out["needs_host"][:m]
-        return {"astart": astart, "mask": mask, "passed": passed,
-                "needs_host": needs_host}
+                launches.append((sel, m, out))
+        return {"n": n, "mat": mat, "lens": lens, "active": act,
+                "host_rescue": host_rescue, "launches": launches}
+
+    from nimble_tpu.config import FILTER_REASONS as _REASON_LIST
+    from nimble_tpu.config import FILTER_REASON_CODE as _REASON_CODE
+
+    def full_collect(self, state):
+        """Fetch + apply the exact host-side gates; columnar pseudoalign.
+
+        Returns dict over N reads:
+          reason  int16 — index into ``_REASON_LIST`` for filtered reads,
+                          -1 = passed, -2 = inactive (None input)
+          norm    f64 (reported normalized score), score i32
+          eq_key  int64 — >=0: device combo (astart<<c_max | mask);
+                          <=-2: rescued id (see ``rescued``); -1: no eq class
+          rescued dict rescue_id -> eq list
+        Semantics are exactly `pseudoalign` per read (`src/align.rs:945-989`
+        + `src/filter/align.rs:4-45`), vectorized.
+        """
+        from nimble_tpu.ops.engine_fast import unpack_full_packed
+
+        n = state["n"]
+        mat, lens, act = state["mat"], state["lens"], state["active"]
+        reason = np.full(n, -2, dtype=np.int16)
+        norm = np.zeros(n, dtype=np.float64)
+        score = np.zeros(n, dtype=np.int32)
+        eq_key = np.full(n, -1, dtype=np.int64)
+        rescued: dict = {}
+        cfg = self.config
+        code = self._REASON_CODE
+
+        short = act & (lens < MIN_READ_LENGTH)
+        reason[short] = code[FilterReason.SHORT_READ]
+
+        next_rescue = -2
+
+        def host_align(i):
+            nonlocal next_rescue
+            alignment, filt = pseudoalign(
+                mat[i, : lens[i]], self.index, cfg, MIN_READ_LENGTH
+            )
+            if alignment is not None:
+                eq, nrm, sc = alignment
+                rescued[next_rescue] = list(eq)
+                eq_key[i] = next_rescue
+                next_rescue -= 1
+                reason[i] = -1
+                norm[i] = nrm
+                score[i] = sc
+            else:
+                reason[i] = code[filt[0]]
+                norm[i] = filt[1]
+                score[i] = filt[2]
+
+        for i in np.flatnonzero(state["host_rescue"]):
+            host_align(i)
+
+        for sel, m, out_dev in state["launches"]:
+            out = unpack_full_packed(np.asarray(out_dev))
+            sub_mat = mat[sel]
+            sub_lens = lens[sel]
+            ent = batch_entropy(sub_mat, sub_lens)
+            low_ent = ent < MIN_ENTROPY_SCORE
+            ha = out["has_anchor"][:m]
+            ov = out["overflow"][:m] & ~low_ent
+            sc = out["score"][:m].astype(np.int32)
+            mm = out["mismatches"][:m].astype(np.int32)
+            nrm = sc / sub_lens  # f64, parity with `src/align.rs:968`
+
+            # decode distinct-row counts for the multiple-match gate
+            keys = (
+                out["astart"][:m].astype(np.int64) << self.c_max
+            ) | out["mask"][:m]
+            counts = self._decode_counts(keys, ha)
+
+            r = np.full(m, -1, dtype=np.int16)
+            nr = np.zeros(m, dtype=np.float64)
+            s_out = np.zeros(m, dtype=np.int32)
+            k_out = np.full(m, -1, dtype=np.int64)
+
+            r[low_ent] = code[FilterReason.HIGH_ENTROPY]
+            live = ~low_ent & ~ov
+            no_match = live & ~ha
+            r[no_match] = code[FilterReason.NO_MATCH]
+            cand = live & ha
+
+            if cfg.discard_nonzero_mismatch:
+                dz = cand & (mm != 0)
+                r[dz] = code[FilterReason.DISCARDED_NONZERO_MISMATCH]
+                cand = cand & ~dz
+
+            gates = (
+                (sc >= cfg.score_threshold)
+                & (nrm >= cfg.score_percent)
+            )
+            below = cand & ~gates
+            r[below] = code[FilterReason.SCORE_BELOW_THRESHOLD]
+            nr[below] = nrm[below]
+            s_out[below] = sc[below]
+            cand = cand & gates
+
+            if cfg.discard_multiple_matches:
+                multi = cand & (counts > 1)
+                r[multi] = code[FilterReason.DISCARDED_MULTIPLE_MATCH]
+                nr[multi] = nrm[multi]
+                s_out[multi] = sc[multi]
+                cand = cand & ~multi
+
+            above = cand & (mm > cfg.num_mismatches)
+            r[above] = code[FilterReason.ABOVE_MISMATCH_THRESHOLD]
+            nr[above] = nrm[above]
+            s_out[above] = sc[above]
+            cand = cand & ~above
+
+            nr[cand] = nrm[cand]
+            s_out[cand] = sc[cand]
+            k_out[cand] = keys[cand]
+
+            reason[sel] = r
+            norm[sel] = nr
+            score[sel] = s_out
+            eq_key[sel] = k_out
+
+            # anchor-postings overflow: exact host rescue (rare)
+            for j in np.flatnonzero(ov):
+                host_align(int(sel[j]))
+
+        return {"reason": reason, "norm": norm, "score": score,
+                "eq_key": eq_key, "rescued": rescued}
+
+    EQ_ROW_PAD = np.int64(2**62)
+
+    def decode_rows_padded(self, keys: np.ndarray,
+                           valid: Optional[np.ndarray] = None) -> np.ndarray:
+        """Vectorized decode of device combo keys -> sorted distinct eq rows,
+        (M, c_max) int64 padded with EQ_ROW_PAD (duplicates blanked)."""
+        c_max = self.c_max
+        prow = self.bidx.postings_row
+        if valid is None:
+            valid = keys >= 0
+        astart = np.where(valid, keys >> c_max, 0).astype(np.int64)
+        mask = np.where(valid, keys & ((1 << c_max) - 1), 0).astype(np.int64)
+        lanes = np.arange(c_max, dtype=np.int64)
+        rows = prow[
+            np.clip(astart[:, None] + lanes[None, :], 0, len(prow) - 1)
+        ].astype(np.int64)
+        big = self.EQ_ROW_PAD
+        bit = ((mask[:, None] >> lanes[None, :]) & 1).astype(bool)
+        rows = np.where(bit & valid[:, None], rows, big)
+        rows.sort(axis=1)
+        dup = np.zeros_like(rows, dtype=bool)
+        dup[:, 1:] = (rows[:, 1:] == rows[:, :-1]) & (rows[:, 1:] != big)
+        rows = np.where(dup, big, rows)
+        rows.sort(axis=1)
+        return rows
+
+    def _decode_counts(self, keys: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        """Distinct eq-row count per device combo key (vectorized)."""
+        rows = self.decode_rows_padded(keys, valid)
+        return (rows != self.EQ_ROW_PAD).sum(axis=1).astype(np.int32)
+
+    def decode_rows(self, keys: np.ndarray) -> "list":
+        """Sorted distinct eq rows per non-negative combo key."""
+        out = []
+        for k in keys:
+            out.append(self.decode_combo(int(k) >> self.c_max,
+                                         int(k) & ((1 << self.c_max) - 1)))
+        return out
 
     def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
         """Minimum-download batch alignment: the whole filter chain runs on
@@ -320,8 +519,35 @@ class DeviceAlignEngine:
         """
         return self.compact_collect(self.compact_dispatch(mat, lens))
 
+    def _s_min_dev(self, bucket: int):
+        t = self._s_min_dev_cache.get(bucket)
+        if t is None:
+            t = jnp.asarray(self._s_min_table(bucket))
+            self._s_min_dev_cache[bucket] = t
+        return t
+
+    def _launch_packed_kernel(self, buf: np.ndarray, bucket: int):
+        thr, nmm, dm, dn = self._dev_scalars
+        return probe_walk_filter_packed(
+            jnp.asarray(buf),
+            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+            self._dev_fast["bstart"], self._dev_fast["bcount"],
+            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
+            self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
+            self._dev_fast["row_lengths"],
+            self._s_min_dev(bucket), thr, nmm, dm, dn,
+            k=self.bidx.k,
+            max_probe=self.bidx.max_probe,
+            c_max=self.c_max,
+            bucket_mask=self.bidx.n_buckets - 1,
+            p_limit=bucket - self.bidx.k + 1,
+            ref_pad=self.bidx.ref_pad,
+            bucket=bucket,
+            use_pallas=self.use_pallas_walk,
+        )
+
     def _launch_fast_kernel(self, reads, blens, bucket, p_limit):
-        cfg = self.config
+        thr, nmm, dm, dn = self._dev_scalars
         return probe_walk_filter(
             jnp.asarray(reads), jnp.asarray(blens),
             self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
@@ -329,11 +555,7 @@ class DeviceAlignEngine:
             self._dev_fast["postings_row"], self._dev_fast["postings_off"],
             self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
             self._dev_fast["row_lengths"],
-            jnp.asarray(self._s_min_table(bucket)),
-            jnp.int32(cfg.score_threshold),
-            jnp.int32(cfg.num_mismatches),
-            jnp.bool_(cfg.discard_multiple_matches),
-            jnp.bool_(cfg.discard_nonzero_mismatch),
+            self._s_min_dev(bucket), thr, nmm, dm, dn,
             k=self.bidx.k,
             max_probe=self.bidx.max_probe,
             c_max=self.c_max,
@@ -394,22 +616,9 @@ class DeviceAlignEngine:
         reads, lens = self._pad_batch(seqs, idxs, bucket)
         m = len(idxs)
 
-        # two-phase anchor search, like the compact path
-        out = self._run_full_kernel(reads, lens, bucket, self.phase_a_positions)
-        unresolved = ~out["has_anchor"][:m] & (
-            lens[:m].astype(np.int64) - self.bidx.k + 1 > self.phase_a_positions
-        )
-        if unresolved.any():
-            sub = np.flatnonzero(unresolved)
-            ms = len(sub)
-            Bs = max(self.min_batch, 1 << (ms - 1).bit_length())
-            reads_s = np.zeros((Bs, bucket), dtype=np.int8)
-            reads_s[:ms] = reads[sub]
-            blens_s = np.zeros(Bs, dtype=np.int32)
-            blens_s[:ms] = lens[sub]
-            out_b = self._run_full_kernel(reads_s, blens_s, bucket, bucket)
-            for key in out:
-                out[key][sub] = out_b[key][:ms]
+        # single-phase: all k-mer positions probed in one launch (per-launch
+        # latency dwarfs the extra probe compute)
+        out = self._run_full_kernel(reads, lens, bucket, bucket)
 
         # Host-exact gates + filters.
         ent = batch_entropy(reads, lens)

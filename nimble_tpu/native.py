@@ -60,6 +60,12 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p]
+            lib.nimble_bam_meta.restype = ctypes.c_int32
+            lib.nimble_bam_meta.argtypes = (
+                [ctypes.c_void_p] * 9 + [ctypes.c_int64]
+                + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64] * 9
+                + [ctypes.c_void_p]
+            )
             lib.nimble_dedupe_new.restype = ctypes.c_void_p
             lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
             lib.nimble_dedupe_size.restype = ctypes.c_int64
@@ -171,6 +177,71 @@ def bam_scan(buf: bytes, max_records: int):
         (qual_off, qual_flat), (aux_off, aux_flat),
         (cigar_off, cigar_flat),
     )
+
+
+def bam_meta(count, fixed, qname, seq, qual, aux):
+    """Columnar per-record metadata derivation (see nimble_bam_meta).
+
+    Inputs are bam_scan outputs (count + (off, flat) pairs).  Returns None
+    when native is unavailable; else a dict of columns:
+      meta/meta1/meta15/rev2/qn/cb/umi/sk — (offsets int64 (n+1), flat uint8)
+      seq2 — (offsets, flat int8 codes)
+      oflags — (n,) uint8: bit0 paired, bit1 reverse, bit2 has_cb, bit3 has_umi
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = count
+    qname_off, qname_flat = qname
+    seq_off, seq_flat = seq
+    qual_off, qual_flat = qual
+    aux_off, aux_flat = aux
+    seq_total = int(seq_off[n])
+    qual_total = int(qual_off[n])
+    aux_total = int(aux_off[n])
+    qn_total = int(qname_off[n])
+
+    caps = {
+        "meta": qn_total + aux_total * 16 + 240 * n + 64,
+        "seq2": seq_total + 64,
+        "meta1": qual_total + aux_total + 64,
+        "meta15": seq_total + aux_total + 64,
+        "rev2": 5 * n + aux_total + 64,
+        "qn": qn_total + aux_total + 64,
+        "cb": aux_total + 64,
+        "umi": aux_total + 64,
+        "sk": aux_total + 64,
+    }
+    while True:
+        bufs = {}
+        offs = {}
+        for name, cap in caps.items():
+            dt = np.int8 if name == "seq2" else np.uint8
+            bufs[name] = np.empty(cap, dtype=dt)
+            offs[name] = np.empty(n + 1, dtype=np.int64)
+        oflags = np.empty(max(n, 1), dtype=np.uint8)
+        args = [
+            fixed.ctypes.data,
+            qname_off.ctypes.data, qname_flat.ctypes.data,
+            seq_off.ctypes.data, seq_flat.ctypes.data,
+            qual_off.ctypes.data, qual_flat.ctypes.data,
+            aux_off.ctypes.data, aux_flat.ctypes.data,
+            n,
+        ]
+        for name in ("meta", "seq2", "meta1", "meta15", "rev2", "qn", "cb",
+                     "umi", "sk"):
+            args += [bufs[name].ctypes.data, offs[name].ctypes.data,
+                     caps[name]]
+        args.append(oflags.ctypes.data)
+        rc = lib.nimble_bam_meta(*args)
+        if rc == 0:
+            out = {
+                name: (offs[name], bufs[name])
+                for name in bufs
+            }
+            out["oflags"] = oflags[:n]
+            return out
+        caps = {k: v * 2 for k, v in caps.items()}
 
 
 class DedupeSet:

@@ -232,6 +232,55 @@ def _span_walk(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
+def probe_walk_filter_packed(
+    packed,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """probe_walk_filter on a packed input buffer: ONE uploaded array per
+    launch.  ``packed`` is uint8 (B, ceil(bucket/4) + 2): 2-bit codes
+    (4 bases/byte, base j at bits 2*(j%4) of byte j//4) followed by the
+    little-endian uint16 read length.  Remote tunnels charge ~30-45 ms of
+    latency per host->device transfer, so reads, lengths and every config
+    scalar must ride in device-resident arrays or this single buffer.
+    """
+    B = packed.shape[0]
+    nb = (bucket + 3) // 4
+    words = packed[:, :nb].astype(jnp.int32)
+    j = jnp.arange(bucket, dtype=jnp.int32)
+    reads = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3  # (B, bucket)
+    read_lens = (
+        packed[:, nb].astype(jnp.int32)
+        | (packed[:, nb + 1].astype(jnp.int32) << 8)
+    )
+    return _probe_walk_filter_impl(
+        reads, read_lens,
+        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        ref_codes_packed, row_starts, row_lengths,
+        s_min_table, score_threshold, num_mismatches,
+        discard_multiple, discard_nonzero,
+        k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+        p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
                      "use_pallas"),
 )
 def probe_walk_filter(
@@ -250,10 +299,37 @@ def probe_walk_filter(
     ref_pad: int,
     use_pallas: bool = False,
 ):
-    """Fast compact kernel; same outputs as probe_and_walk_compact plus
-    ``has_anchor`` (the engine's two-phase driver needs it)."""
-    B, Lmax = reads.shape
-    reads_i32 = reads.astype(jnp.int32)
+    """Fast compact kernel on unpacked int8 reads (see
+    probe_walk_filter_packed for the upload-optimal entry)."""
+    return _probe_walk_filter_impl(
+        reads.astype(jnp.int32), read_lens,
+        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        ref_codes_packed, row_starts, row_lengths,
+        s_min_table, score_threshold, num_mismatches,
+        discard_multiple, discard_nonzero,
+        k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+        p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+    )
+
+
+def _probe_walk_filter_impl(
+    reads_i32, read_lens,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    use_pallas: bool = False,
+):
+    """Shared body: full pseudoalign filter chain on device, packed result."""
+    B, Lmax = reads_i32.shape
 
     has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
         reads_i32, read_lens, bkey_lo, bkey_hi,
@@ -343,6 +419,96 @@ def unpack_compact(packed: "np.ndarray"):
         "passed": (flags & COMPACT_PASSED_BIT) != 0,
         "needs_host": (flags & COMPACT_NEEDS_HOST_BIT) != 0,
         "has_anchor": (flags & COMPACT_HAS_ANCHOR_BIT) != 0,
+    }
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
+def probe_walk_full_packed(
+    packed,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """Full-output kernel on the packed input buffer, ONE fetched array.
+
+    Input layout matches probe_walk_filter_packed.  Output is int32 (B, 3):
+      col 0 = astart
+      col 1 = mask | has_anchor<<16 | overflow<<17
+      col 2 = score<<16 | mismatches   (both < 2^16: reads cap at 1024 bp)
+    Used by the forensic/BAM path, where the host applies the exact f64
+    gates (entropy, normalized score) itself.
+    """
+    B = packed.shape[0]
+    nb = (bucket + 3) // 4
+    words = packed[:, :nb].astype(jnp.int32)
+    j = jnp.arange(bucket, dtype=jnp.int32)
+    reads_i32 = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+    read_lens = (
+        packed[:, nb].astype(jnp.int32)
+        | (packed[:, nb + 1].astype(jnp.int32) << 8)
+    )
+
+    has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
+        reads_i32, read_lens, bkey_lo, bkey_hi,
+        k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+    )
+    astart = bstart[bucket_sel, lane_sel]
+    acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
+    overflow = acnt > c_max
+
+    c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+    live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
+    pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
+    rows = postings_row[pidx]
+    offs = postings_off[pidx].astype(jnp.int32)
+
+    Lmax = bucket
+    live, walk_score, walk_mm = _span_walk(
+        reads_i32, read_lens, anchor, rows, offs, live0,
+        ref_codes_packed, row_starts, row_lengths,
+        k=k, ref_pad=ref_pad, l_steps=min(p_limit - 1, Lmax - k),
+        use_pallas=use_pallas,
+    )
+    lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
+    mask = jnp.where(live, lane, 0).sum(axis=1)
+    score = jnp.where(has_anchor, k + walk_score, 0)
+    mm = jnp.where(has_anchor, walk_mm, 0)
+
+    col1 = (
+        mask
+        | (has_anchor.astype(jnp.int32) << 16)
+        | (overflow.astype(jnp.int32) << 17)
+    )
+    col2 = (score << 16) | mm
+    return jnp.stack([astart, col1, col2], axis=1)
+
+
+def unpack_full_packed(packed: "np.ndarray"):
+    """Host-side unpack of probe_walk_full_packed's (B, 3) int32 result."""
+    import numpy as np
+
+    col1 = packed[:, 1]
+    col2 = packed[:, 2]
+    return {
+        "astart": packed[:, 0].astype(np.int64),
+        "mask": (col1 & 0xFFFF).astype(np.int32),
+        "has_anchor": (col1 & (1 << 16)) != 0,
+        "overflow": (col1 & (1 << 17)) != 0,
+        "score": (col2 >> 16).astype(np.int32),
+        "mismatches": (col2 & 0xFFFF).astype(np.int32),
     }
 
 

@@ -1,0 +1,499 @@
+"""Columnar fast path for the BAM pipeline.
+
+Produces gzipped forensic TSVs byte-identical to
+:func:`nimble_tpu.pipeline.bam_pipeline.process` (the parity port of
+`src/process/bam.rs:45-243`), restructured for throughput:
+
+  * records stream through :class:`nimble_tpu.io.bam_columnar.ColumnarGroupStream`
+    (C++ batch decode + metadata derivation; no per-record Python objects);
+  * alignment runs once per batch of groups per library through the engine's
+    columnar full-output interface (`full_dispatch`/`full_collect`) — exact
+    f64 gates, vectorized;
+  * the per-pair score-map/orientation logic (`src/align.rs:475-729,178-252`)
+    runs on byte keys with the orientation pipeline memoized per equivalence-
+    class combination;
+  * output rows are assembled as bytes and written in blocks.
+
+Quirk parity (same as the slow pipeline): r1/r2 metadata column swap and
+filter-column crossover, dropped final UMI group of multi-group BAMs
+(`parity_quirks=True`), duplicate zero-score rows via last-qname-per-callset.
+"""
+
+from __future__ import annotations
+
+import gzip
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from nimble_tpu.config import (
+    FILTER_REASONS,
+    AlignFilterConfig,
+    AlignmentOrientation,
+    FilterReason,
+)
+from nimble_tpu.core.orientation import (
+    filter_and_coerce_sequence_call_orientations,
+)
+from nimble_tpu.core.trim import maxinfo_batch
+from nimble_tpu.io.bam_columnar import ColumnarGroupStream, EmittedGroup
+from nimble_tpu.library import Reference
+from nimble_tpu.pipeline.bam_pipeline import (
+    MAX_UMIS_IN_CHANNEL,
+    log_header,
+    validate_gzip,
+)
+from nimble_tpu.utils.dna import revcomp
+
+_REASON_B = [str(r).encode("utf-8") for r in FILTER_REASONS]
+_CODE_SKIPPED = FILTER_REASONS.index(
+    FilterReason.SKIPPED_ALIGN_DUE_TO_UNPAIRED_DUMMY
+)
+_CODE_SUCCESS = FILTER_REASONS.index(FilterReason.SUCCESSFUL_MATCH)
+_CODE_NOT_MATCHING = FILTER_REASONS.index(FilterReason.NOT_MATCHING_PAIR)
+_NONE_B = b"None"
+_ZERO_B = b"0"
+_NONE_PAIR = (_NONE_B, _ZERO_B)
+
+_DECODE_LUT = np.frombuffer(b"ACGT", dtype=np.uint8)
+
+# byte-level revcomp mirroring utils.revcomp (`src/utils.rs:61-94`):
+# case-preserving ACGT, U/u -> A/a, N/n -> N, panic on anything else
+_RC_TABLE = bytes.maketrans(b"acgtuACGTUnN", b"tgcaaTGCAANN")
+_RC_VALID = b"acgtuACGTUnN"
+
+
+def _revcomp_bytes(b: bytes) -> bytes:
+    if b.translate(None, _RC_VALID):
+        # invalid character: delegate for the reference's panic message
+        revcomp(b.decode("latin-1"))
+    return b.translate(_RC_TABLE)[::-1]
+
+
+def _parse_rev_flags(rev2: List[bytes]) -> np.ndarray:
+    """parse_str_as_bool over the REVERSE metadata column
+    (`src/process/bam.rs:417-423`)."""
+    out = np.empty(len(rev2), dtype=bool)
+    for i, v in enumerate(rev2):
+        if v == b"true":
+            out[i] = True
+        elif v == b"false":
+            out[i] = False
+        else:
+            raise ValueError(
+                f'Could not parse revcomp field "{v.decode("latin-1")}" as boolean'
+            )
+    return out
+
+
+class _LibraryWorker:
+    """Per-library state: interned eq contents, orientation memo, byte memos.
+
+    Equivalence-class CONTENT is interned to small integer ids so the
+    per-pair logic compares ints; the orientation pipeline runs once per
+    distinct (cid1, cid2) combination for the whole run.
+    """
+
+    def __init__(self, engine, reference: Reference, config: AlignFilterConfig):
+        self.engine = engine
+        self.reference = reference
+        self.config = config
+        self.content_intern: Dict = {}       # rows-bytes / tuple -> cid
+        self.content_eq: List[tuple] = []    # cid -> ordered eq tuple
+        self.content_sorted: List[tuple] = []  # cid -> sorted eq tuple
+        self.orient_memo: Dict[tuple, tuple] = {}
+        self.features_b: Dict[tuple, bytes] = {}
+
+    def intern_rows(self, rows_padded: np.ndarray) -> np.ndarray:
+        """Intern each padded-row vector (sorted distinct, device order) to a
+        content id; returns (M,) int64 ids."""
+        pad = self.engine.EQ_ROW_PAD
+        out = np.empty(rows_padded.shape[0], dtype=np.int64)
+        intern = self.content_intern
+        for j in range(rows_padded.shape[0]):
+            b = rows_padded[j].tobytes()
+            cid = intern.get(b)
+            if cid is None:
+                eq = tuple(int(x) for x in rows_padded[j] if x != pad)
+                cid = len(self.content_eq)
+                intern[b] = cid
+                self.content_eq.append(eq)
+                self.content_sorted.append(eq)  # device rows are sorted
+            out[j] = cid
+        return out
+
+    def intern_list(self, eq: list) -> int:
+        """Intern a host-oracle eq list (order preserved)."""
+        key = ("h", tuple(eq))
+        cid = self.content_intern.get(key)
+        if cid is None:
+            cid = len(self.content_eq)
+            self.content_intern[key] = cid
+            self.content_eq.append(tuple(eq))
+            self.content_sorted.append(tuple(sorted(eq)))
+        return cid
+
+    def orient(self, c1: int, c2: int) -> tuple:
+        """Memoized orientation pipeline for one (cid1, cid2) combination.
+
+        Returns ("c", callset_tuple) or ("t", (reason, orientation)).
+        """
+        memo_key = (c1, c2)
+        r = self.orient_memo.get(memo_key)
+        if r is None:
+            e1 = self.content_eq[c1] if c1 >= 0 else ()
+            e2 = self.content_eq[c2] if c2 >= 0 else ()
+            call = (
+                None,
+                (list(e1), 0.0) if e1 else None,
+                (list(e2), 0.0) if e2 else None,
+                [],
+                [],
+            )
+            tmp: dict = {}
+            tkeys: dict = {}
+            filter_and_coerce_sequence_call_orientations(
+                call, tmp, self.reference, self.config, "", tkeys
+            )
+            if tmp:
+                r = ("c", next(iter(tmp.keys())))
+            else:
+                r = ("t", tkeys[""])
+            self.orient_memo[memo_key] = r
+        return r
+
+    def callset_bytes(self, callset: tuple) -> bytes:
+        b = self.features_b.get(callset)
+        if b is None:
+            b = ",".join(callset).encode("utf-8")
+            self.features_b[callset] = b
+        return b
+
+
+def _align_batch_columnar(
+    groups: List[EmittedGroup],
+    workers: List[_LibraryWorker],
+):
+    """Align all groups' records once per library; returns per-library rows.
+
+    Per library the return value is a list of output-row bytes (no trailing
+    newline handling — rows end with b"\\n").
+    """
+    n_rec = sum(len(g) for g in groups)
+    if n_rec == 0:
+        return [[] for _ in workers]
+
+    # ---- flatten records across groups ----
+    rev2_flat: List[bytes] = []
+    qual_flat: List[bytes] = []
+    skip_flat: List[bytes] = []
+    seq_list: List[np.ndarray] = []
+    for g in groups:
+        rev2_flat.extend(g.rev2)
+        qual_flat.extend(g.qual)
+        skip_flat.extend(g.skip)
+        seq_list.extend(g.seqs)
+
+    rev = _parse_rev_flags(rev2_flat)
+    lens = np.fromiter((len(s) for s in seq_list), dtype=np.int32, count=n_rec)
+    W = max(int(lens.max()), 1)
+    mat = np.zeros((n_rec, W), dtype=np.int8)
+    for i, s in enumerate(seq_list):
+        mat[i, : len(s)] = s
+    # orientation correction (`src/process/bam.rs:322-326`): revcomp flagged
+    # reads; vectorized gather in code space (complement = 3 - code)
+    ar = np.arange(W, dtype=np.int32)[None, :]
+    ridx = np.clip(lens[:, None] - 1 - ar, 0, W - 1)
+    idx = np.where(rev[:, None], ridx, ar)
+    om = np.take_along_axis(mat, idx, axis=1)
+    valid = ar < lens[:, None]
+    oriented = np.where(rev[:, None] & valid, 3 - om, np.where(valid, om, 0))
+
+    skip_mask = np.fromiter(
+        (s == b"TRUE" for s in skip_flat), dtype=bool, count=n_rec
+    )
+    active = ~skip_mask
+
+    # decoded ASCII bytes of each oriented (untrimmed) read — the score-map
+    # key material (`src/align.rs:576-579`)
+    dec_flat = _DECODE_LUT[oriented].tobytes()
+    dec = [
+        dec_flat[i * W : i * W + int(lens[i])] for i in range(n_rec)
+    ]
+
+    # ---- per-library: trim + dispatch (async), then collect ----
+    states = []
+    for w in workers:
+        cfg = w.config
+        trim_lens = maxinfo_batch(
+            qual_flat, cfg.trim_target_length, cfg.trim_strictness
+        ).astype(np.int32)
+        # r1[:trim_len] clamps at the read length (aux-QU quirk can make the
+        # quality string longer than the sequence)
+        trim_lens = np.minimum(trim_lens, lens)
+        states.append(w.engine.full_dispatch(oriented, trim_lens, active))
+    collected = [w.engine.full_collect(st) for w, st in zip(workers, states)]
+
+    # ---- per-group packaging ----
+    out_rows: List[List[bytes]] = [[] for _ in workers]
+    base = 0
+    group_bounds = []
+    for g in groups:
+        group_bounds.append((base, base + len(g), g))
+        base += len(g)
+
+    for li, w in enumerate(workers):
+        res = collected[li]
+        reason = res["reason"]
+        eq_key = res["eq_key"]
+        rescued = res["rescued"]
+        cfg = w.config
+        rows = out_rows[li]
+        require_pair = cfg.require_valid_pair
+
+        passed = reason == -1
+        # vectorized eq-content interning: decode all distinct device combos
+        # once, map every read to a content id (-1 = no eq class)
+        cid = np.full(n_rec, -1, dtype=np.int64)
+        dev_idx = np.flatnonzero(passed & (eq_key >= 0))
+        if len(dev_idx):
+            u, inv = np.unique(eq_key[dev_idx], return_inverse=True)
+            rows_p = w.engine.decode_rows_padded(u)
+            cid[dev_idx] = w.intern_rows(rows_p)[inv]
+        for i in np.flatnonzero(passed & (eq_key <= -2)):
+            cid[i] = w.intern_list(rescued[int(eq_key[i])])
+
+        # per-read forensic reason code + reported score, vectorized
+        s_arr = np.where(passed, res["score"], 0)
+        r16 = reason.astype(np.int64)
+        code_arr = np.where(
+            skip_mask, _CODE_SKIPPED,
+            np.where(passed | (r16 < 0), _CODE_SUCCESS, r16),
+        ).astype(np.int64)
+        c_sorted = w.content_sorted
+
+        for lo, hi, g in group_bounds:
+            n_pairs = (hi - lo) // 2
+            if n_pairs == 0:
+                continue
+            filter_reasons: Dict[bytes, tuple] = {}
+            score_map: Dict[bytes, tuple] = {}
+
+            for p in range(n_pairs):
+                i1 = lo + 2 * p
+                i2 = i1 + 1
+                c1 = cid[i1]
+                c2 = cid[i2]
+                s1 = int(s_arr[i1])
+                s2 = int(s_arr[i2])
+                key = dec[i1] + dec[i2]
+
+                if require_pair and (
+                    c1 < 0 or c2 < 0
+                    or (c1 != c2 and c_sorted[c1] != c_sorted[c2])
+                ):
+                    filter_reasons[key] = (
+                        (_CODE_NOT_MATCHING, s1), (_CODE_NOT_MATCHING, s2)
+                    )
+                    continue
+
+                filter_reasons[key] = (
+                    (int(code_arr[i1]), s1), (int(code_arr[i2]), s2)
+                )
+                if c1 >= 0 or c2 >= 0:
+                    score_map[key] = (int(c1), int(c2), i1 - lo, i2 - lo)
+
+            # orientation + results accumulation (`src/align.rs:440-449`)
+            results: Dict[tuple, list] = {}
+            post_triaged: Dict[bytes, tuple] = {}
+            for key, (c1, c2, g1, g2) in score_map.items():
+                r = w.orient(c1, c2)
+                if r[0] == "c":
+                    entry = results.setdefault(r[1], [0, 0, 0])
+                    entry[0] += 1
+                    entry[1] = g1
+                    entry[2] = g2
+                else:
+                    post_triaged[key] = r[1]
+
+            # sort_score_vector (`src/utils.rs:54-59`)
+            s_entries = sorted(results.items(), key=lambda kv: list(kv[0]))
+            if not s_entries:
+                # reference: `if s.len() == 0 { continue }` — no zero rows
+                # for a library with no scored callsets (`bam.rs:315-330`)
+                continue
+
+            scored_qnames = set(g.qn[e[1][1]] for e in s_entries)
+            zero_rows = []
+            for p in range(n_pairs):
+                g1, g2 = 2 * p, 2 * p + 1
+                if g.qn[g2] in scored_qnames:
+                    continue
+                zero_rows.append((None, (0, g1, g2)))
+
+            for callset, entry in list(s_entries) + zero_rows:
+                count, g1, g2 = entry[0], entry[1], entry[2]
+                feat_b = w.callset_bytes(callset) if callset else b""
+                # forensic re-key from metadata SEQ/REVERSE
+                # (`src/process/bam.rs:355-396`)
+                r1k = g.seq15[g1]
+                if rev[lo + g1]:
+                    r1k = _revcomp_bytes(r1k)
+                r2k = g.seq15[g2]
+                if rev[lo + g2]:
+                    r2k = _revcomp_bytes(r2k)
+                v = filter_reasons.get(r1k + r2k)
+                if v is not None:
+                    v0 = (_REASON_B[v[0][0]], str(v[0][1]).encode())
+                    v1 = (_REASON_B[v[1][0]], str(v[1][1]).encode())
+                    t = post_triaged.get(r1k + r2k)
+                    if t is not None:
+                        triage_b = str(t[0]).encode()
+                        orient_b = str(t[1]).encode()
+                    else:
+                        triage_b = _NONE_B
+                        orient_b = _NONE_B
+                else:
+                    v0 = v1 = _NONE_PAIR
+                    triage_b = _NONE_B
+                    orient_b = _NONE_B
+                v2 = v3 = _NONE_PAIR
+
+                m1b = g.meta[g1] + b"\t" + g.skip[g1]
+                m2b = g.meta[g2] + b"\t" + g.skip[g2]
+                # r1/r2 swap quirk (`src/process/bam.rs:103-120`): the "r1"
+                # block gets mate metadata, r1 filter columns get the R2
+                # filter record
+                rows.append(b"\t".join((
+                    feat_b,
+                    str(count).encode(),
+                    m2b,
+                    m1b,
+                    v1[0], v1[1],
+                    v3[0], v3[1],
+                    v0[0], v0[1],
+                    v2[0], v2[1],
+                    triage_b,
+                    orient_b,
+                )) + b"\n")
+
+    return out_rows
+
+
+def process_fast(
+    input_files: Sequence[str],
+    engines: Sequence,
+    references: Sequence[Reference],
+    aligner_configs: Sequence[AlignFilterConfig],
+    output_paths: Sequence[str],
+    num_cores: int,
+    force_bam_paired: bool,
+    parity_quirks: bool = True,
+    group_batch: int = 256,
+) -> None:
+    """Drop-in replacement for bam_pipeline.process (byte-identical output).
+
+    Requires engines exposing full_dispatch/full_collect (DeviceAlignEngine)
+    and the native library; callers should fall back to the slow pipeline
+    otherwise.
+    """
+    workers = [
+        _LibraryWorker(e, r, c)
+        for e, r, c in zip(engines, references, aligner_configs)
+    ]
+
+    log_queue: "queue.Queue" = queue.Queue()
+    work_queue: "queue.Queue" = queue.Queue(maxsize=MAX_UMIS_IN_CHANNEL)
+
+    def logger() -> None:
+        print("Spawning logging thread.")
+        # compresslevel 6 = flate2 default (`src/process/bam.rs:73`)
+        files = [gzip.open(p, "wb", compresslevel=6) for p in output_paths]
+        header = (log_header() + "\n").encode()
+        first_write = [True] * len(files)
+        while True:
+            msg = log_queue.get()
+            if msg is None:
+                break
+            block, index = msg
+            if first_write[index]:
+                print(f"Writing header for file {index}")
+                files[index].write(header)
+                first_write[index] = False
+            files[index].write(block)
+        for i, f in enumerate(files):
+            f.close()
+            print(f"Successfully flushed and closed file {i}")
+        for p in output_paths:
+            print(f"Validating GZIP file: {p}")
+            validate_gzip(p)
+        print("Logging thread terminating.")
+
+    def producer() -> None:
+        print("Spawning reader thread.")
+        stream = ColumnarGroupStream(input_files[0], force_bam_paired)
+        prev: Optional[EmittedGroup] = None
+        n_groups = 0
+        try:
+            for grp in stream.groups():
+                n_groups += 1
+                if prev is not None:
+                    work_queue.put(prev)
+                prev = grp
+        finally:
+            # final-group quirk (`src/process/bam.rs:163-179`): the producer
+            # drops the last group of a multi-group BAM; a single-group BAM
+            # still sends its group
+            if prev is not None and (not parity_quirks or n_groups == 1):
+                work_queue.put(prev)
+            print("Finished reading UMIs from input file.")
+
+    def consumer(thread_num: int) -> None:
+        from nimble_tpu.utils.metrics import METRICS
+
+        while True:
+            data = work_queue.get()
+            if data is None:
+                break
+            groups = [data]
+            while len(groups) < group_batch:
+                try:
+                    more = work_queue.get_nowait()
+                except queue.Empty:
+                    break
+                if more is None:
+                    work_queue.put(None)
+                    break
+                groups.append(more)
+
+            n_records = sum(len(g) for g in groups)
+            with METRICS.meter("bam_align").measure(n_records):
+                per_lib = _align_batch_columnar(groups, workers)
+            for i, rows in enumerate(per_lib):
+                if rows:
+                    log_queue.put((b"".join(rows), i))
+
+    log_thread = threading.Thread(target=logger)
+    log_thread.start()
+    producer_thread = threading.Thread(target=producer)
+    producer_thread.start()
+
+    print("Spawning consumer thread 0")
+    consumer_thread = threading.Thread(target=consumer, args=(0,))
+    consumer_thread.start()
+
+    producer_thread.join()
+    print("Joined on producer.")
+    work_queue.put(None)
+    consumer_thread.join()
+    print("Joined on consumer.")
+    log_queue.put(None)
+    log_thread.join()
+    from nimble_tpu.utils.metrics import METRICS
+
+    meter = METRICS.meter("bam_align")
+    if meter.items:
+        print(meter.summary())
+    print("Joined on logging; terminating.")

@@ -1,0 +1,172 @@
+"""Byte-parity of the columnar fast BAM pipeline vs the reference-port
+slow pipeline (gzipped forensic TSVs compared decompressed)."""
+
+import contextlib
+import gzip
+import io
+import os
+
+import numpy as np
+import pytest
+
+from nimble_tpu import native
+from nimble_tpu.config import AlignFilterConfig, IntersectLevel, LibraryChemistry
+from nimble_tpu.core.calls import HostAlignEngine
+from nimble_tpu.index.build import build_index
+from nimble_tpu.io.synth import make_synthetic_bam
+from nimble_tpu.library import Reference
+from nimble_tpu.models.aligner import DeviceAlignEngine
+from nimble_tpu.pipeline import bam_pipeline
+from nimble_tpu.pipeline.bam_fast import process_fast
+from nimble_tpu.utils.dna import revcomp
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native library required"
+)
+
+
+def _workload(n_features=8, feat_len=220, seed=0):
+    rng = np.random.default_rng(seed)
+    feats = ["".join(rng.choice(list("ACGT"), size=feat_len))
+             for _ in range(n_features)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    names = []
+    for i in range(n_features):
+        names.append(f"feat{i}")
+        names.append(f"feat{i}§rev")
+    reference = Reference(
+        group_on=0,
+        headers=["sequence_name", "sequence"],
+        columns=[names, doubled],
+        sequence_name_idx=0,
+        sequence_idx=1,
+    )
+    index = build_index(doubled)
+    return feats, reference, index
+
+
+def _run_both(tmp_path, bam, reference, index, cfg, quirks=True):
+    host_engine = HostAlignEngine(index, cfg)
+    dev_engine = DeviceAlignEngine(index, cfg)
+    slow_out = str(tmp_path / "slow.tsv.gz")
+    fast_out = str(tmp_path / "fast.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        bam_pipeline.process(
+            [bam], [host_engine], [reference], [cfg], [slow_out], 2, False,
+            parity_quirks=quirks,
+        )
+        process_fast(
+            [bam], [dev_engine], [reference], [cfg], [fast_out], 2, False,
+            parity_quirks=quirks,
+        )
+    with gzip.open(slow_out, "rb") as f:
+        slow = f.read()
+    with gzip.open(fast_out, "rb") as f:
+        fast = f.read()
+    return slow, fast
+
+
+CONFIG_VARIANTS = [
+    dict(),
+    dict(strand_filter=LibraryChemistry.FIVE_PRIME),
+    dict(strand_filter=LibraryChemistry.THREE_PRIME),
+    dict(strand_filter=LibraryChemistry.NONE),
+    dict(intersect_level=IntersectLevel.FORCE_INTERSECT),
+    dict(intersect_level=IntersectLevel.NO_INTERSECT),
+    dict(require_valid_pair=True),
+    dict(discard_multiple_matches=True),
+    dict(num_mismatches=0, score_percent=0.5),
+    dict(trim_target_length=36, trim_strictness=0.9),
+]
+
+
+@pytest.mark.parametrize("variant", range(len(CONFIG_VARIANTS)))
+def test_fast_matches_slow_across_configs(tmp_path, variant):
+    feats, reference, index = _workload(seed=variant)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(
+        bam, feats, n_groups=6, pairs_per_group=3, read_len=80,
+        unpaired_per_group=1, seed=variant, mutate_every=3,
+    )
+    kw = dict(
+        reference_genome_size=16, score_percent=0.25, score_threshold=45,
+        num_mismatches=2, intersect_level=IntersectLevel.INTERSECT_WITH_FALLBACK,
+        max_hits_to_report=10,
+    )
+    kw.update(CONFIG_VARIANTS[variant])
+    cfg = AlignFilterConfig(**kw)
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
+    assert fast == slow
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_fast_matches_slow_quirk_modes(tmp_path, quirks):
+    feats, reference, index = _workload(seed=42)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(
+        bam, feats, n_groups=5, pairs_per_group=2, read_len=124,
+        seed=7, pad_to_124=False, mutate_every=4,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg, quirks=quirks)
+    assert fast == slow
+
+
+def test_fast_matches_slow_single_group(tmp_path):
+    feats, reference, index = _workload(seed=3)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(bam, feats, n_groups=1, pairs_per_group=4, read_len=70,
+                       seed=3)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
+    assert fast == slow
+
+
+def test_fast_matches_slow_124bp_clip(tmp_path):
+    feats, reference, index = _workload(seed=5, feat_len=150)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(
+        bam, feats, n_groups=4, pairs_per_group=2, read_len=111,
+        seed=5, pad_to_124=True,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
+    assert fast == slow
+
+
+def test_fast_matches_slow_force_paired(tmp_path):
+    feats, reference, index = _workload(seed=9)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(
+        bam, feats, n_groups=5, pairs_per_group=2, read_len=80,
+        unpaired_per_group=2, seed=9,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    host_engine = HostAlignEngine(index, cfg)
+    dev_engine = DeviceAlignEngine(index, cfg)
+    slow_out = str(tmp_path / "slow.tsv.gz")
+    fast_out = str(tmp_path / "fast.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        bam_pipeline.process(
+            [bam], [host_engine], [reference], [cfg], [slow_out], 2, True,
+        )
+        process_fast(
+            [bam], [dev_engine], [reference], [cfg], [fast_out], 2, True,
+        )
+    with gzip.open(slow_out, "rb") as f:
+        slow = f.read()
+    with gzip.open(fast_out, "rb") as f:
+        fast = f.read()
+    assert fast == slow
