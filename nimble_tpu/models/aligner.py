@@ -89,6 +89,7 @@ class DeviceAlignEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
         phase_a_positions: int = 8,
+        launch_batch: int = 32768,
         use_pallas_walk: bool = False,
     ):
         self.index = index
@@ -98,6 +99,10 @@ class DeviceAlignEngine:
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
         self.phase_a_positions = int(phase_a_positions)
+        # kernel compile time on the TPU backend grows ~linearly with the
+        # batch dimension, so launches are capped at ONE fixed shape per
+        # bucket (sub-batches pipeline; dispatch is async)
+        self.launch_batch = int(launch_batch)
         self.use_pallas_walk = bool(use_pallas_walk)
         if self.use_pallas_walk:
             # Pallas tiles need 128-aligned read batches
@@ -253,10 +258,20 @@ class DeviceAlignEngine:
                     sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
-                B = max(self.min_batch, 1 << (m - 1).bit_length())
-                buf = self._pack_reads(bmat, blens, bucket, B)
-                packed = self._launch_packed_kernel(buf, bucket)
-                launches.append((bucket, sel, m, packed))
+                # split into fixed-size sub-launches (async; they pipeline)
+                for lo in range(0, m, self.launch_batch):
+                    hi = min(lo + self.launch_batch, m)
+                    ms = hi - lo
+                    B = min(
+                        max(self.min_batch, 1 << (ms - 1).bit_length()),
+                        self.launch_batch,
+                    )
+                    buf = self._pack_reads(bmat[lo:hi], blens[lo:hi], bucket, B)
+                    packed = self._launch_packed_kernel(buf, bucket)
+                    sub_sel = sel[lo:hi] if sel is not None else (
+                        None if m <= self.launch_batch else np.arange(lo, hi)
+                    )
+                    launches.append((bucket, sub_sel, ms, packed))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -319,25 +334,30 @@ class DeviceAlignEngine:
             for bi in np.unique(bucket_idx[eligible]):
                 bucket = int(bucket_arr[bi])
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
-                m = len(sel)
-                B = max(self.min_batch, 1 << (m - 1).bit_length())
-                buf = self._pack_reads(mat[sel], lens[sel], bucket, B)
-                out = probe_walk_full_packed(
-                    jnp.asarray(buf),
-                    self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
-                    self._dev_fast["bstart"], self._dev_fast["bcount"],
-                    self._dev_fast["postings_row"],
-                    self._dev_fast["postings_off"],
-                    self._dev_fast["ref_codes_packed"],
-                    self._dev_fast["row_starts"],
-                    self._dev_fast["row_lengths"],
-                    k=self.bidx.k, max_probe=self.bidx.max_probe,
-                    c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
-                    p_limit=bucket - self.bidx.k + 1,
-                    ref_pad=self.bidx.ref_pad, bucket=bucket,
-                    use_pallas=self.use_pallas_walk,
-                )
-                launches.append((sel, m, out))
+                for lo in range(0, len(sel), self.launch_batch):
+                    sub = sel[lo : lo + self.launch_batch]
+                    m = len(sub)
+                    B = min(
+                        max(self.min_batch, 1 << (m - 1).bit_length()),
+                        self.launch_batch,
+                    )
+                    buf = self._pack_reads(mat[sub], lens[sub], bucket, B)
+                    out = probe_walk_full_packed(
+                        jnp.asarray(buf),
+                        self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                        self._dev_fast["bstart"], self._dev_fast["bcount"],
+                        self._dev_fast["postings_row"],
+                        self._dev_fast["postings_off"],
+                        self._dev_fast["ref_codes_packed"],
+                        self._dev_fast["row_starts"],
+                        self._dev_fast["row_lengths"],
+                        k=self.bidx.k, max_probe=self.bidx.max_probe,
+                        c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
+                        p_limit=bucket - self.bidx.k + 1,
+                        ref_pad=self.bidx.ref_pad, bucket=bucket,
+                        use_pallas=self.use_pallas_walk,
+                    )
+                    launches.append((sub, m, out))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 

@@ -1,22 +1,21 @@
 """Multi-chip alignment engine over a (data × model) device mesh.
 
-Runs the psum-merged sharded step (`parallel.sharded.make_sharded_step`) —
-reads data-parallel across chips, k-mer index model-parallel — behind the
-same batch interfaces as `DeviceAlignEngine`:
+Runs the bucketized fast kernel sharded over the mesh
+(`parallel.sharded_fast.make_sharded_fast_step`) — reads data-parallel, the
+k-mer table hash-partitioned over the model axis — behind the same compact
+interface as `DeviceAlignEngine`, so `core.fast_count.FastCounter` and the
+pipelines work unchanged (including the vectorized combo decode: global
+``astart`` indexes the stacked per-shard postings).
 
-  * ``align_raw_from_matrix`` — flat arrays for the fast counting path
-    (`core.fast_count.FastCounter` detects and uses it);
-  * ``align_batch`` — per-read tuples for the forensic path.
-
-Exactness follows the single-chip engine: integer walk on device, f64 gates
-on host, host-oracle rescue for unbounded reads.  On a single-host CPU run
-the mesh uses the 8 virtual devices from ``xla_force_host_platform_device_count``;
-on a pod slice it spans all chips.
+Exactness follows the single-chip engine: integer thresholds on device, f64
+gates via the compact flags, host-oracle rescue for unbounded reads.  On a
+single-host CPU run the mesh uses the 8 virtual devices from
+``xla_force_host_platform_device_count``; on a pod slice it spans all chips.
 """
 
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
@@ -31,16 +30,24 @@ from nimble_tpu.config import (
 )
 from nimble_tpu.core.filters import filter_alignment_by_metrics, pseudoalign
 from nimble_tpu.index.build import KmerIndex
-from nimble_tpu.models.aligner import EQ_PAD, batch_entropy
-from nimble_tpu.parallel.sharded import (
-    build_sharded_index,
-    device_arrays,
-    make_sharded_step,
+from nimble_tpu.models.aligner import DEFAULT_BUCKETS, batch_entropy
+from nimble_tpu.ops.engine_fast import unpack_full_packed
+from nimble_tpu.parallel.sharded_fast import (
+    build_sharded_bucketed_index,
+    make_sharded_fast_step,
+    sharded_device_arrays,
 )
 
 
+class _BidxShim:
+    """Just enough of BucketedDeviceIndex for FastCounter's combo decode."""
+
+    def __init__(self, postings_row_flat: np.ndarray):
+        self.postings_row = postings_row_flat
+
+
 class MeshAlignEngine:
-    """Data×model sharded engine (see module docstring)."""
+    """Data × model sharded fast engine (see module docstring)."""
 
     def __init__(
         self,
@@ -50,13 +57,13 @@ class MeshAlignEngine:
         mesh: Optional[jax.sharding.Mesh] = None,
         n_index_shards: Optional[int] = None,
         c_max: int = 8,
-        max_len: int = 1024,
+        buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
     ):
         self.index = index
         self.config = config
         self.c_max = int(c_max)
-        self.max_len = int(max_len)
+        self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
 
         if mesh is None:
@@ -68,118 +75,131 @@ class MeshAlignEngine:
         self.data_shards = mesh.shape["data"]
         model_shards = mesh.shape["model"]
 
-        self.sidx = build_sharded_index(index, model_shards)
-        self.step = make_sharded_step(mesh, self.sidx, c_max=self.c_max)
-        self._dev = device_arrays(self.sidx)
-        # eq-content interning for the compact interface
-        self._intern: dict = {}
-        self._intern_list: List[List[int]] = []
+        self.sbidx = build_sharded_bucketed_index(index, model_shards)
+        self.bidx = _BidxShim(self.sbidx.postings_row_flat)
+        self._dev = sharded_device_arrays(self.sbidx)
+        self._steps: dict = {}
+        self._s_min_cache: dict = {}
+        self._s_min_dev_cache: dict = {}
 
-    # --- fast counting interface -----------------------------------------
+    # --- shared helpers (mirror DeviceAlignEngine) ------------------------
 
-    def align_raw_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
-        """Same contract as DeviceAlignEngine.align_raw_from_matrix."""
-        n, width = mat.shape
-        c = self.c_max
-        lens = np.asarray(lens, dtype=np.int32)
-        passed = np.zeros(n, dtype=bool)
-        eq_sorted = np.full((n, c), EQ_PAD, dtype=np.int64)
-        needs_host = lens > self.max_len
-        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
-        if not eligible.any():
-            return {"passed": passed, "eq_sorted": eq_sorted, "needs_host": needs_host}
+    _s_min_table = None  # assigned below to avoid duplicating the logic
 
-        sel = np.flatnonzero(eligible)
-        m = len(sel)
-        # pad batch to a pow2 multiple of the data axis
+    def _s_min(self, lmax: int) -> np.ndarray:
+        from nimble_tpu.models.aligner import DeviceAlignEngine
+
+        return DeviceAlignEngine._s_min_table(self, lmax)
+
+    def _s_min_dev(self, bucket: int):
+        t = self._s_min_dev_cache.get(bucket)
+        if t is None:
+            t = jnp.asarray(self._s_min(bucket))
+            self._s_min_dev_cache[bucket] = t
+        return t
+
+    def _step_for(self, bucket: int):
+        step = self._steps.get(bucket)
+        if step is None:
+            cfg = self.config
+            step = make_sharded_fast_step(
+                self.mesh, self.sbidx, c_max=self.c_max, bucket=bucket,
+                score_threshold=int(cfg.score_threshold),
+                num_mismatches=int(cfg.num_mismatches),
+                discard_multiple=bool(cfg.discard_multiple_matches),
+                discard_nonzero=bool(cfg.discard_nonzero_mismatch),
+            )
+            self._steps[bucket] = step
+        return step
+
+    def _pack(self, mat, lens, bucket, B):
+        from nimble_tpu.models.aligner import DeviceAlignEngine
+
+        return DeviceAlignEngine._pack_reads(mat, lens, bucket, B)
+
+    def _batch_size(self, m: int) -> int:
         B = max(self.min_batch, 1 << (m - 1).bit_length())
         while B % self.data_shards:
             B *= 2
-        lmax = int(lens[sel].max())
-        reads = np.zeros((B, lmax), dtype=np.int8)
-        reads[:m, : min(lmax, width)] = mat[sel, : min(lmax, width)]
-        blens = np.zeros(B, dtype=np.int32)
-        blens[:m] = lens[sel]
+        return B
 
-        out = self.step(jnp.asarray(reads), jnp.asarray(blens), *self._dev)
-        out = {k: np.array(v) for k, v in jax.device_get(out).items()}
+    # --- compact interface (FastCounter) ----------------------------------
 
-        cfg = self.config
-        ent = batch_entropy(reads[:m], blens[:m])
-        has_anchor = out["has_anchor"][:m]
-        overflow = out["overflow"][:m]
-        score = out["score"][:m].astype(np.int64)
-        mm = out["mismatches"][:m].astype(np.int64)
-        rows = out["rows"][:m].astype(np.int64)
-        live = out["live"][:m].astype(bool)
+    def compact_dispatch(self, mat: np.ndarray, lens: np.ndarray):
+        n, width = mat.shape
+        lens = np.asarray(lens, dtype=np.int32)
+        needs_host = lens > self.buckets[-1]
+        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
+        launches = []
+        if eligible.any():
+            bucket_arr = np.asarray(self.buckets)
+            bucket_idx = np.searchsorted(bucket_arr, lens)
+            present = np.unique(bucket_idx[eligible])
+            for bi in present:
+                bucket = int(bucket_arr[bi])
+                if len(present) == 1 and eligible.all():
+                    sel, m, bmat, blens = None, n, mat, lens
+                else:
+                    sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
+                    sel, m = sel_idx, len(sel_idx)
+                    bmat, blens = mat[sel_idx], lens[sel_idx]
+                B = self._batch_size(m)
+                buf = self._pack(bmat, blens, bucket, B)
+                step = self._step_for(bucket)
+                out = step(buf, *self._dev, self._s_min_dev(bucket))
+                launches.append((bucket, sel, m, out))
+        return {"n": n, "lens": lens, "needs_host": needs_host,
+                "launches": launches}
 
-        eq = np.where(live, rows, EQ_PAD)
-        eq.sort(axis=1)
-        dup = np.zeros_like(live)
-        dup[:, 1:] = eq[:, 1:] == eq[:, :-1]
-        eq = np.where(dup, EQ_PAD, eq)
-        eq.sort(axis=1)
-        n_distinct = (eq != EQ_PAD).sum(axis=1)
-
-        normalized = score / blens[:m].astype(np.float64)
-        ok = (
-            (ent >= MIN_ENTROPY_SCORE)
-            & has_anchor
-            & (score >= cfg.score_threshold)
-            & (normalized >= cfg.score_percent)
-            & (n_distinct > 0)
-            & (mm <= cfg.num_mismatches)
-        )
-        if cfg.discard_multiple_matches:
-            ok &= n_distinct <= 1
-        if cfg.discard_nonzero_mismatch:
-            ok &= mm == 0
-
-        host_mask = overflow & (ent >= MIN_ENTROPY_SCORE)
-        passed[sel] = ok & ~host_mask
-        eq_sorted[sel] = eq
-        needs_host[sel] = host_mask
-        return {"passed": passed, "eq_sorted": eq_sorted, "needs_host": needs_host}
-
-    # --- compact interface (for FastCounter) ------------------------------
-    # Combo ids here are INTERNED eq-class ids (the sharded step has no
-    # single global postings start), decoded by decode_combo below.
-
-    def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
-        raw = self.align_raw_from_matrix(mat, lens)
-        n = mat.shape[0]
+    def compact_collect(self, state, defer_unresolved: bool = False):
+        n = state["n"]
         astart = np.zeros(n, dtype=np.int64)
         mask = np.zeros(n, dtype=np.int32)
-        passed_idx = np.flatnonzero(raw["passed"])
-        if len(passed_idx):
-            rows = raw["eq_sorted"][passed_idx]
-            uniq, inv = np.unique(rows, axis=0, return_inverse=True)
-            ids = np.empty(len(uniq), dtype=np.int64)
-            for u_i, u in enumerate(uniq):
-                key = u.tobytes()
-                interned = self._intern.get(key)
-                if interned is None:
-                    interned = len(self._intern_list)
-                    self._intern[key] = interned
-                    self._intern_list.append(
-                        [int(x) for x in u if x != EQ_PAD]
-                    )
-                ids[u_i] = interned
-            astart[passed_idx] = ids[inv]
-            mask[passed_idx] = 1  # nonzero marker; identity lives in astart
-        return {
-            "astart": astart,
-            "mask": mask,
-            "passed": raw["passed"],
-            "needs_host": raw["needs_host"],
-        }
+        passed = np.zeros(n, dtype=bool)
+        needs_host = state["needs_host"]
+        for bucket, sel, m, out_dev in state["launches"]:
+            packed = np.asarray(out_dev)
+            flags = packed[:m, 1]
+            a = packed[:m, 0].astype(np.int64)
+            mk = (flags & 0xFFFF).astype(np.int32)
+            ps = (flags & (1 << 16)) != 0
+            nh = (flags & (1 << 17)) != 0
+            if sel is None:
+                astart[:], mask[:], passed[:], needs_host[:] = a, mk, ps, nh
+            else:
+                astart[sel], mask[sel] = a, mk
+                passed[sel], needs_host[sel] = ps, nh
+        result = {"astart": astart, "mask": mask, "passed": passed,
+                  "needs_host": needs_host}
+        if defer_unresolved:
+            result["unresolved"] = np.zeros(n, dtype=bool)
+        return result
+
+    def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
+        return self.compact_collect(self.compact_dispatch(mat, lens))
 
     def decode_combo(self, astart: int, mask: int) -> List[int]:
-        return list(self._intern_list[int(astart)])
+        """(global astart, mask) -> sorted distinct eq rows (host-side)."""
+        prow = self.sbidx.postings_row_flat
+        rows = []
+        c = 0
+        m = int(mask)
+        base = int(astart)
+        while m:
+            if m & 1:
+                rows.append(int(prow[base + c]))
+            m >>= 1
+            c += 1
+        return sorted(set(rows))
 
-    # --- forensic interface ----------------------------------------------
+    # --- forensic interface ------------------------------------------------
 
     def align_batch(self, seqs: Sequence[Optional[np.ndarray]]):
+        """Per-read (AlignmentScore, Filter) tuples via the sharded kernel.
+
+        Distinct eq identity comes from the compact (astart, mask) pair; raw
+        score/mismatches ride in col 2 of the packed result.
+        """
         n = len(seqs)
         results: list = [(None, None)] * n
         cfg = self.config
@@ -191,50 +211,64 @@ class MeshAlignEngine:
             if len(s) < MIN_READ_LENGTH:
                 results[i] = (None, (FilterReason.SHORT_READ, 0.0, 0))
                 continue
-            if len(s) > self.max_len:
+            if len(s) > self.buckets[-1]:
                 results[i] = pseudoalign(s, self.index, cfg, MIN_READ_LENGTH)
                 continue
             device_idx.append(i)
         if not device_idx:
             return results
 
-        m = len(device_idx)
-        B = max(self.min_batch, 1 << (m - 1).bit_length())
-        while B % self.data_shards:
-            B *= 2
-        lmax = max(len(seqs[i]) for i in device_idx)
-        reads = np.zeros((B, lmax), dtype=np.int8)
-        blens = np.zeros(B, dtype=np.int32)
-        for j, i in enumerate(device_idx):
-            reads[j, : len(seqs[i])] = seqs[i]
-            blens[j] = len(seqs[i])
+        by_bucket: dict = {}
+        for i in device_idx:
+            L = len(seqs[i])
+            bucket = next(b for b in self.buckets if b >= L)
+            by_bucket.setdefault(bucket, []).append(i)
 
-        out = self.step(jnp.asarray(reads), jnp.asarray(blens), *self._dev)
-        out = {k: np.array(v) for k, v in jax.device_get(out).items()}
-        ent = batch_entropy(reads[:m], blens[:m])
-
-        # host-exact gates, like DeviceAlignEngine._run_bucket
-        for j, i in enumerate(device_idx):
-            s = seqs[i]
-            if ent[j] < MIN_ENTROPY_SCORE:
-                results[i] = (None, (FilterReason.HIGH_ENTROPY, 0.0, 0))
-                continue
-            if out["overflow"][j]:
-                results[i] = pseudoalign(s, self.index, cfg, MIN_READ_LENGTH)
-                continue
-            if not out["has_anchor"][j]:
-                results[i] = (None, (FilterReason.NO_MATCH, 0.0, 0))
-                continue
-            eq = sorted(set(out["rows"][j][out["live"][j].astype(bool)].tolist()))
-            score = int(out["score"][j])
-            mismatches = int(out["mismatches"][j])
-            normalized = score / len(s)
-            if cfg.discard_nonzero_mismatch and mismatches != 0:
-                results[i] = (None, (FilterReason.DISCARDED_NONZERO_MISMATCH, 0.0, 0))
-                continue
-            results[i] = filter_alignment_by_metrics(
-                eq, score, normalized,
-                cfg.score_threshold, cfg.score_percent,
-                cfg.discard_multiple_matches, cfg.num_mismatches, mismatches,
+        for bucket, idxs in by_bucket.items():
+            m = len(idxs)
+            B = self._batch_size(m)
+            reads = np.zeros((B, bucket), dtype=np.int8)
+            blens = np.zeros(B, dtype=np.int32)
+            for j, i in enumerate(idxs):
+                reads[j, : len(seqs[i])] = seqs[i]
+                blens[j] = len(seqs[i])
+            buf = self._pack(reads[:m], blens[:m], bucket, B)
+            out = np.asarray(
+                self._step_for(bucket)(buf, *self._dev, self._s_min_dev(bucket))
             )
+            flags = out[:m, 1]
+            a = out[:m, 0].astype(np.int64)
+            mk = (flags & 0xFFFF).astype(np.int32)
+            has_anchor = (flags & (1 << 18)) != 0
+            # needs_host covers both postings overflow and the entropy
+            # boundary band; the host oracle resolves either exactly
+            nh = (flags & (1 << 17)) != 0
+            score = (out[:m, 2] >> 16).astype(np.int32)
+            mm = (out[:m, 2] & 0xFFFF).astype(np.int32)
+
+            ent = batch_entropy(reads[:m], blens[:m])
+            for j, i in enumerate(idxs):
+                s = seqs[i]
+                if ent[j] < MIN_ENTROPY_SCORE:
+                    results[i] = (None, (FilterReason.HIGH_ENTROPY, 0.0, 0))
+                    continue
+                if nh[j]:
+                    results[i] = pseudoalign(s, self.index, cfg, MIN_READ_LENGTH)
+                    continue
+                if not has_anchor[j]:
+                    results[i] = (None, (FilterReason.NO_MATCH, 0.0, 0))
+                    continue
+                eq = self.decode_combo(int(a[j]), int(mk[j]))
+                sc = int(score[j])
+                normalized = sc / len(s)  # f64 (`src/align.rs:968`)
+                if cfg.discard_nonzero_mismatch and int(mm[j]) != 0:
+                    results[i] = (
+                        None, (FilterReason.DISCARDED_NONZERO_MISMATCH, 0.0, 0)
+                    )
+                    continue
+                results[i] = filter_alignment_by_metrics(
+                    eq, sc, normalized,
+                    cfg.score_threshold, cfg.score_percent,
+                    cfg.discard_multiple_matches, cfg.num_mismatches, int(mm[j]),
+                )
         return results

@@ -166,6 +166,11 @@ def _span_walk(
     )
 
     match_full = ref_span == read_span[:, None, :]            # (B, C, W)
+    # fence the span construction off from the walk/filter stages: the axon
+    # TPU compiler's time grows superlinearly when these fuse (600s for the
+    # whole kernel at 64k reads vs ~100s as fenced stages; runtime cost of
+    # the barrier is microseconds)
+    match_full, read_span = jax.lax.optimization_barrier((match_full, read_span))
 
     t_idx = jnp.arange(T, dtype=jnp.int32)
     r_len = row_lengths[rows]
@@ -335,6 +340,11 @@ def _probe_walk_filter_impl(
         reads_i32, read_lens, bkey_lo, bkey_hi,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
     )
+    # stage fence (see _span_walk): probe | walk | filters compile ~6x
+    # faster unfused on the TPU backend
+    has_anchor, anchor, bucket_sel, lane_sel = jax.lax.optimization_barrier(
+        (has_anchor, anchor, bucket_sel, lane_sel)
+    )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
     overflow = acnt > c_max
@@ -351,6 +361,9 @@ def _probe_walk_filter_impl(
         k=k, ref_pad=ref_pad,
         l_steps=min(p_limit - 1, Lmax - k),
         use_pallas=use_pallas,
+    )
+    live, walk_score, walk_mm = jax.lax.optimization_barrier(
+        (live, walk_score, walk_mm)
     )
     score = jnp.where(has_anchor, k + walk_score, 0)
     mm = jnp.where(has_anchor, walk_mm, 0)
@@ -464,6 +477,9 @@ def probe_walk_full_packed(
     has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
         reads_i32, read_lens, bkey_lo, bkey_hi,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+    )
+    has_anchor, anchor, bucket_sel, lane_sel = jax.lax.optimization_barrier(
+        (has_anchor, anchor, bucket_sel, lane_sel)
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)

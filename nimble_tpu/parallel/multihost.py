@@ -1,0 +1,237 @@
+"""Multi-host (multi-process) execution scaffolding.
+
+The reference is a single-node CLI; the TPU-native design target
+(SURVEY.md §2c) scales the FASTQ counting workload across hosts:
+
+  * each host reads a disjoint RECORD RANGE of the input file(s);
+  * reads are routed to an OWNER host by content hash (exact global
+    dedupe: the score map is keyed by read bytes, `src/align.rs:574-579`,
+    and a duplicate read must count once no matter which host parsed it);
+  * each host aligns + counts its owned reads with the normal engine /
+    FastCounter stack (chips inside a host via the mesh engine);
+  * per-callset counts merge across hosts (disjoint read ownership means
+    counts simply add), and every host deterministically derives the same
+    final sorted table; process 0 writes it.
+
+Process bootstrap is `jax.distributed.initialize`; cross-host data moves
+through `multihost_utils.process_allgather` (DCN).  The routing exchange
+broadcasts the (packed) chunk and filters locally — on pod hardware the
+same routing can ride `jax.lax.all_to_all` over ICI/DCN, but allgather is
+exact, simple, and the FASTQ payloads (2-bit packed) are small next to the
+alignment work.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """`jax.distributed.initialize` wrapper (no-op when single-process)."""
+    import jax
+
+    if num_processes is None or num_processes <= 1:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def host_record_range(n_records: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
+    """[lo, hi) of the records this host parses (balanced contiguous split)."""
+    lo = host_id * n_records // n_hosts
+    hi = (host_id + 1) * n_records // n_hosts
+    return lo, hi
+
+
+def _read_owner_hash(mat: np.ndarray, lens: np.ndarray,
+                     n_hosts: int) -> np.ndarray:
+    """Owner host per read from its exact content bytes (vectorized FNV-1a
+    over the padded row with the length mixed in — padding is zeros, and
+    two reads with equal bytes+length always hash identically)."""
+    h = np.full(mat.shape[0], 0x811C9DC5, dtype=np.uint64)
+    for j in range(mat.shape[1]):
+        h = (h ^ mat[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
+        h &= np.uint64(0xFFFFFFFFFFFFFFFF)
+    h ^= lens.astype(np.uint64)
+    h *= np.uint64(0x100000001B3)
+    return (h % np.uint64(n_hosts)).astype(np.int64)
+
+
+def exchange_reads_by_content(
+    mat: np.ndarray,
+    lens: np.ndarray,
+    n_hosts: int,
+    host_id: int,
+    allgather=None,
+):
+    """Route reads to content-hash owners; returns this host's owned reads.
+
+    ``allgather(list_of_arrays) -> list over hosts`` defaults to
+    `multihost_utils.process_allgather` with padding to a common shape; a
+    test shim can inject a local implementation.
+    """
+    if n_hosts <= 1:
+        return mat, lens
+    if allgather is None:
+        allgather = _process_allgather_padded
+
+    owner = _read_owner_hash(mat, lens, n_hosts)
+    gathered = allgather([mat, lens, owner])
+    own_mat: List[np.ndarray] = []
+    own_lens: List[np.ndarray] = []
+    for g_mat, g_lens, g_owner in gathered:
+        pick = g_owner == host_id
+        own_mat.append(g_mat[pick])
+        own_lens.append(g_lens[pick])
+    width = max((m.shape[1] for m in own_mat if m.size), default=1)
+    total = sum(m.shape[0] for m in own_mat)
+    out = np.zeros((total, width), dtype=np.int8)
+    out_lens = np.zeros(total, dtype=np.int32)
+    at = 0
+    for m, l in zip(own_mat, own_lens):
+        out[at : at + m.shape[0], : m.shape[1]] = m
+        out_lens[at : at + m.shape[0]] = l
+        at += m.shape[0]
+    return out, out_lens
+
+
+def _process_allgather_padded(arrays: Sequence[np.ndarray]):
+    """allgather a per-host (mat, lens, owner) triple across processes.
+
+    Hosts may hold different record counts/widths; everything is padded to
+    the global maximum before the collective and trimmed after.
+    """
+    import jax
+    from jax.experimental import multihost_utils as mh
+
+    n = arrays[0].shape[0]
+    width = arrays[0].shape[1]
+    dims = mh.process_allgather(np.array([n, width], dtype=np.int64))
+    dims = np.asarray(dims).reshape(-1, 2)
+    n_max = int(dims[:, 0].max())
+    w_max = int(dims[:, 1].max())
+
+    mat = np.zeros((n_max, w_max), dtype=np.int8)
+    mat[:n, :width] = arrays[0]
+    lens = np.zeros(n_max, dtype=np.int32)
+    lens[:n] = arrays[1]
+    owner = np.full(n_max, -1, dtype=np.int64)
+    owner[:n] = arrays[2]
+
+    g_mat = np.asarray(mh.process_allgather(mat))
+    g_lens = np.asarray(mh.process_allgather(lens))
+    g_owner = np.asarray(mh.process_allgather(owner))
+    out = []
+    for h in range(dims.shape[0]):
+        nh = int(dims[h, 0])
+        out.append((g_mat[h, :nh], g_lens[h, :nh], g_owner[h, :nh]))
+    return out
+
+
+def merge_host_results(
+    local_results,
+    allgather_bytes=None,
+):
+    """Merge per-host FastCounter results into the global sorted table.
+
+    ``local_results`` is `FastCounter.finalize()` output over this host's
+    OWNED reads (disjoint across hosts), so per-callset counts add.  Every
+    host computes the identical merged table (deterministic), process 0
+    writes it.  ``allgather_bytes(payload: bytes) -> list[bytes]`` defaults
+    to a process_allgather of the pickled payload.
+    """
+    import pickle
+
+    payload = pickle.dumps(
+        [(tuple(callset), entry[0]) for callset, entry in local_results]
+    )
+    if allgather_bytes is None:
+        allgather_bytes = _allgather_bytes
+    merged: dict = {}
+    for blob in allgather_bytes(payload):
+        for callset, count in pickle.loads(blob):
+            merged[callset] = merged.get(callset, 0) + count
+    out = [(list(cs), (count, [], [])) for cs, count in merged.items()]
+    from nimble_tpu.core.calls import sort_score_vector
+
+    return sort_score_vector(out)
+
+
+def _allgather_bytes(payload: bytes):
+    from jax.experimental import multihost_utils as mh
+
+    n = len(payload)
+    sizes = np.asarray(mh.process_allgather(np.array([n], dtype=np.int64)))
+    n_max = int(sizes.max())
+    buf = np.zeros(n_max, dtype=np.uint8)
+    buf[:n] = np.frombuffer(payload, dtype=np.uint8)
+    gathered = np.asarray(mh.process_allgather(buf))
+    sizes = sizes.reshape(-1)
+    return [gathered[h, : int(sizes[h])].tobytes() for h in range(gathered.shape[0])]
+
+
+def process_fastq_multihost(
+    input_path: str,
+    engine,
+    reference,
+    config,
+    output_path: Optional[str],
+    *,
+    n_hosts: Optional[int] = None,
+    host_id: Optional[int] = None,
+    chunk_reads: int = 1 << 16,
+    allgather=None,
+    allgather_bytes=None,
+):
+    """Multi-host FASTQ counting: per-host record ranges -> content-hash
+    routing -> local align/count -> global merge.
+
+    Returns the merged results (every host); only process 0 (or the caller)
+    should write ``output_path``.
+    """
+    import jax
+
+    from nimble_tpu.core.fast_count import FastCounter
+    from nimble_tpu.io.fastq import read_fastq_matrix
+
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    if host_id is None:
+        host_id = jax.process_index()
+
+    mat, lens = read_fastq_matrix(input_path)
+    lo, hi = host_record_range(mat.shape[0], n_hosts, host_id)
+    own_mat, own_lens = exchange_reads_by_content(
+        mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather
+    )
+
+    counter = FastCounter(engine, reference, config)
+    pending = None
+    for clo in range(0, own_mat.shape[0], chunk_reads):
+        chunk = counter.dispatch(
+            own_mat[clo : clo + chunk_reads], own_lens[clo : clo + chunk_reads]
+        )
+        if pending is not None:
+            counter.process(pending)
+        pending = chunk
+    if pending is not None:
+        counter.process(pending)
+    local = counter.finalize()
+
+    merged = merge_host_results(local, allgather_bytes=allgather_bytes)
+    if output_path is not None and host_id == 0:
+        from nimble_tpu.io.writers import write_to_tsv
+
+        write_to_tsv(
+            [(features, entry[0]) for features, entry in merged], output_path
+        )
+    return merged

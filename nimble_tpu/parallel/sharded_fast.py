@@ -1,0 +1,344 @@
+"""Mesh port of the bucketized fast kernel (data × model sharding).
+
+`parallel.sharded` runs the original element-gather formulation; this module
+ports the production fast kernel (`ops.engine_fast.probe_walk_filter`) onto a
+2-D `jax.sharding.Mesh`:
+
+  * ``data`` axis — reads sharded batch-wise (DP);
+  * ``model`` axis — the BUCKETIZED k-mer table partitioned by key-hash high
+    bits into per-shard open-addressed sub-tables (common geometry).  Each
+    key lives on exactly one shard, so each read's anchor k-mer has exactly
+    one owner; the owner walks the read and `psum` over ``model`` merges the
+    packed outputs (zeros elsewhere).
+
+The step consumes the same ONE packed uint8 buffer per launch as the
+single-chip engine (2-bit codes + u16 length) and emits ONE int32 (B, 3)
+result — astart is globalized as ``shard_id * postings_stride + local``, so
+the host-side combo decode uses the stacked postings exactly like the
+single-chip path.  Bit-equality with `probe_walk_filter` is asserted in
+tests/test_sharded.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nimble_tpu.index.build import KmerIndex
+from nimble_tpu.ops.device_index import EMPTY_SLOT, hash_kmer
+from nimble_tpu.ops.engine_fast import (
+    ENTROPY_BOUNDARY_BAND,
+    MIN_ENTROPY_SCORE_F32,
+    _probe_bucketed,
+    _span_walk,
+)
+
+
+@dataclass
+class ShardedBucketedIndex:
+    """Per-model-shard bucketized tables with common geometry."""
+
+    k: int
+    n_shards: int
+    n_buckets: int
+    width: int
+    max_probe: int
+    postings_stride: int        # per-shard postings capacity (Pmax)
+    bkey_lo: np.ndarray         # (S, n_buckets, width) uint32
+    bkey_hi: np.ndarray
+    bstart: np.ndarray          # (S, n_buckets, width) int32 (shard-local)
+    bcount: np.ndarray
+    postings_row: np.ndarray    # (S, Pmax) int32
+    postings_off: np.ndarray    # (S, Pmax) int32
+    postings_row_flat: np.ndarray  # (S*Pmax,) int32 — host decode view
+    ref_codes_packed: np.ndarray   # replicated, 2-bit packed
+    ref_pad: int
+    row_starts: np.ndarray
+    row_lengths: np.ndarray
+    max_postings: int
+
+
+def build_sharded_bucketed_index(
+    index: KmerIndex, n_shards: int, width: int = 8, load_factor: float = 0.5,
+    ref_pad: int = 1024 + 32,
+) -> ShardedBucketedIndex:
+    """Partition the k-mer map by key-hash high bits into per-shard
+    bucketized tables (same geometry on every shard)."""
+    assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0
+    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64,
+                       count=len(index.kmer_map))
+    n_keys = len(keys)
+    key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    h_full = hash_kmer(key_lo, key_hi)
+    # shard by high hash bits; bucket index inside a shard uses low bits —
+    # independent bit ranges keep per-shard load balanced
+    shard_of = ((h_full >> np.uint32(16)) & np.uint32(n_shards - 1)).astype(np.int64)
+
+    per_shard = np.bincount(shard_of, minlength=n_shards) if n_keys else np.zeros(n_shards, np.int64)
+    max_keys = int(per_shard.max()) if n_keys else 1
+    n_buckets = 16
+    while n_buckets * width * load_factor < max(max_keys, 1):
+        n_buckets *= 2
+    mask = n_buckets - 1
+
+    bkl = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+    bkh = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+    bst = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
+    bcn = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
+    fill = np.zeros((n_shards, n_buckets), dtype=np.int64)
+    postings: list = [[] for _ in range(n_shards)]
+
+    h_bucket = (h_full.astype(np.int64)) & mask
+    max_probe = 1
+    max_postings = 0
+    for i in range(n_keys):
+        s = int(shard_of[i])
+        b = int(h_bucket[i])
+        probe = 1
+        while fill[s, b] >= width:
+            b = (b + 1) & mask
+            probe += 1
+        lane = fill[s, b]
+        p = index.kmer_map[int(keys[i])]
+        bkl[s, b, lane] = key_lo[i]
+        bkh[s, b, lane] = key_hi[i]
+        bst[s, b, lane] = len(postings[s])
+        bcn[s, b, lane] = len(p)
+        postings[s].extend((int(r), int(o)) for r, o in p)
+        fill[s, b] += 1
+        max_probe = max(max_probe, probe)
+        max_postings = max(max_postings, len(p))
+
+    pmax = max(max(len(pp) for pp in postings), 1)
+    prow = np.zeros((n_shards, pmax), dtype=np.int32)
+    poff = np.zeros((n_shards, pmax), dtype=np.int32)
+    for s, pp in enumerate(postings):
+        if pp:
+            arr = np.array(pp, dtype=np.int32)
+            prow[s, : len(arr)] = arr[:, 0]
+            poff[s, : len(arr)] = arr[:, 1]
+
+    row_lengths = index.row_lengths.astype(np.int32)
+    row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)
+    total_len = int(row_lengths.sum())
+    padded_len = ref_pad + max(total_len, 1) + ref_pad
+    padded_len = (padded_len + 15) // 16 * 16
+    ref_padded = np.zeros(padded_len, dtype=np.int8)
+    for r, codes in enumerate(index.row_codes):
+        ref_padded[ref_pad + row_starts[r] : ref_pad + row_starts[r] + len(codes)] = codes
+    w = ref_padded.astype(np.uint32).reshape(-1, 16)
+    shifts = (np.uint32(2) * np.arange(16, dtype=np.uint32))[None, :]
+    ref_packed = (w << shifts).sum(axis=1, dtype=np.uint32)
+
+    return ShardedBucketedIndex(
+        k=index.k, n_shards=n_shards, n_buckets=n_buckets, width=width,
+        max_probe=max_probe, postings_stride=pmax,
+        bkey_lo=bkl, bkey_hi=bkh, bstart=bst, bcount=bcn,
+        postings_row=prow, postings_off=poff,
+        postings_row_flat=prow.reshape(-1),
+        ref_codes_packed=ref_packed, ref_pad=ref_pad,
+        row_starts=row_starts, row_lengths=row_lengths,
+        max_postings=max_postings,
+    )
+
+
+def make_sharded_fast_step(
+    mesh: Mesh, sbidx: ShardedBucketedIndex, *, c_max: int, bucket: int,
+    score_threshold: int, num_mismatches: int,
+    discard_multiple: bool, discard_nonzero: bool,
+):
+    """Jitted (data × model) fast step: packed buffer in, packed (B, 3) out.
+
+    Output columns (replicated over 'model', sharded over 'data'):
+      col 0 = global astart (shard_id * postings_stride + local start)
+      col 1 = mask | passed<<16 | needs_host<<17 | has_anchor<<18
+      col 2 = score<<16 | mismatches
+    Matches `probe_walk_filter` bit-for-bit on a 1-shard model axis, and for
+    any sharding by the owner-merge argument (each anchor key has exactly
+    one owner shard; psum merges owner-masked packed values).
+    """
+    k = sbidx.k
+    max_probe = sbidx.max_probe
+    bucket_mask = sbidx.n_buckets - 1
+    stride = sbidx.postings_stride
+    p_limit = bucket - k + 1
+    nb = (bucket + 3) // 4
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(
+            P("data", None),                       # packed reads buffer
+            P("model", None, None), P("model", None, None),  # bucket keys
+            P("model", None, None), P("model", None, None),  # bucket spans
+            P("model", None), P("model", None),    # postings
+            P(), P(), P(),                         # packed ref, row spans
+            P(),                                   # s_min table
+        ),
+        out_specs=P("data", None),
+        check_vma=False,
+    )
+    def step(packed, bkl, bkh, bst, bcn, prow, poff, refp, rstarts, rlens,
+             s_min_table):
+        bkl, bkh, bst, bcn = bkl[0], bkh[0], bst[0], bcn[0]
+        prow, poff = prow[0], poff[0]
+
+        B = packed.shape[0]
+        words = packed[:, :nb].astype(jnp.int32)
+        j = jnp.arange(bucket, dtype=jnp.int32)
+        reads_i32 = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+        read_lens = (
+            packed[:, nb].astype(jnp.int32)
+            | (packed[:, nb + 1].astype(jnp.int32) << 8)
+        )
+
+        # local probe over this shard's sub-table (all positions)
+        P_pos = min(bucket - k + 1, p_limit)
+        lo, hi = _rolling_keys_local(reads_i32[:, : P_pos + k - 1], k)
+        h = _hash_local(lo, hi) & jnp.uint32(bucket_mask)
+        found = jnp.zeros((B, P_pos), dtype=bool)
+        bucket_rec = jnp.zeros((B, P_pos), dtype=jnp.int32)
+        lane_rec = jnp.zeros((B, P_pos), dtype=jnp.int32)
+        for p in range(max_probe):
+            bidx = ((h + jnp.uint32(p)) & jnp.uint32(bucket_mask)).astype(jnp.int32)
+            blo = bkl[bidx]
+            bhi = bkh[bidx]
+            lane_eq = (blo == lo[:, :, None]) & (bhi == hi[:, :, None])
+            hit_p = lane_eq.any(axis=2)
+            lane_p = jnp.argmax(lane_eq, axis=2).astype(jnp.int32)
+            new = hit_p & ~found
+            bucket_rec = jnp.where(new, bidx, bucket_rec)
+            lane_rec = jnp.where(new, lane_p, lane_rec)
+            found = found | hit_p
+        pos_valid = (
+            jnp.arange(P_pos, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
+        )
+        found = found & pos_valid
+
+        # global anchor: first position found on ANY model shard
+        found_any = jax.lax.psum(found.astype(jnp.int32), "model") > 0
+        has_anchor = found_any.any(axis=1)
+        anchor = jnp.argmax(found_any, axis=1).astype(jnp.int32)
+
+        take = lambda a: jnp.take_along_axis(a, anchor[:, None], axis=1)[:, 0]
+        owner = take(found)
+        bucket_sel = take(bucket_rec)
+        lane_sel = take(lane_rec)
+
+        astart_loc = bst[bucket_sel, lane_sel]
+        acnt = jnp.where(owner, bcn[bucket_sel, lane_sel], 0)
+        overflow_loc = acnt > c_max
+
+        c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+        live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
+        pidx = jnp.clip(astart_loc[:, None] + c_idx, 0, prow.shape[0] - 1)
+        rows = prow[pidx]
+        offs = poff[pidx].astype(jnp.int32)
+
+        live, walk_score, walk_mm = _span_walk(
+            reads_i32, read_lens, anchor, rows, offs, live0,
+            refp, rstarts, rlens,
+            k=k, ref_pad=sbidx.ref_pad, l_steps=min(p_limit - 1, bucket - k),
+        )
+
+        shard_id = jax.lax.axis_index("model").astype(jnp.int32)
+        lane_bits = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
+        mask_loc = jnp.where(live & owner[:, None], lane_bits, 0).sum(axis=1)
+
+        own_i = owner.astype(jnp.int32)
+        score_g = jax.lax.psum(own_i * (k + walk_score), "model")
+        mm_g = jax.lax.psum(own_i * walk_mm, "model")
+        mask_g = jax.lax.psum(mask_loc, "model")
+        astart_g = jax.lax.psum(
+            own_i * (astart_loc + shard_id * stride), "model"
+        )
+        overflow_g = jax.lax.psum(
+            (owner & overflow_loc).astype(jnp.int32), "model"
+        ) > 0
+        rows_g = jax.lax.psum(jnp.where(owner[:, None] & live, rows, 0), "model")
+        live_g = jax.lax.psum(
+            (owner[:, None] & live).astype(jnp.int32), "model"
+        ) > 0
+
+        score = jnp.where(has_anchor, score_g, 0)
+        mm = jnp.where(has_anchor, mm_g, 0)
+
+        # entropy gate (identical to probe_walk_filter; replicated compute)
+        Lmax = bucket
+        pos_mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < read_lens[:, None]
+        inv_len = 1.0 / jnp.maximum(read_lens, 1).astype(jnp.float32)
+        ent = jnp.zeros(B, dtype=jnp.float32)
+        for code in (0, 3, 1, 2):
+            cc = ((reads_i32 == code) & pos_mask).sum(axis=1).astype(jnp.float32)
+            f = cc * inv_len
+            ent = ent - jnp.where(f > 0.0, f * jnp.log2(jnp.maximum(f, 1e-30)), 0.0)
+        ent_pass = ent >= jnp.float32(MIN_ENTROPY_SCORE_F32 + ENTROPY_BOUNDARY_BAND)
+        ent_boundary = (
+            jnp.abs(ent - jnp.float32(MIN_ENTROPY_SCORE_F32))
+            <= jnp.float32(ENTROPY_BOUNDARY_BAND)
+        )
+
+        big = jnp.int32(2**31 - 1)
+        sorted_rows = jnp.sort(jnp.where(live_g, rows_g, big), axis=1)
+        distinct = (sorted_rows[:, :1] != big).astype(jnp.int32).squeeze(1) + (
+            (sorted_rows[:, 1:] != sorted_rows[:, :-1]) & (sorted_rows[:, 1:] != big)
+        ).astype(jnp.int32).sum(axis=1)
+
+        s_min = s_min_table[jnp.clip(read_lens, 0, s_min_table.shape[0] - 1)]
+        passed = (
+            ent_pass
+            & has_anchor
+            & (score >= jnp.int32(score_threshold))
+            & (score >= s_min)
+            & (mm <= jnp.int32(num_mismatches))
+        )
+        if discard_multiple:
+            passed = passed & (distinct <= 1)
+        if discard_nonzero:
+            passed = passed & (mm == 0)
+
+        needs_host = has_anchor & (overflow_g | ent_boundary)
+        flags = (
+            mask_g
+            | ((passed & ~needs_host).astype(jnp.int32) << 16)
+            | (needs_host.astype(jnp.int32) << 17)
+            | (has_anchor.astype(jnp.int32) << 18)
+        )
+        col2 = (score << 16) | mm
+        return jnp.stack([astart_g, flags, col2], axis=1)
+
+    return jax.jit(step)
+
+
+def _rolling_keys_local(reads_i32, k: int):
+    from nimble_tpu.ops.engine_xla import _rolling_keys
+
+    return _rolling_keys(reads_i32, k)
+
+
+def _hash_local(lo, hi):
+    from nimble_tpu.ops.engine_xla import _hash_kmer
+
+    return _hash_kmer(lo, hi)
+
+
+def sharded_device_arrays(sbidx: ShardedBucketedIndex) -> Tuple:
+    return (
+        jnp.asarray(sbidx.bkey_lo),
+        jnp.asarray(sbidx.bkey_hi),
+        jnp.asarray(sbidx.bstart),
+        jnp.asarray(sbidx.bcount),
+        jnp.asarray(sbidx.postings_row),
+        jnp.asarray(sbidx.postings_off),
+        jnp.asarray(sbidx.ref_codes_packed),
+        jnp.asarray(sbidx.row_starts),
+        jnp.asarray(sbidx.row_lengths),
+    )
