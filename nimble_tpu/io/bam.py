@@ -217,17 +217,47 @@ class BamRecordError(ValueError):
     """A single record failed to decode (stream remains positioned)."""
 
 
+def check_bgzf_eof(path: str) -> bool:
+    """True iff the file ends with the 28-byte BGZF EOF marker.
+
+    htslib warns "EOF marker is absent. The input is probably truncated"
+    for BAMs missing it; per-block CRC32/ISIZE validation is done by the
+    gzip module during decompression (BadGzipFile on mismatch).
+    """
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, 2)
+            size = f.tell()
+            if size < len(_BGZF_EOF):
+                return False
+            f.seek(size - len(_BGZF_EOF))
+            return f.read(len(_BGZF_EOF)) == _BGZF_EOF
+    except OSError:
+        return False
+
+
+def _warn_missing_eof(path: str) -> None:
+    if not check_bgzf_eof(path):
+        print(f"[W::bam] EOF marker is absent. The input {path} is probably truncated")
+
+
 class BamReader:
     """Streaming BAM reader (BGZF via gzip's concatenated-member support).
 
     When the native library is available, records are parsed in bulk by the
     C++ batch scanner (`nimble_bam_scan`) from chunked reads of the
     decompressed stream; otherwise each record is decoded in Python.
+
+    Robustness (the role of htslib's checks): per-block CRC32/ISIZE are
+    verified by gzip during decompression (BadGzipFile propagates), a
+    missing BGZF EOF marker prints htslib's truncation warning at open, and
+    a stream ending mid-record raises ``EOFError("truncated BAM stream")``.
     """
 
     _CHUNK = 4 << 20
 
     def __init__(self, path: str, use_native: bool = True):
+        _warn_missing_eof(path)
         self._f = gzip.open(path, "rb")
         magic = _read_exact(self._f, 4)
         if magic != b"BAM\x01":

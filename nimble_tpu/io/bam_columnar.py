@@ -148,7 +148,10 @@ class ColumnarGroupStream:
 
         if not native.available():
             raise RuntimeError("columnar BAM stream requires the native library")
+        from nimble_tpu.io.bam import _warn_missing_eof
+
         self._native = native
+        _warn_missing_eof(path)
         self._f = gzip.open(path, "rb")
         read_bam_header(self._f)
         self.force_bam_paired = force_bam_paired

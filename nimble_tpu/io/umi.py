@@ -28,6 +28,14 @@ from nimble_tpu.io.sorted_bam import BamTruncated, SortedBamReader
 from nimble_tpu.utils.dna import decode_bases, encode_bases
 
 READ_BLOCK_REPORT_SIZE = 1_000_000
+# DEAD PARITY KNOB: in the reference, `UMIReader::get_umi_from_bam` returns
+# None on ANY reader error BEFORE its error-report match arms run
+# (`src/parse/bam.rs:115-117` precedes `:134-157`), the counter increment is
+# commented out (`:150`), and `SortedBamReader::next` can only ever err with
+# BamTruncatedRecord at end-of-stream (`src/parse/sorted_bam_reader.rs:183`).
+# The cap, `terminate_on_error`, and `number_cr_skipped` are therefore
+# unreachable machinery in the reference; they are kept here as the same
+# vestigial surface.
 MAX_RECORD_ERROR_REPORT_SIZE = 100
 CLIP_LENGTH = 13
 

@@ -89,7 +89,7 @@ class DeviceAlignEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
         phase_a_positions: int = 8,
-        launch_batch: int = 32768,
+        launch_batch: int = 8192,
         use_pallas_walk: bool = False,
     ):
         self.index = index
