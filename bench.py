@@ -89,6 +89,9 @@ def bench_bam(args, log) -> dict:
     engine = DeviceAlignEngine(index, cfg)
     feats = reference.columns[1][0::2]
 
+    from nimble_tpu import native
+    from nimble_tpu.pipeline.bam_fast import process_fast
+
     with tempfile.TemporaryDirectory() as td:
         bam = f"{td}/bench.bam"
         n_records = make_synthetic_bam(
@@ -99,11 +102,18 @@ def bench_bam(args, log) -> dict:
 
         import contextlib, io as _io
 
+        use_fast = native.available()
+
         def run(out):
             with contextlib.redirect_stdout(_io.StringIO()):
-                bam_pipeline.process(
-                    [bam], [engine], [reference], [cfg], [out], 2, False
-                )
+                if use_fast:
+                    process_fast(
+                        [bam], [engine], [reference], [cfg], [out], 2, False
+                    )
+                else:
+                    bam_pipeline.process(
+                        [bam], [engine], [reference], [cfg], [out], 2, False
+                    )
 
         run(f"{td}/warm.tsv.gz")  # warmup (compiles + tunnel setup)
         times = []
@@ -180,27 +190,48 @@ def main(argv=None) -> int:
     log(f"warmup: {time.time()-t0:.1f}s, callsets={len(warm)}")
 
     times = []
+    splits = []
     for r in range(args.timed_rounds):
         t0 = time.time()
+        t_dispatch = t_collect = t_host = 0.0
         # the pipeline's double-buffered chunk feed
         counter = FastCounter(engine, reference, cfg)
         pending = None
         for lo, hi in chunk_bounds:
+            ts = time.time()
             handle = counter.dispatch(mat[lo:hi], lens[lo:hi])
+            t_dispatch += time.time() - ts
             if pending is not None:
-                counter.process(pending)
+                ts = time.time()
+                raw = engine.compact_collect(pending[4])
+                t_collect += time.time() - ts
+                ts = time.time()
+                counter._add_with_raw(
+                    pending[0], pending[1], None, None, raw, None
+                )
+                t_host += time.time() - ts
             pending = handle
-        counter.process(pending)
+        ts = time.time()
+        raw = engine.compact_collect(pending[4])
+        t_collect += time.time() - ts
+        ts = time.time()
+        counter._add_with_raw(pending[0], pending[1], None, None, raw, None)
         results = counter.finalize()
+        t_host += time.time() - ts
         dt = time.time() - t0
         times.append(dt)
-        log(f"round {r}: {dt:.3f}s -> {args.reads/dt:,.0f} reads/s")
+        splits.append((t_dispatch, t_collect, t_host))
+        log(f"round {r}: {dt:.3f}s -> {args.reads/dt:,.0f} reads/s "
+            f"(dispatch {t_dispatch:.3f}s, device-wait {t_collect:.3f}s, "
+            f"host {t_host:.3f}s)")
 
-    best = min(times)
+    best_i = min(range(len(times)), key=lambda i: times[i])
+    best = times[best_i]
     reads_per_sec = args.reads / best
     total_counted = sum(entry[0] for _, entry in results)
     log(f"distinct callsets: {len(results)}, reads counted: {total_counted}")
 
+    t_dispatch, t_collect, t_host = splits[best_i]
     print(
         json.dumps(
             {
@@ -208,6 +239,11 @@ def main(argv=None) -> int:
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / RUST_BASELINE_READS_PER_SEC, 2),
+                "split_s": {
+                    "dispatch_pack_upload": round(t_dispatch, 3),
+                    "device_wait_and_fetch": round(t_collect, 3),
+                    "host_tail": round(t_host, 3),
+                },
             }
         )
     )

@@ -118,11 +118,27 @@ def main(argv: List[str] | None = None) -> int:
         )
     elif is_bam:
         print("Processing as BAM file")
-        bam_pipeline.process(
-            input_files, engines, references, aligner_configs, output_paths,
-            args.num_cores, args.force_bam_paired,
-            parity_quirks=not args.no_parity_quirks,
+        from nimble_tpu import native
+        from nimble_tpu.models.aligner import DeviceAlignEngine
+
+        use_fast = native.available() and all(
+            isinstance(e, DeviceAlignEngine) for e in engines
         )
+        if use_fast:
+            # columnar fast path: byte-identical output (tests/test_bam_fast)
+            from nimble_tpu.pipeline.bam_fast import process_fast
+
+            process_fast(
+                input_files, engines, references, aligner_configs,
+                output_paths, args.num_cores, args.force_bam_paired,
+                parity_quirks=not args.no_parity_quirks,
+            )
+        else:
+            bam_pipeline.process(
+                input_files, engines, references, aligner_configs,
+                output_paths, args.num_cores, args.force_bam_paired,
+                parity_quirks=not args.no_parity_quirks,
+            )
     else:
         ext = first.rsplit(".", 1)[-1] if "." in first else ""
         raise SystemExit(f"Unsupported file format: {ext}")

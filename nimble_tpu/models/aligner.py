@@ -258,22 +258,50 @@ class DeviceAlignEngine:
                     sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
-                # split into fixed-size sub-launches (async; they pipeline)
-                for lo in range(0, m, self.launch_batch):
-                    hi = min(lo + self.launch_batch, m)
-                    ms = hi - lo
-                    B = min(
-                        max(self.min_batch, 1 << (ms - 1).bit_length()),
-                        self.launch_batch,
+                # ONE host->device upload for the whole bucket batch (each
+                # wire transaction costs ~30 ms of tunnel latency), then
+                # fixed-size sub-launches on DEVICE-RESIDENT slices (async;
+                # no further wire traffic until the single collect fetch)
+                lb = self.launch_batch
+                if m <= lb:
+                    B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
+                else:
+                    B = ((m + lb - 1) // lb) * lb
+                buf = self._pack_reads(bmat, blens, bucket, B)
+                buf_dev = jnp.asarray(buf)
+                for lo in range(0, B, lb):
+                    hi = min(lo + lb, B)
+                    packed = self._launch_packed_kernel(
+                        buf_dev[lo:hi], bucket
                     )
-                    buf = self._pack_reads(bmat[lo:hi], blens[lo:hi], bucket, B)
-                    packed = self._launch_packed_kernel(buf, bucket)
-                    sub_sel = sel[lo:hi] if sel is not None else (
-                        None if m <= self.launch_batch else np.arange(lo, hi)
+                    ms = max(0, min(m - lo, hi - lo))
+                    if ms == 0:
+                        continue
+                    sub_sel = (
+                        sel[lo : lo + ms] if sel is not None
+                        else (None if m <= lb else np.arange(lo, lo + ms))
                     )
                     launches.append((bucket, sub_sel, ms, packed))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
+
+    @staticmethod
+    def _fetch_all(launch_outputs):
+        """ONE device->host fetch for any number of launch results.
+
+        Each tunnel fetch costs ~45 ms of latency regardless of size, so the
+        per-launch outputs (same trailing dims) are concatenated on device
+        and downloaded as a single array; returns per-launch views.
+        """
+        if len(launch_outputs) == 1:
+            return [np.asarray(launch_outputs[0])]
+        big = np.asarray(jnp.concatenate(launch_outputs, axis=0))
+        views = []
+        at = 0
+        for o in launch_outputs:
+            views.append(big[at : at + o.shape[0]])
+            at += o.shape[0]
+        return views
 
     def compact_collect(self, state, defer_unresolved: bool = False):
         """Fetch results and assemble the flat result dict (see
@@ -287,8 +315,12 @@ class DeviceAlignEngine:
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
 
-        for bucket, sel, m, packed in state["launches"]:
-            out = unpack_compact(np.asarray(packed))
+        fetched = (
+            self._fetch_all([p for (_, _, _, p) in state["launches"]])
+            if state["launches"] else []
+        )
+        for (bucket, sel, m, _), raw in zip(state["launches"], fetched):
+            out = unpack_compact(raw)
             if sel is None:
                 astart[:] = out["astart"][:m]
                 mask[:] = out["mask"][:m]
@@ -415,8 +447,12 @@ class DeviceAlignEngine:
         for i in np.flatnonzero(state["host_rescue"]):
             host_align(i)
 
-        for sel, m, out_dev in state["launches"]:
-            out = unpack_full_packed(np.asarray(out_dev))
+        fetched = (
+            self._fetch_all([o for (_, _, o) in state["launches"]])
+            if state["launches"] else []
+        )
+        for (sel, m, _), raw in zip(state["launches"], fetched):
+            out = unpack_full_packed(raw)
             sub_mat = mat[sel]
             sub_lens = lens[sel]
             ent = batch_entropy(sub_mat, sub_lens)

@@ -157,8 +157,13 @@ class MeshAlignEngine:
         mask = np.zeros(n, dtype=np.int32)
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
-        for bucket, sel, m, out_dev in state["launches"]:
-            packed = np.asarray(out_dev)
+        from nimble_tpu.models.aligner import DeviceAlignEngine as _D
+
+        fetched = (
+            _D._fetch_all([o for (_, _, _, o) in state["launches"]])
+            if state["launches"] else []
+        )
+        for (bucket, sel, m, _), packed in zip(state["launches"], fetched):
             flags = packed[:m, 1]
             a = packed[:m, 0].astype(np.int64)
             mk = (flags & 0xFFFF).astype(np.int32)

@@ -1,0 +1,212 @@
+"""Single-pass multi-library device execution.
+
+The reference aligns each library sequentially per chunk/UMI group
+(`src/process/fastq.rs:15`, `src/process/bam.rs:315`).  On the TPU path the
+cost of a chunk is dominated by per-launch/per-fetch latency, so N
+sequential library passes cost ~N× the wall time of one.  This dispatcher
+stacks every library's bucketized table (rebuilt at common geometry) plus
+its config scalars along a leading library axis and serves ALL libraries in
+one vmapped kernel launch per chunk — one upload, one fetch, ~flat cost in
+the library count.
+
+Per-library results are handed back in each engine's own combo-id space
+(astart indexes that library's postings array), so `FastCounter`'s decode
+and the rest of the host tail are unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nimble_tpu.config import MIN_READ_LENGTH
+from nimble_tpu.models.aligner import DeviceAlignEngine
+from nimble_tpu.ops.device_index import build_bucketed_index
+from nimble_tpu.ops.engine_fast import (
+    probe_walk_filter_packed_multi,
+    unpack_compact,
+)
+
+
+class MultiLibraryDispatcher:
+    """One vmapped launch per chunk serving every library's engine."""
+
+    def __init__(self, engines: Sequence[DeviceAlignEngine]):
+        assert len(engines) >= 1
+        for e in engines:
+            assert isinstance(e, DeviceAlignEngine)
+        self.engines = list(engines)
+        e0 = engines[0]
+        self.c_max = e0.c_max
+        self.buckets = e0.buckets
+        self.min_batch = e0.min_batch
+        self.launch_batch = e0.launch_batch
+        assert all(e.buckets == self.buckets and e.c_max == self.c_max
+                   for e in engines)
+
+        # rebuild every library's bucketized table at COMMON geometry
+        rebuilt = [
+            build_bucketed_index(e.index)
+            for e in engines
+        ]
+        n_buckets = max(b.n_buckets for b in rebuilt)
+        if any(b.n_buckets != n_buckets for b in rebuilt):
+            rebuilt = [
+                build_bucketed_index(e.index, min_buckets=n_buckets)
+                for e in engines
+            ]
+        self.n_buckets = n_buckets
+        self.max_probe = max(b.max_probe for b in rebuilt)
+        self.k = rebuilt[0].k
+        self.ref_pad = rebuilt[0].ref_pad
+        assert all(b.k == self.k and b.ref_pad == self.ref_pad
+                   for b in rebuilt)
+        self.bidxs = rebuilt
+        # the per-library combo ids (astart) must decode through each
+        # engine's own postings arrays — the postings flattening is
+        # independent of the bucket-count override, asserted here
+        for e, b in zip(engines, rebuilt):
+            assert np.array_equal(e.bidx.postings_row, b.postings_row)
+
+        def stack(attr, pad_value=0):
+            arrs = [getattr(b, attr) for b in rebuilt]
+            shape = tuple(
+                max(a.shape[d] for a in arrs) for d in range(arrs[0].ndim)
+            )
+            out = np.full((len(arrs),) + shape, pad_value,
+                          dtype=arrs[0].dtype)
+            for i, a in enumerate(arrs):
+                sl = (i,) + tuple(slice(0, s) for s in a.shape)
+                out[sl] = a
+            return jnp.asarray(out)
+
+        self._dev = dict(
+            bkey_lo=stack("bkey_lo", 0xFFFFFFFF),
+            bkey_hi=stack("bkey_hi", 0xFFFFFFFF),
+            bstart=stack("bstart"),
+            bcount=stack("bcount"),
+            postings_row=stack("postings_row"),
+            postings_off=stack("postings_off"),
+            ref_codes_packed=stack("ref_codes_packed"),
+            row_starts=stack("row_starts"),
+            row_lengths=stack("row_lengths", 0),
+        )
+        self._scalars = (
+            jnp.asarray(np.array([e.config.score_threshold for e in engines],
+                                 dtype=np.int32)),
+            jnp.asarray(np.array([e.config.num_mismatches for e in engines],
+                                 dtype=np.int32)),
+            jnp.asarray(np.array([e.config.discard_multiple_matches
+                                  for e in engines], dtype=bool)),
+            jnp.asarray(np.array([e.config.discard_nonzero_mismatch
+                                  for e in engines], dtype=bool)),
+        )
+        self._s_min_cache: dict = {}
+
+    def _s_min_stack(self, bucket: int):
+        t = self._s_min_cache.get(bucket)
+        if t is None:
+            t = jnp.asarray(np.stack(
+                [e._s_min_table(bucket) for e in self.engines]
+            ))
+            self._s_min_cache[bucket] = t
+        return t
+
+    def dispatch(self, mat: np.ndarray, lens: np.ndarray):
+        """Launch one multi-library pass per bucket sub-batch (async)."""
+        n, width = mat.shape
+        lens = np.asarray(lens, dtype=np.int32)
+        needs_host = lens > self.buckets[-1]
+        eligible = (lens >= MIN_READ_LENGTH) & ~needs_host
+        launches = []
+        if eligible.any():
+            bucket_arr = np.asarray(self.buckets)
+            bucket_idx = np.searchsorted(bucket_arr, lens)
+            present = np.unique(bucket_idx[eligible])
+            for bi in present:
+                bucket = int(bucket_arr[bi])
+                if len(present) == 1 and eligible.all():
+                    sel, m, bmat, blens = None, n, mat, lens
+                else:
+                    sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
+                    sel, m = sel_idx, len(sel_idx)
+                    bmat, blens = mat[sel_idx], lens[sel_idx]
+                lb = self.launch_batch
+                if m <= lb:
+                    Btot = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
+                else:
+                    Btot = ((m + lb - 1) // lb) * lb
+                buf_dev = jnp.asarray(
+                    DeviceAlignEngine._pack_reads(bmat, blens, bucket, Btot)
+                )
+                for lo in range(0, Btot, lb):
+                    hi = min(lo + lb, Btot)
+                    ms = max(0, min(m - lo, hi - lo))
+                    if ms == 0:
+                        continue
+                    thr, nmm, dm, dn = self._scalars
+                    out = probe_walk_filter_packed_multi(
+                        buf_dev[lo:hi],
+                        self._dev["bkey_lo"], self._dev["bkey_hi"],
+                        self._dev["bstart"], self._dev["bcount"],
+                        self._dev["postings_row"], self._dev["postings_off"],
+                        self._dev["ref_codes_packed"],
+                        self._dev["row_starts"], self._dev["row_lengths"],
+                        self._s_min_stack(bucket), thr, nmm, dm, dn,
+                        k=self.k, max_probe=self.max_probe, c_max=self.c_max,
+                        bucket_mask=self.n_buckets - 1,
+                        p_limit=bucket - self.k + 1,
+                        ref_pad=self.ref_pad, bucket=bucket,
+                    )
+                    sub_sel = (
+                        sel[lo : lo + ms] if sel is not None
+                        else (None if m <= lb else np.arange(lo, lo + ms))
+                    )
+                    launches.append((bucket, sub_sel, ms, out))
+        return {"n": n, "lens": lens, "needs_host": needs_host,
+                "launches": launches}
+
+    def collect(self, state) -> List[dict]:
+        """One fetch; per-library compact raw dicts (FastCounter format)."""
+        n = state["n"]
+        L = len(self.engines)
+        outs = [
+            {
+                "astart": np.zeros(n, dtype=np.int64),
+                "mask": np.zeros(n, dtype=np.int32),
+                "passed": np.zeros(n, dtype=bool),
+                "needs_host": state["needs_host"].copy(),
+            }
+            for _ in range(L)
+        ]
+        # one fetch for all launches: (L, B, 2) results concat along B
+        launch_outs = [o for (_, _, _, o) in state["launches"]]
+        if not launch_outs:
+            fetched = []
+        elif len(launch_outs) == 1:
+            fetched = [np.asarray(launch_outs[0])]
+        else:
+            big = np.asarray(jnp.concatenate(launch_outs, axis=1))
+            fetched = []
+            at = 0
+            for o in launch_outs:
+                fetched.append(big[:, at : at + o.shape[1]])
+                at += o.shape[1]
+        for (bucket, sel, m, _), raw in zip(state["launches"], fetched):
+            for li in range(L):
+                out = unpack_compact(raw[li])
+                dst = outs[li]
+                if sel is None:
+                    dst["astart"][:] = out["astart"][:m]
+                    dst["mask"][:] = out["mask"][:m]
+                    dst["passed"][:] = out["passed"][:m]
+                    dst["needs_host"][:] = out["needs_host"][:m]
+                else:
+                    dst["astart"][sel] = out["astart"][:m]
+                    dst["mask"][sel] = out["mask"][:m]
+                    dst["passed"][sel] = out["passed"][:m]
+                    dst["needs_host"][sel] = out["needs_host"][:m]
+        return outs

@@ -99,7 +99,7 @@ class BucketedDeviceIndex:
 
 def build_bucketed_index(
     index: KmerIndex, width: int = 8, load_factor: float = 0.5,
-    ref_pad: int = 1024 + 32,
+    ref_pad: int = 1024 + 32, min_buckets: int = 16,
 ) -> BucketedDeviceIndex:
     keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64, count=len(index.kmer_map))
     n_keys = len(keys)
@@ -117,7 +117,7 @@ def build_bucketed_index(
         postings_row[s : s + len(p)] = p[:, 0]
         postings_off[s : s + len(p)] = p[:, 1]
 
-    n_buckets = 16
+    n_buckets = max(16, int(min_buckets))
     while n_buckets * width * load_factor < max(n_keys, 1):
         n_buckets *= 2
     mask = n_buckets - 1

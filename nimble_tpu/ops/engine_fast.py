@@ -415,6 +415,65 @@ def _probe_walk_filter_impl(
     return jnp.stack([astart, flags], axis=1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
+def probe_walk_filter_packed_multi(
+    packed,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """Multi-library variant: every table/config argument carries a leading
+    library axis (stacked to common geometry); ONE launch aligns the shared
+    packed read buffer against every library and returns (L, B, 2).
+
+    The reference aligns libraries sequentially (`src/process/fastq.rs:15`,
+    `src/process/bam.rs:315`); per-launch latency dominates on the TPU
+    path, so serving all libraries per launch makes N-library runs ~flat
+    in N (SURVEY.md §2c, BASELINE multi-library config).
+    """
+    B = packed.shape[0]
+    nb = (bucket + 3) // 4
+    words = packed[:, :nb].astype(jnp.int32)
+    j = jnp.arange(bucket, dtype=jnp.int32)
+    reads_i32 = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+    read_lens = (
+        packed[:, nb].astype(jnp.int32)
+        | (packed[:, nb + 1].astype(jnp.int32) << 8)
+    )
+
+    def one(bkl, bkh, bst, bcn, prow, poff, refp, rst, rln, s_min, thr, nmm,
+            dm, dn):
+        return _probe_walk_filter_impl(
+            reads_i32, read_lens,
+            bkl, bkh, bst, bcn, prow, poff, refp, rst, rln,
+            s_min, thr, nmm, dm, dn,
+            k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+            p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+        )
+
+    return jax.vmap(one)(
+        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        ref_codes_packed, row_starts, row_lengths,
+        s_min_table, score_threshold, num_mismatches,
+        discard_multiple, discard_nonzero,
+    )
+
+
 COMPACT_MASK_BITS = 16
 COMPACT_PASSED_BIT = 1 << 16
 COMPACT_NEEDS_HOST_BIT = 1 << 17

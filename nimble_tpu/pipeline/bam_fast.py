@@ -181,9 +181,18 @@ def _align_batch_columnar(
     Per library the return value is a list of output-row bytes (no trailing
     newline handling — rows end with b"\\n").
     """
+    ctx = _prepare_batch(groups, workers)
+    return _finish_batch(ctx, workers)
+
+
+def _prepare_batch(groups: List[EmittedGroup], workers: List[_LibraryWorker]):
+    """Flatten + trim + DISPATCH one batch of groups (device work is async);
+    returns an opaque context for :func:`_finish_batch`.  Splitting the two
+    lets the consumer overlap batch N's host packaging with batch N+1's
+    device alignment."""
     n_rec = sum(len(g) for g in groups)
     if n_rec == 0:
-        return [[] for _ in workers]
+        return None
 
     # ---- flatten records across groups ----
     rev2_flat: List[bytes] = []
@@ -234,6 +243,14 @@ def _align_batch_columnar(
         # quality string longer than the sequence)
         trim_lens = np.minimum(trim_lens, lens)
         states.append(w.engine.full_dispatch(oriented, trim_lens, active))
+    return (groups, states, rev, skip_mask, dec, n_rec)
+
+
+def _finish_batch(ctx, workers: List[_LibraryWorker]):
+    """Collect the dispatched alignment + build the per-library output rows."""
+    if ctx is None:
+        return [[] for _ in workers]
+    groups, states, rev, skip_mask, dec, n_rec = ctx
     collected = [w.engine.full_collect(st) for w, st in zip(workers, states)]
 
     # ---- per-group packaging ----
@@ -391,13 +408,16 @@ def process_fast(
     num_cores: int,
     force_bam_paired: bool,
     parity_quirks: bool = True,
-    group_batch: int = 256,
+    batch_records: int = 16384,
 ) -> None:
     """Drop-in replacement for bam_pipeline.process (byte-identical output).
 
     Requires engines exposing full_dispatch/full_collect (DeviceAlignEngine)
     and the native library; callers should fall back to the slow pipeline
-    otherwise.
+    otherwise.  Groups travel the work queue in batches of ~``batch_records``
+    records so each device launch amortizes the per-launch wire latency
+    (the reference's queue holds single UMI groups, `src/process/bam.rs:20`;
+    batching is invisible in the output).
     """
     workers = [
         _LibraryWorker(e, r, c)
@@ -405,7 +425,7 @@ def process_fast(
     ]
 
     log_queue: "queue.Queue" = queue.Queue()
-    work_queue: "queue.Queue" = queue.Queue(maxsize=MAX_UMIS_IN_CHANNEL)
+    work_queue: "queue.Queue" = queue.Queue(maxsize=8)  # batches in flight
 
     def logger() -> None:
         print("Spawning logging thread.")
@@ -436,44 +456,58 @@ def process_fast(
         stream = ColumnarGroupStream(input_files[0], force_bam_paired)
         prev: Optional[EmittedGroup] = None
         n_groups = 0
+        batch: List[EmittedGroup] = []
+        batch_n = 0
+
+        def push(grp: EmittedGroup) -> None:
+            nonlocal batch, batch_n
+            batch.append(grp)
+            batch_n += len(grp)
+            if batch_n >= batch_records:
+                work_queue.put(batch)
+                batch, batch_n = [], 0
+
         try:
             for grp in stream.groups():
                 n_groups += 1
                 if prev is not None:
-                    work_queue.put(prev)
+                    push(prev)
                 prev = grp
         finally:
             # final-group quirk (`src/process/bam.rs:163-179`): the producer
             # drops the last group of a multi-group BAM; a single-group BAM
             # still sends its group
             if prev is not None and (not parity_quirks or n_groups == 1):
-                work_queue.put(prev)
+                push(prev)
+            if batch:
+                work_queue.put(batch)
             print("Finished reading UMIs from input file.")
 
     def consumer(thread_num: int) -> None:
         from nimble_tpu.utils.metrics import METRICS
 
-        while True:
-            data = work_queue.get()
-            if data is None:
-                break
-            groups = [data]
-            while len(groups) < group_batch:
-                try:
-                    more = work_queue.get_nowait()
-                except queue.Empty:
-                    break
-                if more is None:
-                    work_queue.put(None)
-                    break
-                groups.append(more)
+        pending = None  # (ctx, n_records) — batch dispatched, not packaged
 
-            n_records = sum(len(g) for g in groups)
+        def finish(p) -> None:
+            ctx, n_records = p
             with METRICS.meter("bam_align").measure(n_records):
-                per_lib = _align_batch_columnar(groups, workers)
+                per_lib = _finish_batch(ctx, workers)
             for i, rows in enumerate(per_lib):
                 if rows:
                     log_queue.put((b"".join(rows), i))
+
+        while True:
+            groups = work_queue.get()
+            if groups is None:
+                break
+            # dispatch batch N+1 before packaging batch N: device alignment
+            # overlaps the host-side row building
+            ctx = _prepare_batch(groups, workers)
+            if pending is not None:
+                finish(pending)
+            pending = (ctx, sum(len(g) for g in groups))
+        if pending is not None:
+            finish(pending)
 
     log_thread = threading.Thread(target=logger)
     log_thread.start()

@@ -24,6 +24,23 @@ from nimble_tpu.library import Reference
 DEFAULT_CHUNK_READS = 1 << 17
 
 
+def _drain_pending(pending, multi) -> None:
+    """Process buffered chunk handles; with the multi-library dispatcher the
+    shared launch is collected ONCE and each counter gets its library's
+    slice."""
+    if multi is None:
+        for counter, handle in pending:
+            counter.process(handle)
+        return
+    if not pending:
+        return
+    mat, lens, mate_mat, mate_lens, st1, st2 = pending[0][1]
+    raws1 = multi.collect(st1)
+    raws2 = multi.collect(st2) if st2 is not None else [None] * len(pending)
+    for (counter, _), raw1, raw2 in zip(pending, raws1, raws2):
+        counter._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
+
+
 def process(
     input_files: Sequence[str],
     engines: Sequence[AlignEngine],
@@ -41,6 +58,22 @@ def process(
             FastCounter(engines[i], references[i], aligner_configs[i])
             for i in range(len(engines))
         ]
+        # N>1 libraries: ONE concatenated device table serves every library
+        # per launch (vs the reference's sequential per-library passes,
+        # `src/process/fastq.rs:15`) — per-launch latency dominates, so the
+        # N-library run costs ~the same as one
+        multi = None
+        if len(engines) > 1:
+            try:
+                from nimble_tpu.models.aligner import DeviceAlignEngine
+                from nimble_tpu.models.multi_aligner import (
+                    MultiLibraryDispatcher,
+                )
+
+                if all(isinstance(e, DeviceAlignEngine) for e in engines):
+                    multi = MultiLibraryDispatcher(engines)
+            except AssertionError:
+                multi = None
         r1_chunks = iter_fastq_matrix_chunks(input_files[0], chunk_reads)
         r2_chunks = (
             iter_fastq_matrix_chunks(input_files[1], chunk_reads)
@@ -67,16 +100,24 @@ def process(
             else:
                 mate_mat, mate_lens = None, None
             with meter.measure(mat.shape[0] * len(counters)):
-                handles = [
-                    counter.dispatch(mat, lens, mate_mat, mate_lens)
-                    for counter in counters
-                ]
-                for counter, handle in pending:
-                    counter.process(handle)
+                if multi is not None:
+                    st1 = multi.dispatch(mat, lens)
+                    st2 = (
+                        multi.dispatch(mate_mat, mate_lens)
+                        if mate_mat is not None else None
+                    )
+                    handles = [
+                        (mat, lens, mate_mat, mate_lens, st1, st2)
+                    ] * len(counters)
+                else:
+                    handles = [
+                        counter.dispatch(mat, lens, mate_mat, mate_lens)
+                        for counter in counters
+                    ]
+                _drain_pending(pending, multi)
                 pending = list(zip(counters, handles))
         with meter.measure(0):
-            for counter, handle in pending:
-                counter.process(handle)
+            _drain_pending(pending, multi)
         print(meter.summary())
         for i, counter in enumerate(counters):
             results = counter.finalize()
