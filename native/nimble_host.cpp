@@ -12,10 +12,13 @@
 //
 // Build: g++ -O3 -march=native -shared -fPIC nimble_host.cpp -o libnimble_host.so
 
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <string>
 #include <unordered_set>
+#include <utility>
+#include <vector>
 
 namespace {
 struct DedupSet {
@@ -569,6 +572,125 @@ int32_t nimble_bam_meta(
             qn.overflow || cb.overflow || um.overflow || sk.overflow)
             return -1;
     }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// BAM run/group emitter: the SortedBamReader + UMIReader index logic
+// (UMI-run detection, per-run stable CB sort, dummy-pair expansion, qname
+// pairing, UMI x CB[-2] group boundaries) over columnar string data.
+// Semantics: `src/parse/sorted_bam_reader.rs:31-162`, `src/parse/bam.rs:178`.
+//
+// Inputs are the surviving records of the pending stream in order.  oflags
+// bit0 = paired, bit4 = first-in-template.  Returns 0 on success, -1 if any
+// run contains an unpaired-qname irregularity (caller falls back to the
+// Python path, which prints the reference's warnings).
+//
+// Outputs: emit_idx/emit_skip (0=FALSE,1=TRUE,2=aux-SK) of emitted records,
+// group_off boundaries into the emit arrays, n_groups, consumed (= records
+// of complete runs; the final possibly-incomplete run is carried unless
+// is_final).  The final run of the file is NOT CB-sorted (reference quirk).
+// ---------------------------------------------------------------------------
+namespace {
+struct BytesView {
+    const uint8_t* p;
+    int64_t len;
+    bool operator<(const BytesView& o) const {
+        int64_t n = len < o.len ? len : o.len;
+        int c = std::memcmp(p, o.p, (size_t)n);
+        if (c != 0) return c < 0;
+        return len < o.len;
+    }
+    bool operator==(const BytesView& o) const {
+        return len == o.len && std::memcmp(p, o.p, (size_t)len) == 0;
+    }
+};
+}  // namespace
+
+int32_t nimble_bam_runs(
+    const int64_t* umi_off, const uint8_t* umi_flat,
+    const int64_t* cb_off, const uint8_t* cb_flat,
+    const int64_t* qn_off, const uint8_t* qn_flat,
+    const uint8_t* oflags,
+    int64_t n, int32_t force_paired, int32_t is_final,
+    int64_t* emit_idx, int8_t* emit_skip, int64_t* emit_cnt,
+    int64_t* group_off, int64_t* n_groups,
+    int64_t* consumed) {
+    auto umi = [&](int64_t i) {
+        return BytesView{umi_flat + umi_off[i], umi_off[i + 1] - umi_off[i]};
+    };
+    auto cbv = [&](int64_t i) {
+        return BytesView{cb_flat + cb_off[i], cb_off[i + 1] - cb_off[i]};
+    };
+    auto qn = [&](int64_t i) {
+        return BytesView{qn_flat + qn_off[i], qn_off[i + 1] - qn_off[i]};
+    };
+    // group key: umi + cb minus its last two bytes
+    auto key_eq = [&](int64_t a, int64_t b) {
+        if (!(umi(a) == umi(b))) return false;
+        BytesView ca = cbv(a), cb2 = cbv(b);
+        ca.len = ca.len >= 2 ? ca.len - 2 : 0;
+        cb2.len = cb2.len >= 2 ? cb2.len - 2 : 0;
+        return ca == cb2;
+    };
+
+    std::vector<int64_t> order;
+    std::vector<std::pair<int64_t, int8_t>> buf;  // (idx, skip)
+    int64_t ec = 0, gc = 0;
+    int64_t last_emitted = -1;  // carry group-key comparisons across runs
+    group_off[0] = 0;
+
+    int64_t run_start = 0;
+    while (run_start < n) {
+        int64_t run_end = run_start + 1;
+        while (run_end < n && umi(run_end) == umi(run_start)) ++run_end;
+        bool final_run = run_end >= n;
+        if (final_run && !is_final) break;  // incomplete run: carry
+
+        order.clear();
+        for (int64_t i = run_start; i < run_end; ++i) order.push_back(i);
+        if (!final_run) {
+            std::stable_sort(order.begin(), order.end(),
+                             [&](int64_t a, int64_t b) { return cbv(a) < cbv(b); });
+        }
+
+        buf.clear();
+        if (!force_paired) {
+            for (int64_t i : order) {
+                buf.emplace_back(i, 0);
+                if (!(oflags[i] & 1)) buf.emplace_back(i, 1);  // dummy TRUE
+            }
+        } else {
+            for (int64_t i : order) buf.emplace_back(i, 2);  // aux SK value
+        }
+
+        int64_t m = (int64_t)buf.size();
+        for (int64_t j = 0; j + 1 < m; j += 2) {
+            int64_t i1 = buf[j].first, i2 = buf[j + 1].first;
+            if (!(qn(i1) == qn(i2))) return -1;  // irregular: Python fallback
+            int64_t a = i1, b = i2;
+            int8_t sa = buf[j].second, sb = buf[j + 1].second;
+            if (!(oflags[i1] & 16)) {  // not first-in-template: swap
+                a = i2; b = i1;
+                sa = buf[j + 1].second; sb = buf[j].second;
+            }
+            if (last_emitted < 0 || !key_eq(a, last_emitted)) {
+                group_off[gc++] = ec;
+            }
+            emit_idx[ec] = a; emit_skip[ec] = sa; ++ec;
+            last_emitted = a;
+            if (!key_eq(b, last_emitted)) {
+                group_off[gc++] = ec;
+            }
+            emit_idx[ec] = b; emit_skip[ec] = sb; ++ec;
+            last_emitted = b;
+        }
+        run_start = run_end;
+    }
+    group_off[gc] = ec;
+    *emit_cnt = ec;
+    *n_groups = gc;
+    *consumed = run_start;
     return 0;
 }
 

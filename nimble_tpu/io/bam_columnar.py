@@ -29,6 +29,44 @@ UMI_WHITELIST = (b"AAAAAAAAAA",)  # `src/parse/sorted_bam_reader.rs:4`
 
 
 @dataclass
+class EmittedBatch:
+    """Many UMI×CB groups in one flat columnar batch.
+
+    Per-record lists cover all emitted records of the batch in order;
+    ``group_off`` (int64, n_groups+1) delimits groups.  The output metadata
+    block of record i is ``meta[i] + b"\\t" + skip[i]``.
+    """
+
+    meta: List[bytes]
+    skip: List[bytes]
+    qual: List[bytes]
+    rev2: List[bytes]
+    seq15: List[bytes]
+    qn: List[bytes]
+    seqs: List[np.ndarray]
+    group_off: np.ndarray
+
+    def __len__(self) -> int:
+        return len(self.meta)
+
+    @property
+    def n_groups(self) -> int:
+        return len(self.group_off) - 1
+
+    def drop_last_group(self) -> "EmittedBatch":
+        """Batch minus its final group (the reference's dropped-final-UMI
+        quirk, `src/process/bam.rs:163-179`)."""
+        if self.n_groups == 0:
+            return self
+        end = int(self.group_off[-2])
+        return EmittedBatch(
+            self.meta[:end], self.skip[:end], self.qual[:end],
+            self.rev2[:end], self.seq15[:end], self.qn[:end],
+            self.seqs[:end], self.group_off[:-1].copy(),
+        )
+
+
+@dataclass
 class EmittedGroup:
     """One UMI×CB group in columnar form (post sort/dummy/pairing).
 
@@ -356,3 +394,174 @@ class ColumnarGroupStream:
                 self._f.close()
                 return
             carry.drop_front(keep_from)
+
+    # ------------------- batch iteration (fast pipeline) ----------------
+
+    _SKIP_BYTES = (b"FALSE", b"TRUE")
+
+    def batches(self, target_records: int = 16384) -> Iterator[EmittedBatch]:
+        """Yield flat multi-group batches (EmittedBatch) in stream order.
+
+        Same emission semantics as :meth:`groups`; the run/sort/pair/group
+        index work runs in C++ (`nimble_bam_runs`) when available, falling
+        back to the Python helpers for irregular streams (unpaired-qname
+        warnings need the reference's prints).  The stream's CURRENT last
+        group is withheld until more groups follow or clean EOF — exactly
+        when the object-based reader would surface it.
+        """
+        from nimble_tpu import native as _native
+
+        carry = _Carry()
+        acc = EmittedBatch([], [], [], [], [], [], [],
+                           np.zeros(1, dtype=np.int64))
+        starts: List[int] = []  # absolute group starts in acc
+
+        def emit_ready(final: bool):
+            n_keep = 0 if final else 1
+            while len(starts) > n_keep and (
+                final or starts[-1] >= target_records
+            ):
+                end = starts[-1] if not final else len(acc.meta)
+                cut = len(starts) - n_keep
+                out = EmittedBatch(
+                    acc.meta[:end], acc.skip[:end], acc.qual[:end],
+                    acc.rev2[:end], acc.seq15[:end], acc.qn[:end],
+                    acc.seqs[:end],
+                    np.asarray(starts[:cut] + [end], dtype=np.int64),
+                )
+                del acc.meta[:end], acc.skip[:end], acc.qual[:end]
+                del acc.rev2[:end], acc.seq15[:end], acc.qn[:end]
+                del acc.seqs[:end]
+                rem = [s - end for s in starts[cut:]]
+                starts.clear()
+                starts.extend(rem)
+                yield out
+                if final:
+                    break
+
+        def add_emitted(c: _Carry, emit_idx, emit_skip, group_starts):
+            base = len(acc.meta)
+            for s in group_starts:
+                starts.append(base + int(s))
+            sk_map = self._SKIP_BYTES
+            for j in range(len(emit_idx)):
+                i = int(emit_idx[j])
+                s = emit_skip[j]
+                acc.meta.append(c.meta[i])
+                acc.skip.append(sk_map[s] if s < 2 else c.sk[i])
+                acc.qual.append(c.meta1[i])
+                acc.rev2.append(c.rev2[i])
+                acc.seq15.append(c.meta15[i])
+                acc.qn.append(c.qn[i])
+                acc.seqs.append(c.seqs[i])
+            # progress print parity (`src/parse/bam.rs:121-127`)
+            before = self.read_counter
+            self.read_counter += len(emit_idx)
+            blk = READ_BLOCK_REPORT_SIZE
+            for mark in range((before // blk) + 1,
+                              (self.read_counter // blk) + 1):
+                print(f"Aligned reads {(mark - 1) * blk}-{mark * blk}")
+
+        def flatten(col: List[bytes]):
+            offs = np.zeros(len(col) + 1, dtype=np.int64)
+            np.cumsum(
+                np.fromiter((len(b) for b in col), dtype=np.int64,
+                            count=len(col)),
+                out=offs[1:],
+            )
+            return offs, np.frombuffer(b"".join(col), dtype=np.uint8)
+
+        while True:
+            batch = self._scan_chunk()
+            at_eof = batch is None
+            if batch is not None:
+                carry.extend(batch)
+            n = len(carry)
+            if n == 0 and at_eof:
+                if self._error is not None:
+                    # the reference discards the open group before erroring
+                    if starts:
+                        end = starts.pop()
+                        del acc.meta[end:], acc.skip[end:], acc.qual[end:]
+                        del acc.rev2[end:], acc.seq15[end:], acc.qn[end:]
+                        del acc.seqs[end:]
+                    yield from emit_ready(final=True)
+                    raise self._error
+                yield from emit_ready(final=True)
+                self._f.close()
+                return
+
+            res = None
+            if n:
+                oflags = np.zeros(n, dtype=np.uint8)
+                for i in range(n):
+                    f = 0
+                    if carry.paired[i]:
+                        f |= 1
+                    if carry.fit[i]:
+                        f |= 16
+                    oflags[i] = f
+                res = _native.bam_runs(
+                    flatten(carry.umi), flatten(carry.cb),
+                    flatten(carry.qname_raw), oflags, n,
+                    self.force_bam_paired,
+                    at_eof and self._error is None,
+                )
+            if res is not None:
+                emit_idx, emit_skip, group_off, consumed = res
+                add_emitted(carry, emit_idx, emit_skip, group_off[:-1])
+                carry.drop_front(consumed)
+            elif n:
+                # Python fallback (irregular stream: reference warnings)
+                boundaries = [0]
+                umis = carry.umi
+                for i in range(1, n):
+                    if umis[i] != umis[i - 1]:
+                        boundaries.append(i)
+                boundaries.append(n)
+                runs = [
+                    (a, b)
+                    for a, b in zip(boundaries[:-1], boundaries[1:]) if a < b
+                ]
+                process_final = at_eof and self._error is None
+                if not process_final and runs:
+                    keep_from = runs[-1][0]
+                    runs = runs[:-1]
+                else:
+                    keep_from = n
+                e_idx: List[int] = []
+                e_skip: List[int] = []
+                g_starts: List[int] = []
+                last_key = None
+                for lo, hi in runs:
+                    is_final_run = process_final and hi == n
+                    for i, skip_val in self._run_entries(
+                        carry, lo, hi, is_final_run
+                    ):
+                        cb = carry.cb[i]
+                        key = carry.umi[i] + cb[: max(len(cb) - 2, 0)]
+                        if key != last_key:
+                            g_starts.append(len(e_idx))
+                            last_key = key
+                        e_idx.append(i)
+                        e_skip.append(
+                            2 if self.force_bam_paired
+                            else (1 if skip_val == b"TRUE" else 0)
+                        )
+                add_emitted(carry, e_idx, np.asarray(e_skip, dtype=np.int8),
+                            g_starts)
+                carry.drop_front(keep_from)
+
+            if at_eof:
+                if self._error is not None:
+                    if starts:  # discard the open group
+                        end = starts.pop()
+                        del acc.meta[end:], acc.skip[end:], acc.qual[end:]
+                        del acc.rev2[end:], acc.seq15[end:], acc.qn[end:]
+                        del acc.seqs[end:]
+                    yield from emit_ready(final=True)
+                    raise self._error
+                yield from emit_ready(final=True)
+                self._f.close()
+                return
+            yield from emit_ready(final=False)

@@ -58,6 +58,43 @@ DEFAULT_BUCKETS = (64, 96, 128, 160, 192, 256, 384, 512, 768, 1024)
 EQ_PAD = np.int64(2**31 - 1)
 
 
+# per-byte code counts for 2-bit packed reads: _PACKED_COUNT_LUT[byte] =
+# (#code0, #code1, #code2, #code3) among the byte's 4 bases
+_PACKED_COUNT_LUT = np.zeros((256, 4), dtype=np.uint8)
+for _b in range(256):
+    for _s in (0, 2, 4, 6):
+        _PACKED_COUNT_LUT[_b, (_b >> _s) & 3] += 1
+
+
+def entropy_pass_packed(buf: np.ndarray, m: int, lens: np.ndarray,
+                        nb: int) -> np.ndarray:
+    """Exact-f64 Shannon-entropy gate from a packed read buffer.
+
+    Counts bases via a 256-entry LUT over the 2-bit packed bytes (padding
+    packs as code 0 and is subtracted), then evaluates the reference's
+    entropy expression in the reference's f64 operation order
+    (`src/utils.rs:96-119`: A,T,C,G frequency sum, negated) and compares
+    against MIN_ENTROPY_SCORE.  Replaces the old on-device f32 gate and its
+    boundary-band host rescues.
+    """
+    counts = (
+        _PACKED_COUNT_LUT[buf[:m, :nb].reshape(-1)]
+        .reshape(m, nb, 4)
+        .sum(axis=1, dtype=np.int64)
+    )
+    lens = lens[:m].astype(np.int64)
+    counts[:, 0] -= nb * 4 - lens  # zero-padding packs as code 0 ('A')
+    tot = lens.astype(np.float64)
+    tot_safe = np.where(tot == 0, 1.0, tot)
+    ent = np.zeros(m, dtype=np.float64)
+    for code in (0, 3, 1, 2):  # reference frequency order A, T, C, G
+        f = counts[:, code] / tot_safe
+        with np.errstate(divide="ignore", invalid="ignore"):
+            term = np.where(f > 0.0, f * np.log2(np.where(f > 0.0, f, 1.0)), 0.0)
+        ent += term
+    return -ent >= MIN_ENTROPY_SCORE
+
+
 def batch_entropy(reads: np.ndarray, lens: np.ndarray) -> np.ndarray:
     """Vectorized Shannon entropy, f64, reference op order (A,T,C,G sum).
 
@@ -258,30 +295,20 @@ class DeviceAlignEngine:
                     sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
-                # ONE host->device upload for the whole bucket batch (each
-                # wire transaction costs ~30 ms of tunnel latency), then
-                # fixed-size sub-launches on DEVICE-RESIDENT slices (async;
-                # no further wire traffic until the single collect fetch)
+                # ONE host->device upload for the whole bucket batch, ONE
+                # jit launch (sub-batched internally by lax.map at a fixed
+                # body size — compile time scales with the body batch, and
+                # the tunnel charges ~30-45 ms per transfer and tens of
+                # seconds per newly compiled executable), ONE fetched result
                 lb = self.launch_batch
                 if m <= lb:
                     B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
                 else:
                     B = ((m + lb - 1) // lb) * lb
                 buf = self._pack_reads(bmat, blens, bucket, B)
-                buf_dev = jnp.asarray(buf)
-                for lo in range(0, B, lb):
-                    hi = min(lo + lb, B)
-                    packed = self._launch_packed_kernel(
-                        buf_dev[lo:hi], bucket
-                    )
-                    ms = max(0, min(m - lo, hi - lo))
-                    if ms == 0:
-                        continue
-                    sub_sel = (
-                        sel[lo : lo + ms] if sel is not None
-                        else (None if m <= lb else np.arange(lo, lo + ms))
-                    )
-                    launches.append((bucket, sub_sel, ms, packed))
+                buf3 = buf.reshape(-1, min(B, lb), buf.shape[1])
+                packed = self._launch_chunked_kernel(buf3, bucket)
+                launches.append((bucket, sel, m, packed, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -315,22 +342,25 @@ class DeviceAlignEngine:
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
 
-        fetched = (
-            self._fetch_all([p for (_, _, _, p) in state["launches"]])
-            if state["launches"] else []
-        )
-        for (bucket, sel, m, _), raw in zip(state["launches"], fetched):
-            out = unpack_compact(raw)
+        for bucket, sel, m, packed, buf, blens in state["launches"]:
+            raw = np.asarray(packed)            # ONE fetch per bucket batch
+            out = unpack_compact(raw.reshape(-1, raw.shape[-1]))
+            # exact-f64 entropy gate on host (`src/align.rs:960`); the
+            # kernel's passed/needs_host bits exclude it by design
+            nb = (bucket + 3) // 4
+            ent_ok = entropy_pass_packed(buf, m, blens, nb)
+            ps = out["passed"][:m] & ent_ok
+            nh = out["needs_host"][:m] & ent_ok
             if sel is None:
                 astart[:] = out["astart"][:m]
                 mask[:] = out["mask"][:m]
-                passed[:] = out["passed"][:m]
-                needs_host[:] = out["needs_host"][:m]
+                passed[:] = ps
+                needs_host[:] = nh
             else:
                 astart[sel] = out["astart"][:m]
                 mask[sel] = out["mask"][:m]
-                passed[sel] = out["passed"][:m]
-                needs_host[sel] = out["needs_host"][:m]
+                passed[sel] = ps
+                needs_host[sel] = nh
 
         result = {"astart": astart, "mask": mask, "passed": passed,
                   "needs_host": needs_host}
@@ -352,7 +382,7 @@ class DeviceAlignEngine:
         entries, which get no result).  Same packing/latency discipline as
         compact_dispatch.
         """
-        from nimble_tpu.ops.engine_fast import probe_walk_full_packed
+        from nimble_tpu.ops.engine_fast import probe_walk_full_packed_chunked
 
         n = mat.shape[0]
         lens = np.asarray(lens, dtype=np.int32)
@@ -366,30 +396,30 @@ class DeviceAlignEngine:
             for bi in np.unique(bucket_idx[eligible]):
                 bucket = int(bucket_arr[bi])
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
-                for lo in range(0, len(sel), self.launch_batch):
-                    sub = sel[lo : lo + self.launch_batch]
-                    m = len(sub)
-                    B = min(
-                        max(self.min_batch, 1 << (m - 1).bit_length()),
-                        self.launch_batch,
-                    )
-                    buf = self._pack_reads(mat[sub], lens[sub], bucket, B)
-                    out = probe_walk_full_packed(
-                        jnp.asarray(buf),
-                        self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
-                        self._dev_fast["bstart"], self._dev_fast["bcount"],
-                        self._dev_fast["postings_row"],
-                        self._dev_fast["postings_off"],
-                        self._dev_fast["ref_codes_packed"],
-                        self._dev_fast["row_starts"],
-                        self._dev_fast["row_lengths"],
-                        k=self.bidx.k, max_probe=self.bidx.max_probe,
-                        c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
-                        p_limit=bucket - self.bidx.k + 1,
-                        ref_pad=self.bidx.ref_pad, bucket=bucket,
-                        use_pallas=self.use_pallas_walk,
-                    )
-                    launches.append((sub, m, out))
+                m = len(sel)
+                lb = self.launch_batch
+                if m <= lb:
+                    B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
+                else:
+                    B = ((m + lb - 1) // lb) * lb
+                buf = self._pack_reads(mat[sel], lens[sel], bucket, B)
+                buf3 = buf.reshape(-1, min(B, lb), buf.shape[1])
+                out = probe_walk_full_packed_chunked(
+                    jnp.asarray(buf3),
+                    self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                    self._dev_fast["bstart"], self._dev_fast["bcount"],
+                    self._dev_fast["postings_row"],
+                    self._dev_fast["postings_off"],
+                    self._dev_fast["ref_codes_packed"],
+                    self._dev_fast["row_starts"],
+                    self._dev_fast["row_lengths"],
+                    k=self.bidx.k, max_probe=self.bidx.max_probe,
+                    c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
+                    p_limit=bucket - self.bidx.k + 1,
+                    ref_pad=self.bidx.ref_pad, bucket=bucket,
+                    use_pallas=self.use_pallas_walk,
+                )
+                launches.append((sel, m, out))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 
@@ -447,12 +477,9 @@ class DeviceAlignEngine:
         for i in np.flatnonzero(state["host_rescue"]):
             host_align(i)
 
-        fetched = (
-            self._fetch_all([o for (_, _, o) in state["launches"]])
-            if state["launches"] else []
-        )
-        for (sel, m, _), raw in zip(state["launches"], fetched):
-            out = unpack_full_packed(raw)
+        for sel, m, packed in state["launches"]:
+            raw = np.asarray(packed)            # ONE fetch per bucket batch
+            out = unpack_full_packed(raw.reshape(-1, raw.shape[-1]))
             sub_mat = mat[sel]
             sub_lens = lens[sel]
             ent = batch_entropy(sub_mat, sub_lens)
@@ -581,6 +608,28 @@ class DeviceAlignEngine:
             t = jnp.asarray(self._s_min_table(bucket))
             self._s_min_dev_cache[bucket] = t
         return t
+
+    def _launch_chunked_kernel(self, buf3: np.ndarray, bucket: int):
+        from nimble_tpu.ops.engine_fast import probe_walk_filter_packed_chunked
+
+        thr, nmm, dm, dn = self._dev_scalars
+        return probe_walk_filter_packed_chunked(
+            jnp.asarray(buf3),
+            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+            self._dev_fast["bstart"], self._dev_fast["bcount"],
+            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
+            self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
+            self._dev_fast["row_lengths"],
+            self._s_min_dev(bucket), thr, nmm, dm, dn,
+            k=self.bidx.k,
+            max_probe=self.bidx.max_probe,
+            c_max=self.c_max,
+            bucket_mask=self.bidx.n_buckets - 1,
+            p_limit=bucket - self.bidx.k + 1,
+            ref_pad=self.bidx.ref_pad,
+            bucket=bucket,
+            use_pallas=self.use_pallas_walk,
+        )
 
     def _launch_packed_kernel(self, buf: np.ndarray, bucket: int):
         thr, nmm, dm, dn = self._dev_scalars

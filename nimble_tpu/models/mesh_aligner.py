@@ -147,7 +147,7 @@ class MeshAlignEngine:
                 buf = self._pack(bmat, blens, bucket, B)
                 step = self._step_for(bucket)
                 out = step(buf, *self._dev, self._s_min_dev(bucket))
-                launches.append((bucket, sel, m, out))
+                launches.append((bucket, sel, m, out, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -157,18 +157,17 @@ class MeshAlignEngine:
         mask = np.zeros(n, dtype=np.int32)
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
-        from nimble_tpu.models.aligner import DeviceAlignEngine as _D
+        from nimble_tpu.models.aligner import entropy_pass_packed
 
-        fetched = (
-            _D._fetch_all([o for (_, _, _, o) in state["launches"]])
-            if state["launches"] else []
-        )
-        for (bucket, sel, m, _), packed in zip(state["launches"], fetched):
+        for bucket, sel, m, out_dev, buf, blens in state["launches"]:
+            packed = np.asarray(out_dev)
             flags = packed[:m, 1]
             a = packed[:m, 0].astype(np.int64)
             mk = (flags & 0xFFFF).astype(np.int32)
-            ps = (flags & (1 << 16)) != 0
-            nh = (flags & (1 << 17)) != 0
+            nb = (bucket + 3) // 4
+            ent_ok = entropy_pass_packed(buf, m, blens, nb)
+            ps = ((flags & (1 << 16)) != 0) & ent_ok
+            nh = ((flags & (1 << 17)) != 0) & ent_ok
             if sel is None:
                 astart[:], mask[:], passed[:], needs_host[:] = a, mk, ps, nh
             else:

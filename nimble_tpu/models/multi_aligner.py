@@ -26,7 +26,7 @@ from nimble_tpu.config import MIN_READ_LENGTH
 from nimble_tpu.models.aligner import DeviceAlignEngine
 from nimble_tpu.ops.device_index import build_bucketed_index
 from nimble_tpu.ops.engine_fast import (
-    probe_walk_filter_packed_multi,
+    probe_walk_filter_packed_multi_chunked,
     unpack_compact,
 )
 
@@ -139,33 +139,23 @@ class MultiLibraryDispatcher:
                     Btot = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
                 else:
                     Btot = ((m + lb - 1) // lb) * lb
-                buf_dev = jnp.asarray(
-                    DeviceAlignEngine._pack_reads(bmat, blens, bucket, Btot)
+                buf = DeviceAlignEngine._pack_reads(bmat, blens, bucket, Btot)
+                buf3 = buf.reshape(-1, min(Btot, lb), buf.shape[1])
+                thr, nmm, dm, dn = self._scalars
+                out = probe_walk_filter_packed_multi_chunked(
+                    jnp.asarray(buf3),
+                    self._dev["bkey_lo"], self._dev["bkey_hi"],
+                    self._dev["bstart"], self._dev["bcount"],
+                    self._dev["postings_row"], self._dev["postings_off"],
+                    self._dev["ref_codes_packed"],
+                    self._dev["row_starts"], self._dev["row_lengths"],
+                    self._s_min_stack(bucket), thr, nmm, dm, dn,
+                    k=self.k, max_probe=self.max_probe, c_max=self.c_max,
+                    bucket_mask=self.n_buckets - 1,
+                    p_limit=bucket - self.k + 1,
+                    ref_pad=self.ref_pad, bucket=bucket,
                 )
-                for lo in range(0, Btot, lb):
-                    hi = min(lo + lb, Btot)
-                    ms = max(0, min(m - lo, hi - lo))
-                    if ms == 0:
-                        continue
-                    thr, nmm, dm, dn = self._scalars
-                    out = probe_walk_filter_packed_multi(
-                        buf_dev[lo:hi],
-                        self._dev["bkey_lo"], self._dev["bkey_hi"],
-                        self._dev["bstart"], self._dev["bcount"],
-                        self._dev["postings_row"], self._dev["postings_off"],
-                        self._dev["ref_codes_packed"],
-                        self._dev["row_starts"], self._dev["row_lengths"],
-                        self._s_min_stack(bucket), thr, nmm, dm, dn,
-                        k=self.k, max_probe=self.max_probe, c_max=self.c_max,
-                        bucket_mask=self.n_buckets - 1,
-                        p_limit=bucket - self.k + 1,
-                        ref_pad=self.ref_pad, bucket=bucket,
-                    )
-                    sub_sel = (
-                        sel[lo : lo + ms] if sel is not None
-                        else (None if m <= lb else np.arange(lo, lo + ms))
-                    )
-                    launches.append((bucket, sub_sel, ms, out))
+                launches.append((bucket, sel, m, out, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -182,31 +172,27 @@ class MultiLibraryDispatcher:
             }
             for _ in range(L)
         ]
-        # one fetch for all launches: (L, B, 2) results concat along B
-        launch_outs = [o for (_, _, _, o) in state["launches"]]
-        if not launch_outs:
-            fetched = []
-        elif len(launch_outs) == 1:
-            fetched = [np.asarray(launch_outs[0])]
-        else:
-            big = np.asarray(jnp.concatenate(launch_outs, axis=1))
-            fetched = []
-            at = 0
-            for o in launch_outs:
-                fetched.append(big[:, at : at + o.shape[1]])
-                at += o.shape[1]
-        for (bucket, sel, m, _), raw in zip(state["launches"], fetched):
+        from nimble_tpu.models.aligner import entropy_pass_packed
+
+        for bucket, sel, m, packed, buf, blens in state["launches"]:
+            # (n_sub, L, lb, 2): one fetch per bucket batch
+            raw = np.asarray(packed)
+            raw = np.swapaxes(raw, 0, 1).reshape(L, -1, raw.shape[-1])
+            nb = (bucket + 3) // 4
+            ent_ok = entropy_pass_packed(buf, m, blens, nb)
             for li in range(L):
                 out = unpack_compact(raw[li])
                 dst = outs[li]
+                ps = out["passed"][:m] & ent_ok
+                nh = out["needs_host"][:m] & ent_ok
                 if sel is None:
                     dst["astart"][:] = out["astart"][:m]
                     dst["mask"][:] = out["mask"][:m]
-                    dst["passed"][:] = out["passed"][:m]
-                    dst["needs_host"][:] = out["needs_host"][:m]
+                    dst["passed"][:] = ps
+                    dst["needs_host"][:] = nh
                 else:
                     dst["astart"][sel] = out["astart"][:m]
                     dst["mask"][sel] = out["mask"][:m]
-                    dst["passed"][sel] = out["passed"][:m]
-                    dst["needs_host"][sel] = out["needs_host"][:m]
+                    dst["passed"][sel] = ps
+                    dst["needs_host"][sel] = nh
         return outs

@@ -66,6 +66,12 @@ def _load():
                 + [ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64] * 9
                 + [ctypes.c_void_p]
             )
+            lib.nimble_bam_runs.restype = ctypes.c_int32
+            lib.nimble_bam_runs.argtypes = (
+                [ctypes.c_void_p] * 7
+                + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+                + [ctypes.c_void_p] * 6
+            )
             lib.nimble_dedupe_new.restype = ctypes.c_void_p
             lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
             lib.nimble_dedupe_size.restype = ctypes.c_int64
@@ -242,6 +248,46 @@ def bam_meta(count, fixed, qname, seq, qual, aux):
             out["oflags"] = oflags[:n]
             return out
         caps = {k: v * 2 for k, v in caps.items()}
+
+
+def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
+    """Run/group emission over columnar records (see nimble_bam_runs).
+
+    ``umi``/``cb``/``qn`` are (offsets int64 (n+1), flat uint8) pairs;
+    ``oflags`` is the bam_meta flag byte per record.  Returns None when the
+    native library is unavailable OR the stream has a qname irregularity
+    (caller uses the Python path, which prints the reference's warnings);
+    else (emit_idx, emit_skip, group_off, consumed).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    umi_off, umi_flat = umi
+    cb_off, cb_flat = cb
+    qn_off, qn_flat = qn
+    cap = 2 * max(n, 1) + 2
+    emit_idx = np.empty(cap, dtype=np.int64)
+    emit_skip = np.empty(cap, dtype=np.int8)
+    emit_cnt = np.zeros(1, dtype=np.int64)
+    group_off = np.empty(cap + 1, dtype=np.int64)
+    n_groups = np.zeros(1, dtype=np.int64)
+    consumed = np.zeros(1, dtype=np.int64)
+    rc = lib.nimble_bam_runs(
+        umi_off.ctypes.data, umi_flat.ctypes.data,
+        cb_off.ctypes.data, cb_flat.ctypes.data,
+        qn_off.ctypes.data, qn_flat.ctypes.data,
+        oflags.ctypes.data,
+        n, 1 if force_paired else 0, 1 if is_final else 0,
+        emit_idx.ctypes.data, emit_skip.ctypes.data, emit_cnt.ctypes.data,
+        group_off.ctypes.data, n_groups.ctypes.data, consumed.ctypes.data,
+    )
+    if rc != 0:
+        return None
+    ec = int(emit_cnt[0])
+    ng = int(n_groups[0])
+    go = group_off[: ng + 1].copy()
+    go[ng] = ec
+    return emit_idx[:ec], emit_skip[:ec], go, int(consumed[0])
 
 
 class DedupeSet:

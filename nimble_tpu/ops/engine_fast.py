@@ -45,6 +45,11 @@ def _probe_bucketed(
 ):
     """Find each read's anchor (first k-mer position present in the table).
 
+    The lo/hi key halves are concatenated to (n_buckets, 2*W) so each probe
+    step costs ONE row-gather (the table gathers dominate the kernel's
+    runtime; separate lo/hi gathers doubled it; the concat itself is a
+    table-sized one-off per launch).
+
     Returns (has_anchor, anchor, bucket_sel, lane_sel) — the bucket/lane
     locate the anchor key's postings span without a per-position gather.
     Only positions [0, p_limit) are probed.
@@ -52,6 +57,8 @@ def _probe_bucketed(
     B, Lmax = reads_i32.shape
     P_full = Lmax - k + 1
     P = min(P_full, p_limit)
+    W = bkey_lo.shape[1]
+    bkey_cat = jnp.concatenate([bkey_lo, bkey_hi], axis=1)
 
     lo, hi = _rolling_keys(reads_i32[:, : P + k - 1], k)  # (B, P)
     h = _hash_kmer(lo, hi) & jnp.uint32(bucket_mask)
@@ -61,9 +68,10 @@ def _probe_bucketed(
     lane_rec = jnp.zeros((B, P), dtype=jnp.int32)
     for p in range(max_probe):
         bidx = ((h + jnp.uint32(p)) & jnp.uint32(bucket_mask)).astype(jnp.int32)
-        blo = bkey_lo[bidx]                      # (B, P, W) — contiguous rows
-        bhi = bkey_hi[bidx]
-        lane_eq = (blo == lo[:, :, None]) & (bhi == hi[:, :, None])
+        bkeys = bkey_cat[bidx]                   # (B, P, 2W) — one row-gather
+        lane_eq = (bkeys[:, :, :W] == lo[:, :, None]) & (
+            bkeys[:, :, W:] == hi[:, :, None]
+        )
         hit_p = lane_eq.any(axis=2)
         lane_p = jnp.argmax(lane_eq, axis=2).astype(jnp.int32)
         new = hit_p & ~found
@@ -111,7 +119,11 @@ def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
         jnp.zeros(B, dtype=jnp.int32),
         jnp.zeros(B, dtype=jnp.int32),
     )
-    (live, score, mm), _ = jax.lax.scan(step, init, (alive_tcb, match_tcb, active_tb))
+    # unroll amortizes the per-step While-loop overhead (the walk is many
+    # tiny (C, B) steps; overhead dominated at production batch sizes)
+    (live, score, mm), _ = jax.lax.scan(
+        step, init, (alive_tcb, match_tcb, active_tb), unroll=8
+    )
     return live, score, mm
 
 
@@ -368,30 +380,21 @@ def _probe_walk_filter_impl(
     score = jnp.where(has_anchor, k + walk_score, 0)
     mm = jnp.where(has_anchor, walk_mm, 0)
 
-    # entropy gate (f32 + boundary band, see engine_xla)
-    pos_mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < read_lens[:, None]
-    inv_len = 1.0 / jnp.maximum(read_lens, 1).astype(jnp.float32)
-    ent = jnp.zeros(B, dtype=jnp.float32)
-    for code in (0, 3, 1, 2):
-        c_count = ((reads_i32 == code) & pos_mask).sum(axis=1).astype(jnp.float32)
-        f = c_count * inv_len
-        ent = ent - jnp.where(f > 0.0, f * jnp.log2(jnp.maximum(f, 1e-30)), 0.0)
-    ent_pass = ent >= jnp.float32(MIN_ENTROPY_SCORE_F32 + ENTROPY_BOUNDARY_BAND)
-    ent_boundary = (
-        jnp.abs(ent - jnp.float32(MIN_ENTROPY_SCORE_F32))
-        <= jnp.float32(ENTROPY_BOUNDARY_BAND)
-    )
-
-    big = jnp.int32(2**31 - 1)
-    sorted_rows = jnp.sort(jnp.where(live, rows, big), axis=1)
-    distinct = (sorted_rows[:, :1] != big).astype(jnp.int32).squeeze(1) + (
-        (sorted_rows[:, 1:] != sorted_rows[:, :-1]) & (sorted_rows[:, 1:] != big)
-    ).astype(jnp.int32).sum(axis=1)
+    # distinct live-row count without a device sort (pairwise compares on
+    # the C lanes — sorts are expensive ops on TPU; this is ~6 cheap ones).
+    # The entropy gate moved OFF device entirely: the host computes it in
+    # exact f64 from the packed byte counts (collect path), which also
+    # removes the old f32 boundary band and its host rescues.
+    dup = (
+        (rows[:, :, None] == rows[:, None, :])
+        & live[:, :, None] & live[:, None, :]
+        & (jnp.arange(c_max)[:, None] > jnp.arange(c_max)[None, :])
+    ).any(axis=2)
+    distinct = (live & ~dup).sum(axis=1).astype(jnp.int32)
 
     s_min = s_min_table[jnp.clip(read_lens, 0, s_min_table.shape[0] - 1)]
     passed = (
-        ent_pass
-        & has_anchor
+        has_anchor
         & (score >= score_threshold)
         & (score >= s_min)
         & (mm <= num_mismatches)
@@ -401,7 +404,7 @@ def _probe_walk_filter_impl(
 
     lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
     mask = jnp.where(live, lane, 0).sum(axis=1)
-    needs_host = has_anchor & (overflow | ent_boundary)
+    needs_host = has_anchor & overflow
 
     # ONE fetched array per kernel call: remote tunnels charge ~45ms of
     # latency per device->host fetch, so the 5 logical outputs are packed
@@ -413,6 +416,154 @@ def _probe_walk_filter_impl(
         | (has_anchor.astype(jnp.int32) << 18)
     )
     return jnp.stack([astart, flags], axis=1)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
+def probe_walk_filter_packed_chunked(
+    packed3,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """Sub-batched compact kernel in ONE jit: ``packed3`` is
+    (n_sub, lb, ceil(bucket/4)+2) and `lax.map` runs the fixed-size body per
+    sub-batch on device.  One upload, one compile (per n_sub), one fetched
+    (n_sub, lb, 2) result — the tunnel charges ~30-45 ms per transfer AND
+    tens of seconds per compiled executable, so both are minimized."""
+    nb = (bucket + 3) // 4
+
+    def body(packed):
+        words = packed[:, :nb].astype(jnp.int32)
+        j = jnp.arange(bucket, dtype=jnp.int32)
+        reads = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+        read_lens = (
+            packed[:, nb].astype(jnp.int32)
+            | (packed[:, nb + 1].astype(jnp.int32) << 8)
+        )
+        return _probe_walk_filter_impl(
+            reads, read_lens,
+            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            ref_codes_packed, row_starts, row_lengths,
+            s_min_table, score_threshold, num_mismatches,
+            discard_multiple, discard_nonzero,
+            k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+            p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+        )
+
+    if packed3.shape[0] == 1:
+        return body(packed3[0])[None]
+    return jax.lax.map(body, packed3)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
+def probe_walk_full_packed_chunked(
+    packed3,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """Sub-batched full-output kernel in one jit; (n_sub, lb, 3) result."""
+    nb = (bucket + 3) // 4
+
+    def body(packed):
+        return _probe_walk_full_packed_body(
+            packed,
+            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+            p_limit=p_limit, ref_pad=ref_pad, bucket=bucket,
+            use_pallas=use_pallas,
+        )
+
+    if packed3.shape[0] == 1:
+        return body(packed3[0])[None]
+    return jax.lax.map(body, packed3)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
+def probe_walk_filter_packed_multi_chunked(
+    packed3,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """Chunked multi-library kernel: (n_sub, lb, W) packed reads against
+    stacked library tables; returns (n_sub, L, lb, 2) in one launch."""
+    nb = (bucket + 3) // 4
+
+    def body(packed):
+        words = packed[:, :nb].astype(jnp.int32)
+        j = jnp.arange(bucket, dtype=jnp.int32)
+        reads_i32 = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+        read_lens = (
+            packed[:, nb].astype(jnp.int32)
+            | (packed[:, nb + 1].astype(jnp.int32) << 8)
+        )
+
+        def one(bkl, bkh, bst, bcn, prow, poff, refp, rst, rln, s_min,
+                thr, nmm, dm, dn):
+            return _probe_walk_filter_impl(
+                reads_i32, read_lens,
+                bkl, bkh, bst, bcn, prow, poff, refp, rst, rln,
+                s_min, thr, nmm, dm, dn,
+                k=k, max_probe=max_probe, c_max=c_max,
+                bucket_mask=bucket_mask, p_limit=p_limit, ref_pad=ref_pad,
+                use_pallas=use_pallas,
+            )
+
+        return jax.vmap(one)(
+            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            ref_codes_packed, row_starts, row_lengths,
+            s_min_table, score_threshold, num_mismatches,
+            discard_multiple, discard_nonzero,
+        )
+
+    if packed3.shape[0] == 1:
+        return body(packed3[0])[None]
+    return jax.lax.map(body, packed3)
 
 
 @partial(
@@ -523,6 +674,30 @@ def probe_walk_full_packed(
     Used by the forensic/BAM path, where the host applies the exact f64
     gates (entropy, normalized score) itself.
     """
+    return _probe_walk_full_packed_body(
+        packed,
+        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        ref_codes_packed, row_starts, row_lengths,
+        k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+        p_limit=p_limit, ref_pad=ref_pad, bucket=bucket, use_pallas=use_pallas,
+    )
+
+
+def _probe_walk_full_packed_body(
+    packed,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
     B = packed.shape[0]
     nb = (bucket + 3) // 4
     words = packed[:, :nb].astype(jnp.int32)

@@ -46,16 +46,46 @@ def _rolling_keys(reads_i32, k: int):
     """(B, P) uint32 key halves from (B, Lmax) int32 codes.
 
     hi = bases [i, i+k/2), lo = bases [i+k/2, i+k), 2 bits per base.
+
+    Built by window doubling — combine w-base windows into 2w-base windows
+    (K2w[i] = Kw[i] << 2w | Kw[i+w]) — so a 15-base half costs ~6 ops
+    instead of 15 shifted ors.  Kernel runtime here is op-dispatch-overhead
+    bound, so op count is the metric that matters.
     """
     B, Lmax = reads_i32.shape
     P = Lmax - k + 1
     half = k // 2
-    hi = jnp.zeros((B, P), dtype=jnp.uint32)
-    lo = jnp.zeros((B, P), dtype=jnp.uint32)
-    for j in range(half):
-        hi = (hi << jnp.uint32(2)) | reads_i32[:, j : j + P].astype(jnp.uint32)
-    for j in range(half, k):
-        lo = (lo << jnp.uint32(2)) | reads_i32[:, j : j + P].astype(jnp.uint32)
+
+    codes = reads_i32.astype(jnp.uint32)
+
+    # pow_win[w][:, i] = packed bases [i, i+w) for power-of-two widths
+    pow_win = {1: codes}
+    w = 1
+    while 2 * w <= max(half, k - half):
+        a = pow_win[w]
+        pow_win[2 * w] = (a[:, : a.shape[1] - w] << jnp.uint32(2 * w)) | a[:, w:]
+        w *= 2
+
+    def window(width):
+        acc = None
+        off = 0
+        for i in reversed(range(width.bit_length())):
+            if not (width >> i) & 1:
+                continue
+            pw = 1 << i
+            piece = pow_win[pw][:, off:]
+            if acc is None:
+                acc = pow_win[pw]
+            else:
+                n = min(acc.shape[1], piece.shape[1])
+                acc = (acc[:, :n] << jnp.uint32(2 * pw)) | piece[:, :n]
+            off += pw
+        return acc
+
+    hi_full = window(half)
+    hi = hi_full[:, :P]
+    lo_full = hi_full if k - half == half else window(k - half)
+    lo = lo_full[:, half : half + P]
     return lo, hi
 
 

@@ -34,8 +34,6 @@ from jax.sharding import Mesh, PartitionSpec as P
 from nimble_tpu.index.build import KmerIndex
 from nimble_tpu.ops.device_index import EMPTY_SLOT, hash_kmer
 from nimble_tpu.ops.engine_fast import (
-    ENTROPY_BOUNDARY_BAND,
-    MIN_ENTROPY_SCORE_F32,
     _probe_bucketed,
     _span_walk,
 )
@@ -271,31 +269,19 @@ def make_sharded_fast_step(
         score = jnp.where(has_anchor, score_g, 0)
         mm = jnp.where(has_anchor, mm_g, 0)
 
-        # entropy gate (identical to probe_walk_filter; replicated compute)
-        Lmax = bucket
-        pos_mask = jnp.arange(Lmax, dtype=jnp.int32)[None, :] < read_lens[:, None]
-        inv_len = 1.0 / jnp.maximum(read_lens, 1).astype(jnp.float32)
-        ent = jnp.zeros(B, dtype=jnp.float32)
-        for code in (0, 3, 1, 2):
-            cc = ((reads_i32 == code) & pos_mask).sum(axis=1).astype(jnp.float32)
-            f = cc * inv_len
-            ent = ent - jnp.where(f > 0.0, f * jnp.log2(jnp.maximum(f, 1e-30)), 0.0)
-        ent_pass = ent >= jnp.float32(MIN_ENTROPY_SCORE_F32 + ENTROPY_BOUNDARY_BAND)
-        ent_boundary = (
-            jnp.abs(ent - jnp.float32(MIN_ENTROPY_SCORE_F32))
-            <= jnp.float32(ENTROPY_BOUNDARY_BAND)
-        )
-
-        big = jnp.int32(2**31 - 1)
-        sorted_rows = jnp.sort(jnp.where(live_g, rows_g, big), axis=1)
-        distinct = (sorted_rows[:, :1] != big).astype(jnp.int32).squeeze(1) + (
-            (sorted_rows[:, 1:] != sorted_rows[:, :-1]) & (sorted_rows[:, 1:] != big)
-        ).astype(jnp.int32).sum(axis=1)
+        # distinct live-row count via pairwise lane compares (no device
+        # sort); the entropy gate runs host-side in exact f64 like the
+        # single-chip engine (MeshAlignEngine.compact_collect)
+        dup = (
+            (rows_g[:, :, None] == rows_g[:, None, :])
+            & live_g[:, :, None] & live_g[:, None, :]
+            & (jnp.arange(c_max)[:, None] > jnp.arange(c_max)[None, :])
+        ).any(axis=2)
+        distinct = (live_g & ~dup).sum(axis=1).astype(jnp.int32)
 
         s_min = s_min_table[jnp.clip(read_lens, 0, s_min_table.shape[0] - 1)]
         passed = (
-            ent_pass
-            & has_anchor
+            has_anchor
             & (score >= jnp.int32(score_threshold))
             & (score >= s_min)
             & (mm <= jnp.int32(num_mismatches))
@@ -305,7 +291,7 @@ def make_sharded_fast_step(
         if discard_nonzero:
             passed = passed & (mm == 0)
 
-        needs_host = has_anchor & (overflow_g | ent_boundary)
+        needs_host = has_anchor & overflow_g
         flags = (
             mask_g
             | ((passed & ~needs_host).astype(jnp.int32) << 16)

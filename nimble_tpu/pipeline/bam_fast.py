@@ -176,34 +176,35 @@ def _align_batch_columnar(
     groups: List[EmittedGroup],
     workers: List[_LibraryWorker],
 ):
-    """Align all groups' records once per library; returns per-library rows.
+    """Align a list of per-group records (EmittedGroup interop helper);
+    returns per-library lists of output-row bytes."""
+    from nimble_tpu.io.bam_columnar import EmittedBatch
 
-    Per library the return value is a list of output-row bytes (no trailing
-    newline handling — rows end with b"\\n").
-    """
-    ctx = _prepare_batch(groups, workers)
+    cols: dict = {c: [] for c in
+                  ("meta", "skip", "qual", "rev2", "seq15", "qn", "seqs")}
+    offs = [0]
+    for g in groups:
+        for c in cols:
+            cols[c].extend(getattr(g, c))
+        offs.append(offs[-1] + len(g))
+    batch = EmittedBatch(group_off=np.asarray(offs, dtype=np.int64), **cols)
+    ctx = _prepare_batch(batch, workers)
     return _finish_batch(ctx, workers)
 
 
-def _prepare_batch(groups: List[EmittedGroup], workers: List[_LibraryWorker]):
-    """Flatten + trim + DISPATCH one batch of groups (device work is async);
-    returns an opaque context for :func:`_finish_batch`.  Splitting the two
-    lets the consumer overlap batch N's host packaging with batch N+1's
-    device alignment."""
-    n_rec = sum(len(g) for g in groups)
+def _prepare_batch(batch, workers: List[_LibraryWorker]):
+    """Trim + DISPATCH one flat batch (device work is async); returns an
+    opaque context for :func:`_finish_batch`.  Splitting the two lets the
+    consumer overlap batch N's host packaging with batch N+1's device
+    alignment."""
+    n_rec = len(batch)
     if n_rec == 0:
         return None
 
-    # ---- flatten records across groups ----
-    rev2_flat: List[bytes] = []
-    qual_flat: List[bytes] = []
-    skip_flat: List[bytes] = []
-    seq_list: List[np.ndarray] = []
-    for g in groups:
-        rev2_flat.extend(g.rev2)
-        qual_flat.extend(g.qual)
-        skip_flat.extend(g.skip)
-        seq_list.extend(g.seqs)
+    rev2_flat = batch.rev2
+    qual_flat = batch.qual
+    skip_flat = batch.skip
+    seq_list = batch.seqs
 
     rev = _parse_rev_flags(rev2_flat)
     lens = np.fromiter((len(s) for s in seq_list), dtype=np.int32, count=n_rec)
@@ -243,23 +244,23 @@ def _prepare_batch(groups: List[EmittedGroup], workers: List[_LibraryWorker]):
         # quality string longer than the sequence)
         trim_lens = np.minimum(trim_lens, lens)
         states.append(w.engine.full_dispatch(oriented, trim_lens, active))
-    return (groups, states, rev, skip_mask, dec, n_rec)
+    return (batch, states, rev, skip_mask, dec, n_rec)
 
 
 def _finish_batch(ctx, workers: List[_LibraryWorker]):
     """Collect the dispatched alignment + build the per-library output rows."""
     if ctx is None:
         return [[] for _ in workers]
-    groups, states, rev, skip_mask, dec, n_rec = ctx
+    batch, states, rev, skip_mask, dec, n_rec = ctx
     collected = [w.engine.full_collect(st) for w, st in zip(workers, states)]
 
     # ---- per-group packaging ----
     out_rows: List[List[bytes]] = [[] for _ in workers]
-    base = 0
-    group_bounds = []
-    for g in groups:
-        group_bounds.append((base, base + len(g), g))
-        base += len(g)
+    go = batch.group_off
+    group_bounds = [
+        (int(go[gi]), int(go[gi + 1]), batch)
+        for gi in range(batch.n_groups)
+    ]
 
     for li, w in enumerate(workers):
         res = collected[li]
@@ -320,7 +321,7 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
                     (int(code_arr[i1]), s1), (int(code_arr[i2]), s2)
                 )
                 if c1 >= 0 or c2 >= 0:
-                    score_map[key] = (int(c1), int(c2), i1 - lo, i2 - lo)
+                    score_map[key] = (int(c1), int(c2), i1, i2)
 
             # orientation + results accumulation (`src/align.rs:440-449`)
             results: Dict[tuple, list] = {}
@@ -345,7 +346,7 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
             scored_qnames = set(g.qn[e[1][1]] for e in s_entries)
             zero_rows = []
             for p in range(n_pairs):
-                g1, g2 = 2 * p, 2 * p + 1
+                g1, g2 = lo + 2 * p, lo + 2 * p + 1
                 if g.qn[g2] in scored_qnames:
                     continue
                 zero_rows.append((None, (0, g1, g2)))
@@ -356,10 +357,10 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
                 # forensic re-key from metadata SEQ/REVERSE
                 # (`src/process/bam.rs:355-396`)
                 r1k = g.seq15[g1]
-                if rev[lo + g1]:
+                if rev[g1]:
                     r1k = _revcomp_bytes(r1k)
                 r2k = g.seq15[g2]
-                if rev[lo + g2]:
+                if rev[g2]:
                     r2k = _revcomp_bytes(r2k)
                 v = filter_reasons.get(r1k + r2k)
                 if v is not None:
@@ -454,33 +455,23 @@ def process_fast(
     def producer() -> None:
         print("Spawning reader thread.")
         stream = ColumnarGroupStream(input_files[0], force_bam_paired)
-        prev: Optional[EmittedGroup] = None
-        n_groups = 0
-        batch: List[EmittedGroup] = []
-        batch_n = 0
-
-        def push(grp: EmittedGroup) -> None:
-            nonlocal batch, batch_n
-            batch.append(grp)
-            batch_n += len(grp)
-            if batch_n >= batch_records:
-                work_queue.put(batch)
-                batch, batch_n = [], 0
-
+        prev = None
+        total_groups = 0
         try:
-            for grp in stream.groups():
-                n_groups += 1
+            for b in stream.batches(batch_records):
+                total_groups += b.n_groups
                 if prev is not None:
-                    push(prev)
-                prev = grp
+                    work_queue.put(prev)
+                prev = b
         finally:
             # final-group quirk (`src/process/bam.rs:163-179`): the producer
             # drops the last group of a multi-group BAM; a single-group BAM
             # still sends its group
-            if prev is not None and (not parity_quirks or n_groups == 1):
-                push(prev)
-            if batch:
-                work_queue.put(batch)
+            if prev is not None:
+                if parity_quirks and total_groups > 1:
+                    prev = prev.drop_last_group()
+                if len(prev):
+                    work_queue.put(prev)
             print("Finished reading UMIs from input file.")
 
     def consumer(thread_num: int) -> None:
@@ -497,15 +488,15 @@ def process_fast(
                     log_queue.put((b"".join(rows), i))
 
         while True:
-            groups = work_queue.get()
-            if groups is None:
+            batch = work_queue.get()
+            if batch is None:
                 break
             # dispatch batch N+1 before packaging batch N: device alignment
             # overlaps the host-side row building
-            ctx = _prepare_batch(groups, workers)
+            ctx = _prepare_batch(batch, workers)
             if pending is not None:
                 finish(pending)
-            pending = (ctx, sum(len(g) for g in groups))
+            pending = (ctx, len(batch))
         if pending is not None:
             finish(pending)
 
