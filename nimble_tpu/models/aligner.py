@@ -295,20 +295,26 @@ class DeviceAlignEngine:
                     sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
-                # ONE host->device upload for the whole bucket batch, ONE
-                # jit launch (sub-batched internally by lax.map at a fixed
-                # body size — compile time scales with the body batch, and
-                # the tunnel charges ~30-45 ms per transfer and tens of
-                # seconds per newly compiled executable), ONE fetched result
+                # ONE host->device upload for the whole bucket batch, then
+                # one kernel launch per fixed-size sub-slice of the
+                # device-resident buffer (the fixed 8192-read body compiles
+                # once; lax.map over sub-batches costs a ~33 ms tunnel
+                # round-trip PER ITERATION, so the sub-batches are issued
+                # as separate async launches instead), then ONE fetch of
+                # the device-concatenated results in compact_collect.
                 lb = self.launch_batch
                 if m <= lb:
                     B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
                 else:
                     B = ((m + lb - 1) // lb) * lb
                 buf = self._pack_reads(bmat, blens, bucket, B)
-                buf3 = buf.reshape(-1, min(B, lb), buf.shape[1])
-                packed = self._launch_chunked_kernel(buf3, bucket)
-                launches.append((bucket, sel, m, packed, buf, blens))
+                n_sub = (B + lb - 1) // lb
+                buf_dev = jnp.asarray(buf.reshape(n_sub, min(B, lb), buf.shape[1]))
+                outs = [
+                    self._launch_chunked_kernel(buf_dev[i : i + 1], bucket)
+                    for i in range(n_sub)
+                ]
+                launches.append((bucket, sel, m, outs, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -342,8 +348,11 @@ class DeviceAlignEngine:
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
 
-        for bucket, sel, m, packed, buf, blens in state["launches"]:
-            raw = np.asarray(packed)            # ONE fetch per bucket batch
+        for bucket, sel, m, outs, buf, blens in state["launches"]:
+            # ONE fetch per bucket batch (device-concat of the sub-launches)
+            raw = np.asarray(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            )
             out = unpack_compact(raw.reshape(-1, raw.shape[-1]))
             # exact-f64 entropy gate on host (`src/align.rs:960`); the
             # kernel's passed/needs_host bits exclude it by design
@@ -403,23 +412,29 @@ class DeviceAlignEngine:
                 else:
                     B = ((m + lb - 1) // lb) * lb
                 buf = self._pack_reads(mat[sel], lens[sel], bucket, B)
-                buf3 = buf.reshape(-1, min(B, lb), buf.shape[1])
-                out = probe_walk_full_packed_chunked(
-                    jnp.asarray(buf3),
-                    self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
-                    self._dev_fast["bstart"], self._dev_fast["bcount"],
-                    self._dev_fast["postings_row"],
-                    self._dev_fast["postings_off"],
-                    self._dev_fast["ref_codes_packed"],
-                    self._dev_fast["row_starts"],
-                    self._dev_fast["row_lengths"],
-                    k=self.bidx.k, max_probe=self.bidx.max_probe,
-                    c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
-                    p_limit=bucket - self.bidx.k + 1,
-                    ref_pad=self.bidx.ref_pad, bucket=bucket,
-                    use_pallas=self.use_pallas_walk,
+                n_sub = (B + lb - 1) // lb
+                buf_dev = jnp.asarray(
+                    buf.reshape(n_sub, min(B, lb), buf.shape[1])
                 )
-                launches.append((sel, m, out))
+                outs = [
+                    probe_walk_full_packed_chunked(
+                        buf_dev[i : i + 1],
+                        self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                        self._dev_fast["bstart"], self._dev_fast["bcount"],
+                        self._dev_fast["postings_row"],
+                        self._dev_fast["postings_off"],
+                        self._dev_fast["ref_codes_packed"],
+                        self._dev_fast["row_starts"],
+                        self._dev_fast["row_lengths"],
+                        k=self.bidx.k, max_probe=self.bidx.max_probe,
+                        c_max=self.c_max, bucket_mask=self.bidx.n_buckets - 1,
+                        p_limit=bucket - self.bidx.k + 1,
+                        ref_pad=self.bidx.ref_pad, bucket=bucket,
+                        use_pallas=self.use_pallas_walk,
+                    )
+                    for i in range(n_sub)
+                ]
+                launches.append((sel, m, outs))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 
@@ -477,8 +492,10 @@ class DeviceAlignEngine:
         for i in np.flatnonzero(state["host_rescue"]):
             host_align(i)
 
-        for sel, m, packed in state["launches"]:
-            raw = np.asarray(packed)            # ONE fetch per bucket batch
+        for sel, m, outs in state["launches"]:
+            raw = np.asarray(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            )                                   # ONE fetch per bucket batch
             out = unpack_full_packed(raw.reshape(-1, raw.shape[-1]))
             sub_mat = mat[sel]
             sub_lens = lens[sel]

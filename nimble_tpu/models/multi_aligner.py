@@ -140,22 +140,28 @@ class MultiLibraryDispatcher:
                 else:
                     Btot = ((m + lb - 1) // lb) * lb
                 buf = DeviceAlignEngine._pack_reads(bmat, blens, bucket, Btot)
-                buf3 = buf.reshape(-1, min(Btot, lb), buf.shape[1])
-                thr, nmm, dm, dn = self._scalars
-                out = probe_walk_filter_packed_multi_chunked(
-                    jnp.asarray(buf3),
-                    self._dev["bkey_lo"], self._dev["bkey_hi"],
-                    self._dev["bstart"], self._dev["bcount"],
-                    self._dev["postings_row"], self._dev["postings_off"],
-                    self._dev["ref_codes_packed"],
-                    self._dev["row_starts"], self._dev["row_lengths"],
-                    self._s_min_stack(bucket), thr, nmm, dm, dn,
-                    k=self.k, max_probe=self.max_probe, c_max=self.c_max,
-                    bucket_mask=self.n_buckets - 1,
-                    p_limit=bucket - self.k + 1,
-                    ref_pad=self.ref_pad, bucket=bucket,
+                n_sub = (Btot + lb - 1) // lb
+                buf_dev = jnp.asarray(
+                    buf.reshape(n_sub, min(Btot, lb), buf.shape[1])
                 )
-                launches.append((bucket, sel, m, out, buf, blens))
+                thr, nmm, dm, dn = self._scalars
+                outs = [
+                    probe_walk_filter_packed_multi_chunked(
+                        buf_dev[i : i + 1],
+                        self._dev["bkey_lo"], self._dev["bkey_hi"],
+                        self._dev["bstart"], self._dev["bcount"],
+                        self._dev["postings_row"], self._dev["postings_off"],
+                        self._dev["ref_codes_packed"],
+                        self._dev["row_starts"], self._dev["row_lengths"],
+                        self._s_min_stack(bucket), thr, nmm, dm, dn,
+                        k=self.k, max_probe=self.max_probe, c_max=self.c_max,
+                        bucket_mask=self.n_buckets - 1,
+                        p_limit=bucket - self.k + 1,
+                        ref_pad=self.ref_pad, bucket=bucket,
+                    )
+                    for i in range(n_sub)
+                ]
+                launches.append((bucket, sel, m, outs, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -174,9 +180,12 @@ class MultiLibraryDispatcher:
         ]
         from nimble_tpu.models.aligner import entropy_pass_packed
 
-        for bucket, sel, m, packed, buf, blens in state["launches"]:
+        for bucket, sel, m, sub_outs, buf, blens in state["launches"]:
             # (n_sub, L, lb, 2): one fetch per bucket batch
-            raw = np.asarray(packed)
+            raw = np.asarray(
+                sub_outs[0] if len(sub_outs) == 1
+                else jnp.concatenate(sub_outs, axis=0)
+            )
             raw = np.swapaxes(raw, 0, 1).reshape(L, -1, raw.shape[-1])
             nb = (bucket + 3) // 4
             ent_ok = entropy_pass_packed(buf, m, blens, nb)

@@ -127,7 +127,113 @@ def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
     return live, score, mm
 
 
+def _span_walk_abs(
+    reads_i32, read_lens, anchor, rows, offs, live0,
+    ref_codes_packed, row_starts, row_lengths,
+    *, k: int, ref_pad: int,
+):
+    """Forward+left walk in READ-ABSOLUTE coordinates.
+
+    Each candidate's reference span is fetched aligned to the READ's
+    coordinate system (span position p compares ref[r_start + off - anchor
+    + p] against read[p]), so:
+      * the read side needs NO gather at all (plain broadcast compare);
+      * the span is Lmax wide instead of l_steps + k + T;
+      * both walks iterate shared absolute positions with per-read active
+        masks (the recurrence no-ops outside each read's own range), which
+        is exactly the masked-scan semantics the relative form used.
+    Reference spans are ONE contiguous row-gather from a sliding-window
+    word matrix (scattered element-gathers ran near one element/cycle and
+    dominated the kernel's runtime).
+    """
+    B, Lmax = reads_i32.shape
+    C = rows.shape[1]
+
+    # span start in padded ref coords, aligned so span pos p == read pos p
+    r_start = row_starts[rows]
+    starts = (r_start + offs - anchor[:, None] + ref_pad).reshape(-1)
+    NW = (Lmax + 15) // 16 + 1
+    w0 = starts >> 4
+    phase = (starts & 15).astype(jnp.int32)
+    n_words = ref_codes_packed.shape[0]
+    win = jnp.stack(
+        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
+        axis=1,
+    )
+    words = jnp.take(win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0)
+    x_idx = jnp.arange(Lmax, dtype=jnp.int32)
+    j = phase[:, None] + x_idx[None, :]
+    widx = j >> 4
+    shift = ((j & 15) * 2).astype(jnp.uint32)
+    acc = jnp.zeros(j.shape, dtype=jnp.uint32)
+    for w in range(NW):
+        acc = jnp.where(widx == w, words[:, w][:, None], acc)
+    ref_span = ((acc >> shift) & jnp.uint32(3)).astype(jnp.int32).reshape(
+        B, C, Lmax
+    )
+
+    match_full = ref_span == reads_i32[:, None, :]            # (B, C, Lmax)
+    match_full = jax.lax.optimization_barrier(match_full)
+
+    # candidate position at read pos p is off - anchor + p
+    base_off = offs - anchor[:, None]                          # (B, C)
+    r_len = row_lengths[rows]
+
+    # forward: absolute p = k .. Lmax-1 (ascending); active for
+    # anchor + k <= p < read_len; alive while base_off + p < r_len
+    p_f = jnp.arange(k, Lmax, dtype=jnp.int32)
+    f_alive = (base_off[:, :, None] + p_f[None, None, :]) < r_len[:, :, None]
+    f_match = match_full[:, :, k:] & f_alive
+    f_active = (
+        (p_f[None, :] >= anchor[:, None] + k)
+        & (p_f[None, :] < read_lens[:, None])
+    )
+
+    live_cb = jnp.moveaxis(live0, 1, 0)
+    live_cb, f_score, f_mm = _walk_scan_t(
+        live_cb,
+        jnp.transpose(f_alive, (2, 1, 0)),
+        jnp.transpose(f_match, (2, 1, 0)),
+        jnp.transpose(f_active, (1, 0)),
+    )
+
+    # left: absolute p = P-2 .. 0 (descending; the anchor is < P = number
+    # of k-mer positions, so no left step can start at or above P-1);
+    # active for p < anchor; alive while base_off + p >= 0
+    P = Lmax - k + 1
+    p_l = jnp.arange(P - 2, -1, -1, dtype=jnp.int32)
+    l_alive = (base_off[:, :, None] + p_l[None, None, :]) >= 0
+    l_match = match_full[:, :, P - 2 :: -1] & l_alive
+    l_active = p_l[None, :] < anchor[:, None]
+    live_cb, l_score, l_mm = _walk_scan_t(
+        live_cb,
+        jnp.transpose(l_alive, (2, 1, 0)),
+        jnp.transpose(l_match, (2, 1, 0)),
+        jnp.transpose(l_active, (1, 0)),
+    )
+
+    return jnp.moveaxis(live_cb, 0, 1), f_score + l_score, f_mm + l_mm
+
+
 def _span_walk(
+    reads_i32, read_lens, anchor, rows, offs, live0,
+    ref_codes_packed, row_starts, row_lengths,
+    *, k: int, ref_pad: int, l_steps: int, use_pallas: bool = False,
+):
+    if not use_pallas:
+        return _span_walk_abs(
+            reads_i32, read_lens, anchor, rows, offs, live0,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad,
+        )
+    return _span_walk_rel(
+        reads_i32, read_lens, anchor, rows, offs, live0,
+        ref_codes_packed, row_starts, row_lengths,
+        k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas,
+    )
+
+
+def _span_walk_rel(
     reads_i32, read_lens, anchor, rows, offs, live0,
     ref_codes_packed, row_starts, row_lengths,
     *, k: int, ref_pad: int, l_steps: int, use_pallas: bool = False,
@@ -153,19 +259,24 @@ def _span_walk(
     )                                                          # (B, W)
 
     # candidate spans: padded coords [ref_pad + r_start + off - l_steps, +W).
-    # The reference lives 2-bit packed (16 bases/uint32) so each span is a
-    # handful of gathered words + a VPU unpack — TPU gathers cost per
-    # element, and the unpacked span would be W elements instead of ~W/16.
+    # The reference lives 2-bit packed (16 bases/uint32).  Each span needs
+    # NW consecutive words; TPU gathers of scattered ELEMENTS run near one
+    # element per cycle and dominated the kernel, so the words are laid out
+    # as a sliding-window matrix (NW cheap shifted views, built on device)
+    # and each span becomes ONE contiguous row-gather.
     r_start = row_starts[rows]
     starts = (r_start + offs - l_steps + ref_pad).reshape(-1)
     NW = (W + 15) // 16 + 1
     w0 = starts >> 4
     phase = (starts & 15).astype(jnp.int32)
-    word_idx = jnp.clip(
-        w0[:, None] + jnp.arange(NW, dtype=jnp.int32)[None, :],
-        0, ref_codes_packed.shape[0] - 1,
-    )
-    words = ref_codes_packed[word_idx]                        # (B*C, NW) uint32
+    n_words = ref_codes_packed.shape[0]
+    win = jnp.stack(
+        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
+        axis=1,
+    )                                                         # (n_words-NW+1, NW)
+    words = jnp.take(
+        win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0
+    )                                                         # (B*C, NW) uint32
     x_idx = jnp.arange(W, dtype=jnp.int32)
     j = phase[:, None] + x_idx[None, :]                       # (B*C, W)
     widx = j >> 4
