@@ -45,8 +45,6 @@ from nimble_tpu.ops.device_index import (
     build_device_index,
 )
 from nimble_tpu.ops.engine_fast import (
-    probe_walk_filter,
-    probe_walk_filter_packed,
     probe_walk_full,
     unpack_compact,
 )
@@ -645,45 +643,6 @@ class DeviceAlignEngine:
             p_limit=bucket - self.bidx.k + 1,
             ref_pad=self.bidx.ref_pad,
             bucket=bucket,
-            use_pallas=self.use_pallas_walk,
-        )
-
-    def _launch_packed_kernel(self, buf: np.ndarray, bucket: int):
-        thr, nmm, dm, dn = self._dev_scalars
-        return probe_walk_filter_packed(
-            jnp.asarray(buf),
-            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
-            self._dev_fast["bstart"], self._dev_fast["bcount"],
-            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
-            self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
-            self._dev_fast["row_lengths"],
-            self._s_min_dev(bucket), thr, nmm, dm, dn,
-            k=self.bidx.k,
-            max_probe=self.bidx.max_probe,
-            c_max=self.c_max,
-            bucket_mask=self.bidx.n_buckets - 1,
-            p_limit=bucket - self.bidx.k + 1,
-            ref_pad=self.bidx.ref_pad,
-            bucket=bucket,
-            use_pallas=self.use_pallas_walk,
-        )
-
-    def _launch_fast_kernel(self, reads, blens, bucket, p_limit):
-        thr, nmm, dm, dn = self._dev_scalars
-        return probe_walk_filter(
-            jnp.asarray(reads), jnp.asarray(blens),
-            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
-            self._dev_fast["bstart"], self._dev_fast["bcount"],
-            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
-            self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
-            self._dev_fast["row_lengths"],
-            self._s_min_dev(bucket), thr, nmm, dm, dn,
-            k=self.bidx.k,
-            max_probe=self.bidx.max_probe,
-            c_max=self.c_max,
-            bucket_mask=self.bidx.n_buckets - 1,
-            p_limit=min(p_limit, bucket - self.bidx.k + 1),
-            ref_pad=self.bidx.ref_pad,
             use_pallas=self.use_pallas_walk,
         )
 
