@@ -194,7 +194,8 @@ def main(argv=None) -> int:
     for r in range(args.timed_rounds):
         t0 = time.time()
         t_dispatch = t_collect = t_host = 0.0
-        # the pipeline's double-buffered chunk feed
+        # the pipeline's feed: chunk N's fetch runs on a background thread
+        # while chunk N-1's host counting executes (FastCounter.dispatch)
         counter = FastCounter(engine, reference, cfg)
         pending = None
         for lo, hi in chunk_bounds:
@@ -203,7 +204,7 @@ def main(argv=None) -> int:
             t_dispatch += time.time() - ts
             if pending is not None:
                 ts = time.time()
-                raw = engine.compact_collect(pending[4])
+                raw = pending[4].result()
                 t_collect += time.time() - ts
                 ts = time.time()
                 counter._add_with_raw(
@@ -212,7 +213,7 @@ def main(argv=None) -> int:
                 t_host += time.time() - ts
             pending = handle
         ts = time.time()
-        raw = engine.compact_collect(pending[4])
+        raw = pending[4].result()
         t_collect += time.time() - ts
         ts = time.time()
         counter._add_with_raw(pending[0], pending[1], None, None, raw, None)

@@ -102,6 +102,11 @@ class FastCounter:
         self._seen: set = set()
         # combo key -> [eq1, eq2, multiplicity]
         self._combos: Dict[Tuple, list] = {}
+        # background fetch thread (see dispatch); one worker keeps the
+        # tunnel's transfer order deterministic
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._fetcher = ThreadPoolExecutor(max_workers=1)
 
     _EQ_BIG = np.int64(2**62)
 
@@ -142,25 +147,37 @@ class FastCounter:
 
     def dispatch(self, mat, lens, mate_mat=None, mate_lens=None):
         """Launch this chunk's device work (async); returns a handle for
-        :meth:`process`.  Lets callers overlap device compute of chunk N+1
-        with host processing of chunk N (double-buffered feed)."""
+        :meth:`process`.  The result FETCH also starts immediately on a
+        background thread, so the wire transfer of chunk N overlaps the
+        host counting of chunk N-1 (the tunnel serializes transfers with
+        kernel execution, so hiding the host tail behind them is the only
+        free win left)."""
         st1 = st2 = None
         if hasattr(self.engine, "compact_dispatch") and mat.shape[0]:
             st1 = self.engine.compact_dispatch(mat, lens)
             if mate_mat is not None:
                 st2 = self.engine.compact_dispatch(mate_mat, mate_lens)
-        return (mat, lens, mate_mat, mate_lens, st1, st2)
+        if st1 is not None and self._fetcher is not None:
+            st1 = self._fetcher.submit(self.engine.compact_collect, st1)
+            if st2 is not None:
+                st2 = self._fetcher.submit(self.engine.compact_collect, st2)
+            return (mat, lens, mate_mat, mate_lens, st1, st2, True)
+        return (mat, lens, mate_mat, mate_lens, st1, st2, False)
 
     def process(self, handle) -> None:
         """Collect + count one dispatched chunk."""
-        mat, lens, mate_mat, mate_lens, st1, st2 = handle
+        mat, lens, mate_mat, mate_lens, st1, st2, async_fetch = handle
         if st1 is None:
             self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
             return
-        raw1 = self.engine.compact_collect(st1)
-        raw2 = (
-            self.engine.compact_collect(st2) if st2 is not None else None
-        )
+        if async_fetch:
+            raw1 = st1.result()
+            raw2 = st2.result() if st2 is not None else None
+        else:
+            raw1 = self.engine.compact_collect(st1)
+            raw2 = (
+                self.engine.compact_collect(st2) if st2 is not None else None
+            )
         self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
 
     def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:

@@ -143,6 +143,57 @@ def test_fast_matches_slow_124bp_clip(tmp_path):
     assert fast == slow
 
 
+def test_fast_matches_slow_irregular_qnames(tmp_path):
+    """A paired-flagged record whose mate is missing forces the reference's
+    unpaired-qname warning path — the C++ emitter bails out and the Python
+    fallback must keep outputs byte-identical."""
+    from nimble_tpu.io.bam import BamHeader, BamRecord, write_bam
+
+    feats, reference, index = _workload(seed=21)
+    header = BamHeader(text="@HD\tVN:1.6\n", references=[("chr1", 100000)])
+    rng = np.random.default_rng(3)
+    recs = []
+    qn = 0
+
+    def rec(qname, flag, seq):
+        r = BamRecord(qname=qname, flag=flag, tid=0, pos=qn, mtid=0, mpos=qn,
+                      seq=seq, qual=bytes([35] * len(seq)))
+        r.tags["CB"] = ("Z", "CBX00001-1")
+        r.tags["UB"] = ("Z", "CCCCCCCCCC")
+        return r
+
+    def frag():
+        f = feats[int(rng.integers(0, len(feats)))]
+        s = int(rng.integers(0, len(f) - 60))
+        return f[s : s + 60]
+
+    # two clean pairs, then a paired-flagged ORPHAN, then another clean pair
+    for i in range(2):
+        q = f"p{qn}"; qn += 1
+        recs.append(rec(q, 0x1 | 0x40, frag()))
+        recs.append(rec(q, 0x1 | 0x80 | 0x10, frag()))
+    recs.append(rec("orphan", 0x1 | 0x40, frag()))
+    q = f"p{qn}"; qn += 1
+    recs.append(rec(q, 0x1 | 0x40, frag()))
+    recs.append(rec(q, 0x1 | 0x80 | 0x10, frag()))
+    # second UMI group so the quirk-drop still leaves output
+    recs2 = []
+    for i in range(2):
+        q = f"z{qn}"; qn += 1
+        a = rec(q, 0x1 | 0x40, frag()); a.tags["UB"] = ("Z", "GGGGGGGGGG")
+        b = rec(q, 0x1 | 0x80 | 0x10, frag()); b.tags["UB"] = ("Z", "GGGGGGGGGG")
+        recs2 += [a, b]
+    write_bam(str(tmp_path / "in.bam"), header, recs + recs2)
+
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    slow, fast = _run_both(tmp_path, str(tmp_path / "in.bam"), reference,
+                           index, cfg)
+    assert fast == slow
+
+
 def test_fast_matches_slow_force_paired(tmp_path):
     feats, reference, index = _workload(seed=9)
     bam = str(tmp_path / "in.bam")
