@@ -135,7 +135,7 @@ def bench_bam(args, log) -> dict:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
-    p.add_argument("--reads", type=int, default=1 << 18)
+    p.add_argument("--reads", type=int, default=1 << 19)
     p.add_argument("--chunk", type=int, default=1 << 17)
     # best-of-N: the remote-TPU tunnel has ±30% run-to-run variance
     p.add_argument("--timed-rounds", type=int, default=6)

@@ -243,8 +243,23 @@ def _prepare_batch(batch, workers: List[_LibraryWorker]):
         # r1[:trim_len] clamps at the read length (aux-QU quirk can make the
         # quality string longer than the sequence)
         trim_lens = np.minimum(trim_lens, lens)
-        states.append(w.engine.full_dispatch(oriented, trim_lens, active))
+        st = w.engine.full_dispatch(oriented, trim_lens, active)
+        # fetch on a background thread: batch N's wire transfer overlaps
+        # batch N-1's host packaging in the consumer
+        states.append(_fetcher().submit(w.engine.full_collect, st))
     return (batch, states, rev, skip_mask, dec, n_rec)
+
+
+_FETCHER = None
+
+
+def _fetcher():
+    global _FETCHER
+    if _FETCHER is None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        _FETCHER = ThreadPoolExecutor(max_workers=1)
+    return _FETCHER
 
 
 def _finish_batch(ctx, workers: List[_LibraryWorker]):
@@ -252,7 +267,7 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
     if ctx is None:
         return [[] for _ in workers]
     batch, states, rev, skip_mask, dec, n_rec = ctx
-    collected = [w.engine.full_collect(st) for w, st in zip(workers, states)]
+    collected = [fut.result() for fut in states]
 
     # ---- per-group packaging ----
     out_rows: List[List[bytes]] = [[] for _ in workers]
