@@ -142,10 +142,15 @@ def maxinfo_batch(
 
     length_scores, qual_probs = _tables(int(target_length), float(strictness))
 
+    # vectorized padded fill from the concatenated quality bytes
+    if quals and isinstance(quals[0], str):
+        flat = np.frombuffer(
+            "".join(quals).encode("latin-1"), dtype=np.uint8
+        )
+    else:
+        flat = np.frombuffer(b"".join(bytes(q) for q in quals), dtype=np.uint8)
     qmat = np.zeros((n, width), dtype=np.uint8)
-    for i, q in enumerate(quals):
-        b = q.encode("latin-1") if isinstance(q, str) else bytes(q)
-        qmat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    qmat[np.arange(width)[None, :] < lens[:, None]] = flat
 
     q = np.minimum(qmat.astype(np.int64), MAXQUAL)
     accum = np.cumsum(qual_probs[q], axis=1)

@@ -1,31 +1,40 @@
 """Columnar BAM group streaming: the fast-path equivalent of
 SortedBamReader + UMIReader (`src/parse/sorted_bam_reader.rs`,
-`src/parse/bam.rs`) with records kept as flat arrays / bytes columns
-end-to-end — no per-record Python objects.
+`src/parse/bam.rs`) with records kept as flat arrays end-to-end — no
+per-record Python objects, and per-record bytes are materialized only for
+records that are actually emitted.
 
 Records are parsed in bulk by the native C++ scanner (`nimble_bam_scan`),
 derived fields (the 38-field metadata row, clipped/normalized sequences,
-CB/UMI tags) are computed in one C++ pass (`nimble_bam_meta`), and the
-UMI-run buffering / CB sort / dummy-pair / qname-pairing / UMI×CB group-by
-semantics run over lightweight index lists.
+CB/UMI tags) are computed in one C++ pass (`nimble_bam_meta`), the skip
+rules apply as vectorized byte-mask filters, and the UMI-run buffering /
+CB sort / dummy-pair / qname-pairing / UMI×CB group-by emission runs in
+C++ (`nimble_bam_runs`) with a Python fallback for irregular streams
+(whose unpaired-qname warnings need the reference's prints).
 
-Byte-parity contract: the stream of groups (record order + per-record
-metadata) equals what `UMIReader` over `SortedBamReader` yields — the
-pipeline tests assert the final gzipped TSVs are byte-identical.
+Byte-parity contract: the stream of emitted batches (record order +
+per-record metadata + group boundaries) equals what `UMIReader` over
+`SortedBamReader` yields — the pipeline tests assert the final gzipped
+TSVs are byte-identical.
 """
 
 from __future__ import annotations
 
 import gzip
 import struct
-from dataclasses import dataclass, field
-from typing import Iterator, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
 
 from nimble_tpu.io.umi import READ_BLOCK_REPORT_SIZE
 
 UMI_WHITELIST = (b"AAAAAAAAAA",)  # `src/parse/sorted_bam_reader.rs:4`
+
+# bytes-valued columns carried per record: metadata prefix + the metadata
+# fields the consumer needs + the grouping keys
+_COLS = ("meta", "meta1", "meta15", "rev2", "qn", "sk", "cb", "umi",
+         "qname_raw")
 
 
 @dataclass
@@ -66,54 +75,6 @@ class EmittedBatch:
         )
 
 
-@dataclass
-class EmittedGroup:
-    """One UMI×CB group in columnar form (post sort/dummy/pairing).
-
-    Per-record lists are in reader emission order (R1/R2 interleaved).
-    ``meta`` holds the 35 leading output metadata fields tab-joined;
-    the full output metadata block is ``meta[i] + b"\\t" + skip[i]``.
-    """
-
-    meta: List[bytes] = field(default_factory=list)    # 35-field prefix
-    skip: List[bytes] = field(default_factory=list)    # metadata[37]
-    qual: List[bytes] = field(default_factory=list)    # metadata[1]
-    rev2: List[bytes] = field(default_factory=list)    # metadata[2]
-    seq15: List[bytes] = field(default_factory=list)   # metadata[15]
-    qn: List[bytes] = field(default_factory=list)      # metadata[0]
-    seqs: List[np.ndarray] = field(default_factory=list)  # clipped codes
-
-    def append_record(self, c: "_Carry", i: int, skip_val: bytes) -> None:
-        self.meta.append(c.meta[i])
-        self.skip.append(skip_val)
-        self.qual.append(c.meta1[i])
-        self.rev2.append(c.rev2[i])
-        self.seq15.append(c.meta15[i])
-        self.qn.append(c.qn[i])
-        self.seqs.append(c.seqs[i])
-
-    def __len__(self) -> int:
-        return len(self.meta)
-
-    def metadata_rows(self) -> List[List[str]]:
-        """Expand to UMIReader-style 38-field rows (slow-path interop,
-        used by tests and the non-columnar consumer)."""
-        rows = []
-        for i in range(len(self.meta)):
-            parts = self.meta[i].decode("latin-1").split("\t")
-            # parts = fields [0, 2..14, 16..36]
-            row = (
-                [parts[0]]
-                + [self.qual[i].decode("latin-1")]
-                + parts[1:14]
-                + [self.seq15[i].decode("latin-1")]
-                + parts[14:]
-                + [self.skip[i].decode("latin-1")]
-            )
-            rows.append(row)
-        return rows
-
-
 def read_bam_header(f) -> Tuple[str, List[Tuple[str, int]]]:
     """Parse the BAM header from a decompressed stream; returns (text, refs)."""
 
@@ -136,58 +97,86 @@ def read_bam_header(f) -> Tuple[str, List[Tuple[str, int]]]:
     return text, refs
 
 
-def _split_bytes(offs: np.ndarray, flat: np.ndarray, idx) -> List[bytes]:
-    b = flat.tobytes()
-    return [b[offs[i] : offs[i + 1]] for i in idx]
+class _Col:
+    """A variable-length bytes column as (offsets, flat uint8 array)."""
+
+    __slots__ = ("offs", "flat")
+
+    def __init__(self, offs: np.ndarray, flat: np.ndarray):
+        self.offs = offs
+        self.flat = flat
+
+    @staticmethod
+    def empty() -> "_Col":
+        return _Col(np.zeros(1, dtype=np.int64), np.zeros(0, dtype=np.uint8))
+
+    def __len__(self):
+        return len(self.offs) - 1
+
+    def get(self, i: int) -> bytes:
+        return self.flat[self.offs[i] : self.offs[i + 1]].tobytes()
+
+    def lens(self) -> np.ndarray:
+        return np.diff(self.offs)
+
+    def filter(self, keep: np.ndarray) -> "_Col":
+        """Vectorized row filter (byte-level repeat mask)."""
+        lens = self.lens()
+        byte_keep = np.repeat(keep, lens)
+        new_lens = lens[keep]
+        offs = np.zeros(len(new_lens) + 1, dtype=np.int64)
+        np.cumsum(new_lens, out=offs[1:])
+        return _Col(offs, self.flat[: self.offs[-1]][byte_keep])
+
+    def concat(self, other: "_Col") -> "_Col":
+        offs = np.concatenate([self.offs, other.offs[1:] + self.offs[-1]])
+        return _Col(offs, np.concatenate([self.flat, other.flat]))
+
+    def drop_front(self, n: int) -> "_Col":
+        base = self.offs[n]
+        return _Col(self.offs[n:] - base, self.flat[base:])
 
 
 class _Carry:
-    """Pending (not yet emitted) surviving records, in stream order."""
-
-    COLS = ("meta", "meta1", "meta15", "rev2", "qn", "sk", "cb", "umi",
-            "qname_raw")
+    """Pending (not yet emitted) surviving records, columnar."""
 
     def __init__(self):
-        for c in self.COLS:
-            setattr(self, c, [])
-        self.seqs: List[np.ndarray] = []
-        self.paired: List[bool] = []
-        self.fit: List[bool] = []  # first-in-template
+        self.cols: Dict[str, _Col] = {c: _Col.empty() for c in _COLS}
+        self.seq = _Col.empty()          # int8 codes ride the same layout
+        self.oflags = np.zeros(0, dtype=np.uint8)
 
     def __len__(self):
-        return len(self.umi)
+        return len(self.oflags)
 
     def extend(self, other: "_Carry") -> None:
-        for c in self.COLS:
-            getattr(self, c).extend(getattr(other, c))
-        self.seqs.extend(other.seqs)
-        self.paired.extend(other.paired)
-        self.fit.extend(other.fit)
+        for c in _COLS:
+            self.cols[c] = self.cols[c].concat(other.cols[c])
+        self.seq = self.seq.concat(other.seq)
+        self.oflags = np.concatenate([self.oflags, other.oflags])
 
     def drop_front(self, n: int) -> None:
-        for c in self.COLS:
-            setattr(self, c, getattr(self, c)[n:])
-        self.seqs = self.seqs[n:]
-        self.paired = self.paired[n:]
-        self.fit = self.fit[n:]
+        for c in _COLS:
+            self.cols[c] = self.cols[c].drop_front(n)
+        self.seq = self.seq.drop_front(n)
+        self.oflags = self.oflags[n:]
 
 
 class ColumnarGroupStream:
-    """Yields UMI×CB groups (EmittedGroup) with reference semantics.
+    """Yields flat multi-group batches (EmittedBatch), reference semantics.
 
     Requires the native library; callers fall back to the object-based
-    UMIReader when :func:`nimble_tpu.native.available` is false.
+    UMIReader pipeline when :func:`nimble_tpu.native.available` is false.
     """
 
     _CHUNK = 8 << 20
+    _SKIP_BYTES = (b"FALSE", b"TRUE")
 
     def __init__(self, path: str, force_bam_paired: bool):
         from nimble_tpu import native
+        from nimble_tpu.io.bam import _warn_missing_eof
 
         if not native.available():
             raise RuntimeError("columnar BAM stream requires the native library")
-        from nimble_tpu.io.bam import _warn_missing_eof
-
         self._native = native
         _warn_missing_eof(path)
         self._f = gzip.open(path, "rb")
@@ -244,57 +233,59 @@ class ColumnarGroupStream:
                 keep &= np.arange(count) < first_bad
                 self._error = ValueError("Error -- Could not read UMI.")
 
-            idx = np.flatnonzero(keep)
-            umis = _split_bytes(*cols["umi"], idx)
-            if any(u in UMI_WHITELIST for u in umis):
-                sub = [j for j, u in enumerate(umis) if u not in UMI_WHITELIST]
-                idx = idx[sub]
-                umis = [umis[j] for j in sub]
+            # whitelisted-UMI filter (vectorized 10-byte compare)
+            umi_off, umi_flat = cols["umi"]
+            umi_lens = np.diff(umi_off[: count + 1])
+            cand = keep & (umi_lens == 10)
+            if cand.any():
+                idx = np.flatnonzero(cand)
+                win = umi_flat[
+                    umi_off[idx][:, None] + np.arange(10, dtype=np.int64)[None, :]
+                ]
+                keep[idx[(win == ord("A")).all(axis=1)]] = False
 
             out = _Carry()
-            out.umi = umis
-            out.meta = _split_bytes(*cols["meta"], idx)
-            out.meta1 = _split_bytes(*cols["meta1"], idx)
-            out.meta15 = _split_bytes(*cols["meta15"], idx)
-            out.rev2 = _split_bytes(*cols["rev2"], idx)
-            out.qn = _split_bytes(*cols["qn"], idx)
-            out.sk = _split_bytes(*cols["sk"], idx)
-            out.cb = _split_bytes(*cols["cb"], idx)
-            out.qname_raw = _split_bytes(qname[0], qname[1], idx)
+            for name in _COLS:
+                if name == "qname_raw":
+                    offs, flat = qname
+                    offs = offs[: count + 1]
+                else:
+                    offs, flat = cols[name]
+                    offs = offs[: count + 1]
+                col = _Col(np.ascontiguousarray(offs, dtype=np.int64),
+                           flat[: offs[-1]])
+                out.cols[name] = col.filter(keep)
             s_offs, s_flat = cols["seq2"]
-            out.seqs = [s_flat[s_offs[i] : s_offs[i + 1]] for i in idx]
-            out.paired = [bool(b) for b in paired[idx]]
-            out.fit = [bool(b) for b in (oflags[idx] & 16) != 0]
+            out.seq = _Col(
+                np.ascontiguousarray(s_offs[: count + 1], dtype=np.int64),
+                s_flat[: s_offs[count]].view(np.uint8),
+            ).filter(keep)
+            out.oflags = oflags[keep]
             return out
 
-    # ----------------- run processing (SortedBamReader) ----------------
+    # ----------------- Python fallback (irregular runs) ----------------
 
-    def _run_entries(self, c: _Carry, lo: int, hi: int,
-                     is_final: bool) -> List[Tuple[int, bytes]]:
-        """CB-sort + dummy-pair + qname-pair one UMI run; returns emission
-        order as (carry_index, SKIP_ALIGN value) pairs."""
+    def _run_entries_python(self, c: _Carry, lo: int, hi: int,
+                            is_final: bool) -> List[Tuple[int, bytes]]:
+        """CB-sort + dummy-pair + qname-pair one UMI run; reference
+        semantics incl. the unpaired-qname warnings
+        (`src/parse/sorted_bam_reader.rs:85-162`)."""
+        cb = c.cols["cb"]
+        qn = c.cols["qname_raw"]
         order = list(range(lo, hi))
         if not is_final:
-            # stable sort by full CB (`sorted_bam_reader.rs:85-97`);
-            # the FINAL run of the file is never sorted (reference quirk)
-            order.sort(key=lambda i: c.cb[i])
+            order.sort(key=lambda i: cb.get(i))
 
         if not self.force_bam_paired:
-            # dummy-pair expansion (`:109-125`): every record gets
-            # SKIP_ALIGN=FALSE; unpaired records get a TRUE clone appended
             buf: List[Tuple[int, bytes]] = []
             for i in order:
                 buf.append((i, b"FALSE"))
-                if not c.paired[i]:
+                if not (c.oflags[i] & 1):
                     buf.append((i, b"TRUE"))
         else:
-            # no SKIP_ALIGN push: metadata[37] = the aux SK value if any
-            buf = [(i, c.sk[i]) for i in order]
+            sk = c.cols["sk"]
+            buf = [(i, sk.get(i)) for i in order]
 
-        # qname pairing (`:127-162`): adjacent equal-qname records survive,
-        # first-in-template first; singles dropped with a warning
-        qn = c.qname_raw
-        fit = c.fit
         entries: List[Tuple[int, bytes]] = []
         n = len(buf)
         j = 0
@@ -304,113 +295,41 @@ class ColumnarGroupStream:
                 break
             i1, s1 = buf[j]
             i2, s2 = buf[j + 1]
-            if qn[i1] == qn[i2]:
-                if fit[i1]:
+            q1 = qn.get(i1)
+            if q1 == qn.get(i2):
+                if c.oflags[i1] & 16:
                     entries.append((i1, s1))
                     entries.append((i2, s2))
                 else:
                     entries.append((i2, s2))
                     entries.append((i1, s1))
                 if seen_qnames is not None:
-                    seen_qnames.add(qn[i1])
+                    seen_qnames.add(q1)
                 j += 2
             else:
                 print("Warning: Unpaired qname!")
                 if seen_qnames is None:
-                    seen_qnames = set(qn[i] for i, _ in entries)
-                if qn[i1] in seen_qnames:
+                    seen_qnames = set(qn.get(i) for i, _ in entries)
+                if q1 in seen_qnames:
                     print(
                         f"Warning: Read with qname "
-                        f"'{qn[i1].decode('latin-1')}' has been deleted "
+                        f"'{q1.decode('latin-1')}' has been deleted "
                         "but was seen before."
                     )
-                seen_qnames.add(qn[i1])
+                seen_qnames.add(q1)
                 j += 1
         return entries
 
-    # ------------------- group iteration (UMIReader) -------------------
-
-    def groups(self) -> Iterator[EmittedGroup]:
-        """Yield completed UMI×CB groups in stream order.
-
-        The caller reproduces the pipeline's final-group quirk (the
-        reference producer drops the last group of a multi-group BAM when
-        parity quirks are on, `src/process/bam.rs:163-179`).
-        """
-        carry = _Carry()
-        cur: Optional[EmittedGroup] = None
-        cur_key: Optional[bytes] = None
-
-        while True:
-            batch = self._scan_chunk()
-            at_eof = batch is None
-            if batch is not None:
-                carry.extend(batch)
-            n = len(carry)
-
-            boundaries = [0]
-            umis = carry.umi
-            for i in range(1, n):
-                if umis[i] != umis[i - 1]:
-                    boundaries.append(i)
-            boundaries.append(n)
-            runs = list(zip(boundaries[:-1], boundaries[1:]))
-            if runs and runs[-1][0] == runs[-1][1]:
-                runs.pop()
-            if not at_eof and runs:
-                # the last run may continue into the next chunk
-                keep_from = runs[-1][0]
-                runs = runs[:-1]
-            else:
-                keep_from = n
-            if at_eof and self._error is not None and runs:
-                # the reference raises while filling the run in progress,
-                # discarding it (and the still-open group before it)
-                runs = runs[:-1]
-
-            for lo, hi in runs:
-                is_final = at_eof and hi == n
-                for i, skip_val in self._run_entries(carry, lo, hi, is_final):
-                    self.read_counter += 1
-                    if self.read_counter % READ_BLOCK_REPORT_SIZE == 0:
-                        print(
-                            f"Aligned reads "
-                            f"{self.read_counter - READ_BLOCK_REPORT_SIZE}"
-                            f"-{self.read_counter}"
-                        )
-                    key = umis[i] + carry.cb[i][: max(len(carry.cb[i]) - 2, 0)]
-                    if key != cur_key:
-                        if cur is not None:
-                            yield cur
-                        cur = EmittedGroup()
-                        cur_key = key
-                    cur.append_record(carry, i, skip_val)
-
-            if at_eof:
-                if self._error is not None:
-                    raise self._error
-                if cur is not None and len(cur):
-                    yield cur
-                self._f.close()
-                return
-            carry.drop_front(keep_from)
-
     # ------------------- batch iteration (fast pipeline) ----------------
 
-    _SKIP_BYTES = (b"FALSE", b"TRUE")
-
     def batches(self, target_records: int = 16384) -> Iterator[EmittedBatch]:
-        """Yield flat multi-group batches (EmittedBatch) in stream order.
+        """Yield flat multi-group batches in stream order.
 
-        Same emission semantics as :meth:`groups`; the run/sort/pair/group
-        index work runs in C++ (`nimble_bam_runs`) when available, falling
-        back to the Python helpers for irregular streams (unpaired-qname
-        warnings need the reference's prints).  The stream's CURRENT last
-        group is withheld until more groups follow or clean EOF — exactly
-        when the object-based reader would surface it.
+        The stream's CURRENT last group is withheld until more groups
+        follow or clean EOF — exactly when the object-based reader would
+        surface it (and never, like the reference, when a fatal record
+        error interrupts the stream first).
         """
-        from nimble_tpu import native as _native
-
         carry = _Carry()
         acc = EmittedBatch([], [], [], [], [], [], [],
                            np.zeros(1, dtype=np.int64))
@@ -439,21 +358,46 @@ class ColumnarGroupStream:
                 if final:
                     break
 
+        def drop_open_group():
+            if starts:
+                end = starts.pop()
+                del acc.meta[end:], acc.skip[end:], acc.qual[end:]
+                del acc.rev2[end:], acc.seq15[end:], acc.qn[end:]
+                del acc.seqs[end:]
+
         def add_emitted(c: _Carry, emit_idx, emit_skip, group_starts):
             base = len(acc.meta)
             for s in group_starts:
                 starts.append(base + int(s))
             sk_map = self._SKIP_BYTES
+            meta = c.cols["meta"]
+            meta_b = meta.flat.tobytes()
+            meta_o = meta.offs
+            m1 = c.cols["meta1"]
+            m1_b = m1.flat.tobytes()
+            m1_o = m1.offs
+            m15 = c.cols["meta15"]
+            m15_b = m15.flat.tobytes()
+            m15_o = m15.offs
+            rv = c.cols["rev2"]
+            rv_b = rv.flat.tobytes()
+            rv_o = rv.offs
+            qn = c.cols["qn"]
+            qn_b = qn.flat.tobytes()
+            qn_o = qn.offs
+            sk = c.cols["sk"]
+            seq_o = c.seq.offs
+            seq_flat = c.seq.flat.view(np.int8)
             for j in range(len(emit_idx)):
                 i = int(emit_idx[j])
                 s = emit_skip[j]
-                acc.meta.append(c.meta[i])
-                acc.skip.append(sk_map[s] if s < 2 else c.sk[i])
-                acc.qual.append(c.meta1[i])
-                acc.rev2.append(c.rev2[i])
-                acc.seq15.append(c.meta15[i])
-                acc.qn.append(c.qn[i])
-                acc.seqs.append(c.seqs[i])
+                acc.meta.append(meta_b[meta_o[i] : meta_o[i + 1]])
+                acc.skip.append(sk_map[s] if s < 2 else sk.get(i))
+                acc.qual.append(m1_b[m1_o[i] : m1_o[i + 1]])
+                acc.rev2.append(rv_b[rv_o[i] : rv_o[i + 1]])
+                acc.seq15.append(m15_b[m15_o[i] : m15_o[i + 1]])
+                acc.qn.append(qn_b[qn_o[i] : qn_o[i + 1]])
+                acc.seqs.append(seq_flat[seq_o[i] : seq_o[i + 1]])
             # progress print parity (`src/parse/bam.rs:121-127`)
             before = self.read_counter
             self.read_counter += len(emit_idx)
@@ -461,15 +405,6 @@ class ColumnarGroupStream:
             for mark in range((before // blk) + 1,
                               (self.read_counter // blk) + 1):
                 print(f"Aligned reads {(mark - 1) * blk}-{mark * blk}")
-
-        def flatten(col: List[bytes]):
-            offs = np.zeros(len(col) + 1, dtype=np.int64)
-            np.cumsum(
-                np.fromiter((len(b) for b in col), dtype=np.int64,
-                            count=len(col)),
-                out=offs[1:],
-            )
-            return offs, np.frombuffer(b"".join(col), dtype=np.uint8)
 
         while True:
             batch = self._scan_chunk()
@@ -479,12 +414,7 @@ class ColumnarGroupStream:
             n = len(carry)
             if n == 0 and at_eof:
                 if self._error is not None:
-                    # the reference discards the open group before erroring
-                    if starts:
-                        end = starts.pop()
-                        del acc.meta[end:], acc.skip[end:], acc.qual[end:]
-                        del acc.rev2[end:], acc.seq15[end:], acc.qn[end:]
-                        del acc.seqs[end:]
+                    drop_open_group()
                     yield from emit_ready(final=True)
                     raise self._error
                 yield from emit_ready(final=True)
@@ -493,17 +423,12 @@ class ColumnarGroupStream:
 
             res = None
             if n:
-                oflags = np.zeros(n, dtype=np.uint8)
-                for i in range(n):
-                    f = 0
-                    if carry.paired[i]:
-                        f |= 1
-                    if carry.fit[i]:
-                        f |= 16
-                    oflags[i] = f
-                res = _native.bam_runs(
-                    flatten(carry.umi), flatten(carry.cb),
-                    flatten(carry.qname_raw), oflags, n,
+                umi = carry.cols["umi"]
+                cb = carry.cols["cb"]
+                qname = carry.cols["qname_raw"]
+                res = self._native.bam_runs(
+                    (umi.offs, umi.flat), (cb.offs, cb.flat),
+                    (qname.offs, qname.flat), carry.oflags, n,
                     self.force_bam_paired,
                     at_eof and self._error is None,
                 )
@@ -513,8 +438,9 @@ class ColumnarGroupStream:
                 carry.drop_front(consumed)
             elif n:
                 # Python fallback (irregular stream: reference warnings)
+                umi = carry.cols["umi"]
+                umis = [umi.get(i) for i in range(n)]
                 boundaries = [0]
-                umis = carry.umi
                 for i in range(1, n):
                     if umis[i] != umis[i - 1]:
                         boundaries.append(i)
@@ -529,17 +455,18 @@ class ColumnarGroupStream:
                     runs = runs[:-1]
                 else:
                     keep_from = n
+                cbc = carry.cols["cb"]
                 e_idx: List[int] = []
                 e_skip: List[int] = []
                 g_starts: List[int] = []
                 last_key = None
                 for lo, hi in runs:
                     is_final_run = process_final and hi == n
-                    for i, skip_val in self._run_entries(
+                    for i, skip_val in self._run_entries_python(
                         carry, lo, hi, is_final_run
                     ):
-                        cb = carry.cb[i]
-                        key = carry.umi[i] + cb[: max(len(cb) - 2, 0)]
+                        cbv = cbc.get(i)
+                        key = umis[i] + cbv[: max(len(cbv) - 2, 0)]
                         if key != last_key:
                             g_starts.append(len(e_idx))
                             last_key = key
@@ -548,17 +475,13 @@ class ColumnarGroupStream:
                             2 if self.force_bam_paired
                             else (1 if skip_val == b"TRUE" else 0)
                         )
-                add_emitted(carry, e_idx, np.asarray(e_skip, dtype=np.int8),
-                            g_starts)
+                add_emitted(carry, e_idx,
+                            np.asarray(e_skip, dtype=np.int8), g_starts)
                 carry.drop_front(keep_from)
 
             if at_eof:
                 if self._error is not None:
-                    if starts:  # discard the open group
-                        end = starts.pop()
-                        del acc.meta[end:], acc.skip[end:], acc.qual[end:]
-                        del acc.rev2[end:], acc.seq15[end:], acc.qn[end:]
-                        del acc.seqs[end:]
+                    drop_open_group()
                     yield from emit_ready(final=True)
                     raise self._error
                 yield from emit_ready(final=True)

@@ -38,7 +38,7 @@ from nimble_tpu.core.orientation import (
     filter_and_coerce_sequence_call_orientations,
 )
 from nimble_tpu.core.trim import maxinfo_batch
-from nimble_tpu.io.bam_columnar import ColumnarGroupStream, EmittedGroup
+from nimble_tpu.io.bam_columnar import ColumnarGroupStream, EmittedBatch
 from nimble_tpu.library import Reference
 from nimble_tpu.pipeline.bam_pipeline import (
     MAX_UMIS_IN_CHANNEL,
@@ -74,8 +74,27 @@ def _revcomp_bytes(b: bytes) -> bytes:
 
 def _parse_rev_flags(rev2: List[bytes]) -> np.ndarray:
     """parse_str_as_bool over the REVERSE metadata column
-    (`src/process/bam.rs:417-423`)."""
-    out = np.empty(len(rev2), dtype=bool)
+    (`src/process/bam.rs:417-423`).
+
+    Fast path: values of length 4/5 must be exactly b"true"/b"false" — one
+    join + one bytes compare validates the whole column; anything else
+    falls to the per-value loop for the reference's error message.
+    """
+    n = len(rev2)
+    lens = np.fromiter(map(len, rev2), dtype=np.int64, count=n)
+    if n and lens.min() >= 4 and lens.max() <= 5:
+        arr = np.frombuffer(b"".join(rev2), dtype=np.uint8)
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        is4 = lens == 4
+        ok = np.ones(n, dtype=bool)
+        for word, mask in ((b"true", is4), (b"false", ~is4)):
+            idx = starts[mask]
+            for off, ch in enumerate(word):
+                ok[mask] &= arr[idx + off] == ch
+        if ok.all():
+            return is4
+    out = np.empty(n, dtype=bool)
     for i, v in enumerate(rev2):
         if v == b"true":
             out[i] = True
@@ -172,26 +191,6 @@ class _LibraryWorker:
         return b
 
 
-def _align_batch_columnar(
-    groups: List[EmittedGroup],
-    workers: List[_LibraryWorker],
-):
-    """Align a list of per-group records (EmittedGroup interop helper);
-    returns per-library lists of output-row bytes."""
-    from nimble_tpu.io.bam_columnar import EmittedBatch
-
-    cols: dict = {c: [] for c in
-                  ("meta", "skip", "qual", "rev2", "seq15", "qn", "seqs")}
-    offs = [0]
-    for g in groups:
-        for c in cols:
-            cols[c].extend(getattr(g, c))
-        offs.append(offs[-1] + len(g))
-    batch = EmittedBatch(group_off=np.asarray(offs, dtype=np.int64), **cols)
-    ctx = _prepare_batch(batch, workers)
-    return _finish_batch(ctx, workers)
-
-
 def _prepare_batch(batch, workers: List[_LibraryWorker]):
     """Trim + DISPATCH one flat batch (device work is async); returns an
     opaque context for :func:`_finish_batch`.  Splitting the two lets the
@@ -210,8 +209,10 @@ def _prepare_batch(batch, workers: List[_LibraryWorker]):
     lens = np.fromiter((len(s) for s in seq_list), dtype=np.int32, count=n_rec)
     W = max(int(lens.max()), 1)
     mat = np.zeros((n_rec, W), dtype=np.int8)
-    for i, s in enumerate(seq_list):
-        mat[i, : len(s)] = s
+    # vectorized padded fill from the concatenated codes
+    flat = np.concatenate(seq_list) if seq_list else np.zeros(0, np.int8)
+    valid0 = np.arange(W, dtype=np.int32)[None, :] < lens[:, None]
+    mat[valid0] = flat
     # orientation correction (`src/process/bam.rs:322-326`): revcomp flagged
     # reads; vectorized gather in code space (complement = 3 - code)
     ar = np.arange(W, dtype=np.int32)[None, :]
