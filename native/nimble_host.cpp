@@ -770,6 +770,49 @@ int32_t nimble_bam_runs(
     return 0;
 }
 
+// Ragged row gather: out row j = in row idx[j].  offs_out must be the
+// exclusive prefix sum of the gathered row lengths (computed by the
+// caller, which also sizes flat_out).  Replaces numpy fancy-indexed
+// gathers whose int64 index temporaries dwarf the payload.
+void nimble_take_rows(
+    const int64_t* offs_in, const uint8_t* flat_in,
+    const int64_t* idx, int64_t k,
+    const int64_t* offs_out, uint8_t* flat_out) {
+    for (int64_t j = 0; j < k; ++j) {
+        int64_t i = idx[j];
+        int64_t len = offs_in[i + 1] - offs_in[i];
+        std::memcpy(flat_out + offs_out[j], flat_in + offs_in[i], (size_t)len);
+    }
+}
+
+// Single-pass MAXINFO trimmer over a ragged quality column
+// (parity with `maxinfo`, reference src/align.rs:873-925: i64 wrapping
+// accumulation of the fixed-point tables, f64 ">="-argmax keeping the
+// LAST max, 0 when the max is 0.0).  qp has MAXQUAL+1=61 entries, ls has
+// LONGEST_READ=1000 entries; both precomputed (and normalized) in Python.
+int32_t nimble_maxinfo(
+    int64_t n, const int64_t* offs, const uint8_t* flat,
+    const int64_t* ls, const int64_t* qp, int64_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        int64_t start = offs[i];
+        int64_t len = offs[i + 1] - start;
+        if (len <= 0) { out[i] = 0; continue; }
+        const uint8_t* q = flat + start;
+        uint64_t acc = 0;
+        double maxs = -1e308 * 10.0;
+        int64_t best = 0;
+        for (int64_t j = 0; j < len; ++j) {
+            uint8_t qv = q[j] > 60 ? 60 : q[j];
+            acc += (uint64_t)qp[qv];                     // wrapping i64 +=
+            uint64_t s = acc + (uint64_t)(j < 1000 ? ls[j] : 0);
+            double sf = (double)(int64_t)s;
+            if (sf >= maxs) { maxs = sf; best = j + 1; } // last max wins
+        }
+        out[i] = (best < 1 || maxs == 0.0) ? 0 : (best < len ? best : len);
+    }
+    return 0;
+}
+
 void* nimble_dedupe_new() { return new DedupSet(); }
 
 void nimble_dedupe_free(void* handle) { delete static_cast<DedupSet*>(handle); }

@@ -131,11 +131,23 @@ def maxinfo_batch(
     argmax semantics), batched across a padded matrix for throughput on the
     BAM path where every read is quality-trimmed.
     """
-    n = len(quals)
+    if hasattr(quals, "offs"):  # columnar (offsets, flat) input
+        from nimble_tpu import native
+
+        ls_t, qp_t = _tables(int(target_length), float(strictness))
+        res = native.maxinfo_ragged(quals.offs, quals.flat, ls_t, qp_t)
+        if res is not None:
+            return res
+        lens = np.diff(quals.offs)
+        n = len(lens)
+        flat = quals.flat
+    else:
+        n = len(quals)
+        lens = np.fromiter((len(q) for q in quals), dtype=np.int64, count=n)
+        flat = None
     out = np.zeros(n, dtype=np.int64)
     if n == 0:
         return out
-    lens = np.fromiter((len(q) for q in quals), dtype=np.int64, count=n)
     width = int(lens.max()) if n else 0
     if width == 0:
         return out
@@ -143,12 +155,15 @@ def maxinfo_batch(
     length_scores, qual_probs = _tables(int(target_length), float(strictness))
 
     # vectorized padded fill from the concatenated quality bytes
-    if quals and isinstance(quals[0], str):
-        flat = np.frombuffer(
-            "".join(quals).encode("latin-1"), dtype=np.uint8
-        )
-    else:
-        flat = np.frombuffer(b"".join(bytes(q) for q in quals), dtype=np.uint8)
+    if flat is None:
+        if quals and isinstance(quals[0], str):
+            flat = np.frombuffer(
+                "".join(quals).encode("latin-1"), dtype=np.uint8
+            )
+        else:
+            flat = np.frombuffer(
+                b"".join(bytes(q) for q in quals), dtype=np.uint8
+            )
     qmat = np.zeros((n, width), dtype=np.uint8)
     qmat[np.arange(width)[None, :] < lens[:, None]] = flat
 

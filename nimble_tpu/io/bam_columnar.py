@@ -39,24 +39,26 @@ _COLS = ("meta", "meta1", "meta15", "rev2", "qn", "sk", "cb", "umi",
 
 @dataclass
 class EmittedBatch:
-    """Many UMI×CB groups in one flat columnar batch.
+    """Many UMI×CB groups in one flat COLUMNAR batch.
 
-    Per-record lists cover all emitted records of the batch in order;
-    ``group_off`` (int64, n_groups+1) delimits groups.  The output metadata
-    block of record i is ``meta[i] + b"\\t" + skip[i]``.
-    """
+    All bytes-valued per-record data rides (offsets, flat) columns — no
+    per-record Python objects; ``group_off`` (int64, n_groups+1) delimits
+    groups.  The output metadata block of record i is
+    ``meta.get(i) + b"\\t" + skipb.get(i)``; ``skip_true`` is the parsed
+    SKIP column (True = the record is an unpaired dummy)."""
 
-    meta: List[bytes]
-    skip: List[bytes]
-    qual: List[bytes]
-    rev2: List[bytes]
-    seq15: List[bytes]
-    qn: List[bytes]
-    seqs: List[np.ndarray]
+    meta: "_Col"         # metadata prefix (36 tab-joined fields)
+    skipb: "_Col"        # resolved SKIP column bytes (b"TRUE"/b"FALSE")
+    skip_true: np.ndarray
+    qual: "_Col"
+    rev2: "_Col"
+    seq15: "_Col"
+    qn: "_Col"
+    seq: "_Col"          # 2-bit codes as int8, flat ragged layout
     group_off: np.ndarray
 
     def __len__(self) -> int:
-        return len(self.meta)
+        return len(self.skip_true)
 
     @property
     def n_groups(self) -> int:
@@ -69,10 +71,27 @@ class EmittedBatch:
             return self
         end = int(self.group_off[-2])
         return EmittedBatch(
-            self.meta[:end], self.skip[:end], self.qual[:end],
-            self.rev2[:end], self.seq15[:end], self.qn[:end],
-            self.seqs[:end], self.group_off[:-1].copy(),
+            self.meta.head(end), self.skipb.head(end), self.skip_true[:end],
+            self.qual.head(end), self.rev2.head(end),
+            self.seq15.head(end), self.qn.head(end),
+            self.seq.head(end), self.group_off[:-1].copy(),
         )
+
+
+_FALSE5 = np.frombuffer(b"FALSE", dtype=np.uint8)
+_TRUE4 = np.frombuffer(b"TRUE", dtype=np.uint8)
+
+
+def _skip_words(is_true: np.ndarray) -> "_Col":
+    """Constant-word SKIP column: b"TRUE" where ``is_true`` else b"FALSE"."""
+    k = len(is_true)
+    lens = np.where(is_true, 4, 5).astype(np.int64)
+    offs = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    mat = np.tile(_FALSE5, (k, 1))
+    mat[is_true, :4] = _TRUE4
+    flat = mat[np.arange(5)[None, :] < lens[:, None]]
+    return _Col(offs, flat)
 
 
 def read_bam_header(f) -> Tuple[str, List[Tuple[str, int]]]:
@@ -121,12 +140,35 @@ class _Col:
 
     def filter(self, keep: np.ndarray) -> "_Col":
         """Vectorized row filter (byte-level repeat mask)."""
+        from nimble_tpu import native
+
+        res = native.take_rows(self.offs, self.flat, np.flatnonzero(keep))
+        if res is not None:
+            return _Col(res[0], res[1])
         lens = self.lens()
         byte_keep = np.repeat(keep, lens)
         new_lens = lens[keep]
         offs = np.zeros(len(new_lens) + 1, dtype=np.int64)
         np.cumsum(new_lens, out=offs[1:])
         return _Col(offs, self.flat[: self.offs[-1]][byte_keep])
+
+    def take(self, idx: np.ndarray) -> "_Col":
+        """Vectorized row gather (rows in ``idx`` order, repeats allowed)."""
+        from nimble_tpu import native
+
+        res = native.take_rows(self.offs, self.flat, idx)
+        if res is not None:
+            return _Col(res[0], res[1])
+        lens = self.lens()[idx]
+        offs = np.zeros(len(idx) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        total = int(offs[-1])
+        delta = np.repeat(self.offs[idx] - offs[:-1], lens)
+        return _Col(offs, self.flat[delta + np.arange(total, dtype=np.int64)])
+
+    def head(self, n: int) -> "_Col":
+        """First ``n`` rows (zero-copy views)."""
+        return _Col(self.offs[: n + 1], self.flat[: self.offs[n]])
 
     def concat(self, other: "_Col") -> "_Col":
         offs = np.concatenate([self.offs, other.offs[1:] + self.offs[-1]])
@@ -169,7 +211,6 @@ class ColumnarGroupStream:
     """
 
     _CHUNK = 8 << 20
-    _SKIP_BYTES = (b"FALSE", b"TRUE")
 
     def __init__(self, path: str, force_bam_paired: bool):
         from nimble_tpu import native
@@ -323,7 +364,7 @@ class ColumnarGroupStream:
     # ------------------- batch iteration (fast pipeline) ----------------
 
     def batches(self, target_records: int = 16384) -> Iterator[EmittedBatch]:
-        """Yield flat multi-group batches in stream order.
+        """Yield flat multi-group COLUMNAR batches in stream order.
 
         The stream's CURRENT last group is withheld until more groups
         follow or clean EOF — exactly when the object-based reader would
@@ -331,26 +372,36 @@ class ColumnarGroupStream:
         error interrupts the stream first).
         """
         carry = _Carry()
-        acc = EmittedBatch([], [], [], [], [], [], [],
-                           np.zeros(1, dtype=np.int64))
-        starts: List[int] = []  # absolute group starts in acc
+        # pending emitted records, columnar (all offs rebased to 0)
+        pend: Dict[str, _Col] = {
+            c: _Col.empty()
+            for c in ("meta", "skipb", "qual", "rev2", "seq15", "qn", "seq")
+        }
+        pend_skip_true = np.zeros(0, dtype=bool)
+        starts: List[int] = []  # absolute group starts in pending
+
+        def make_batch(end: int, cut: int) -> EmittedBatch:
+            return EmittedBatch(
+                pend["meta"].head(end), pend["skipb"].head(end),
+                pend_skip_true[:end],
+                pend["qual"].head(end), pend["rev2"].head(end),
+                pend["seq15"].head(end), pend["qn"].head(end),
+                pend["seq"].head(end),
+                np.asarray(starts[:cut] + [end], dtype=np.int64),
+            )
 
         def emit_ready(final: bool):
+            nonlocal pend_skip_true
             n_keep = 0 if final else 1
             while len(starts) > n_keep and (
                 final or starts[-1] >= target_records
             ):
-                end = starts[-1] if not final else len(acc.meta)
+                end = starts[-1] if not final else len(pend_skip_true)
                 cut = len(starts) - n_keep
-                out = EmittedBatch(
-                    acc.meta[:end], acc.skip[:end], acc.qual[:end],
-                    acc.rev2[:end], acc.seq15[:end], acc.qn[:end],
-                    acc.seqs[:end],
-                    np.asarray(starts[:cut] + [end], dtype=np.int64),
-                )
-                del acc.meta[:end], acc.skip[:end], acc.qual[:end]
-                del acc.rev2[:end], acc.seq15[:end], acc.qn[:end]
-                del acc.seqs[:end]
+                out = make_batch(end, cut)
+                for c in pend:
+                    pend[c] = pend[c].drop_front(end)
+                pend_skip_true = pend_skip_true[end:]
                 rem = [s - end for s in starts[cut:]]
                 starts.clear()
                 starts.extend(rem)
@@ -359,48 +410,46 @@ class ColumnarGroupStream:
                     break
 
         def drop_open_group():
+            nonlocal pend_skip_true
             if starts:
                 end = starts.pop()
-                del acc.meta[end:], acc.skip[end:], acc.qual[end:]
-                del acc.rev2[end:], acc.seq15[end:], acc.qn[end:]
-                del acc.seqs[end:]
+                for c in pend:
+                    pend[c] = pend[c].head(end)
+                pend_skip_true = pend_skip_true[:end]
 
         def add_emitted(c: _Carry, emit_idx, emit_skip, group_starts):
-            base = len(acc.meta)
+            nonlocal pend_skip_true
+            base = len(pend_skip_true)
             for s in group_starts:
                 starts.append(base + int(s))
-            sk_map = self._SKIP_BYTES
-            meta = c.cols["meta"]
-            meta_b = meta.flat.tobytes()
-            meta_o = meta.offs
-            m1 = c.cols["meta1"]
-            m1_b = m1.flat.tobytes()
-            m1_o = m1.offs
-            m15 = c.cols["meta15"]
-            m15_b = m15.flat.tobytes()
-            m15_o = m15.offs
-            rv = c.cols["rev2"]
-            rv_b = rv.flat.tobytes()
-            rv_o = rv.offs
-            qn = c.cols["qn"]
-            qn_b = qn.flat.tobytes()
-            qn_o = qn.offs
-            sk = c.cols["sk"]
-            seq_o = c.seq.offs
-            seq_flat = c.seq.flat.view(np.int8)
-            for j in range(len(emit_idx)):
-                i = int(emit_idx[j])
-                s = emit_skip[j]
-                acc.meta.append(meta_b[meta_o[i] : meta_o[i + 1]])
-                acc.skip.append(sk_map[s] if s < 2 else sk.get(i))
-                acc.qual.append(m1_b[m1_o[i] : m1_o[i + 1]])
-                acc.rev2.append(rv_b[rv_o[i] : rv_o[i + 1]])
-                acc.seq15.append(m15_b[m15_o[i] : m15_o[i + 1]])
-                acc.qn.append(qn_b[qn_o[i] : qn_o[i + 1]])
-                acc.seqs.append(seq_flat[seq_o[i] : seq_o[i + 1]])
+            idx = np.asarray(emit_idx, dtype=np.int64)
+            k = len(idx)
+            if k:
+                codes = np.asarray(emit_skip, dtype=np.int8)
+                if (codes == 2).all():
+                    skipb = c.cols["sk"].take(idx)
+                    sl = skipb.lens()
+                    # value is b"TRUE" or b"FALSE" (C++-derived); length
+                    # identifies it, first byte double-checks
+                    skip_true = np.zeros(k, dtype=bool)
+                    four = np.flatnonzero(sl == 4)
+                    skip_true[four] = (
+                        skipb.flat[skipb.offs[:-1][four]] == ord("T")
+                    )
+                else:
+                    skip_true = codes == 1
+                    skipb = _skip_words(skip_true)
+                for name, src in (
+                    ("meta", "meta"), ("qual", "meta1"), ("rev2", "rev2"),
+                    ("seq15", "meta15"), ("qn", "qn"),
+                ):
+                    pend[name] = pend[name].concat(c.cols[src].take(idx))
+                pend["skipb"] = pend["skipb"].concat(skipb)
+                pend["seq"] = pend["seq"].concat(c.seq.take(idx))
+                pend_skip_true = np.concatenate([pend_skip_true, skip_true])
             # progress print parity (`src/parse/bam.rs:121-127`)
             before = self.read_counter
-            self.read_counter += len(emit_idx)
+            self.read_counter += k
             blk = READ_BLOCK_REPORT_SIZE
             for mark in range((before // blk) + 1,
                               (self.read_counter // blk) + 1):

@@ -398,6 +398,13 @@ class DeviceAlignEngine:
         eligible = act & (lens >= MIN_READ_LENGTH) & ~host_rescue
         launches = []
         if eligible.any():
+            # zero codes beyond the (trimmed) length so the packed buffer's
+            # zero-padding assumption holds for the packed entropy gate
+            mat_z = np.where(
+                np.arange(mat.shape[1], dtype=np.int32)[None, :]
+                < lens[:, None],
+                mat, 0,
+            ).astype(np.int8, copy=False)
             bucket_arr = np.asarray(self.buckets)
             bucket_idx = np.searchsorted(bucket_arr, lens)
             for bi in np.unique(bucket_idx[eligible]):
@@ -409,7 +416,7 @@ class DeviceAlignEngine:
                     B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
                 else:
                     B = ((m + lb - 1) // lb) * lb
-                buf = self._pack_reads(mat[sel], lens[sel], bucket, B)
+                buf = self._pack_reads(mat_z[sel], lens[sel], bucket, B)
                 n_sub = (B + lb - 1) // lb
                 buf_dev = jnp.asarray(
                     buf.reshape(n_sub, min(B, lb), buf.shape[1])
@@ -432,7 +439,7 @@ class DeviceAlignEngine:
                     )
                     for i in range(n_sub)
                 ]
-                launches.append((sel, m, outs))
+                launches.append((sel, m, outs, buf, bucket))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 
@@ -490,15 +497,16 @@ class DeviceAlignEngine:
         for i in np.flatnonzero(state["host_rescue"]):
             host_align(i)
 
-        for sel, m, outs in state["launches"]:
+        for sel, m, outs, buf, bucket in state["launches"]:
             raw = np.asarray(
                 outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
             )                                   # ONE fetch per bucket batch
             out = unpack_full_packed(raw.reshape(-1, raw.shape[-1]))
-            sub_mat = mat[sel]
             sub_lens = lens[sel]
-            ent = batch_entropy(sub_mat, sub_lens)
-            low_ent = ent < MIN_ENTROPY_SCORE
+            # exact-f64 entropy gate from the packed (trim-zeroed) buffer
+            low_ent = ~entropy_pass_packed(
+                buf, m, sub_lens, (bucket + 3) // 4
+            )
             ha = out["has_anchor"][:m]
             ov = out["overflow"][:m] & ~low_ent
             sc = out["score"][:m].astype(np.int32)

@@ -72,6 +72,13 @@ def _load():
                 + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
                 + [ctypes.c_void_p] * 6
             )
+            lib.nimble_take_rows.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            lib.nimble_maxinfo.restype = ctypes.c_int32
+            lib.nimble_maxinfo.argtypes = [
+                ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
             lib.nimble_dedupe_new.restype = ctypes.c_void_p
             lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
             lib.nimble_dedupe_size.restype = ctypes.c_int64
@@ -288,6 +295,49 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
     go = group_off[: ng + 1].copy()
     go[ng] = ec
     return emit_idx[:ec], emit_skip[:ec], go, int(consumed[0])
+
+
+def take_rows(offs: np.ndarray, flat: np.ndarray,
+              idx: np.ndarray) -> "tuple[np.ndarray, np.ndarray] | None":
+    """Ragged row gather (see nimble_take_rows): returns (offs_out,
+    flat_out) for rows ``idx``, or None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    idx = np.ascontiguousarray(idx, dtype=np.int64)
+    k = len(idx)
+    lens = offs[1:] - offs[:-1]
+    offs_out = np.zeros(k + 1, dtype=np.int64)
+    np.cumsum(lens[idx], out=offs_out[1:])
+    flat_out = np.empty(int(offs_out[-1]), dtype=np.uint8)
+    lib.nimble_take_rows(
+        np.ascontiguousarray(offs, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(flat, dtype=np.uint8).ctypes.data,
+        idx.ctypes.data, k, offs_out.ctypes.data, flat_out.ctypes.data,
+    )
+    return offs_out, flat_out
+
+
+def maxinfo_ragged(offs: np.ndarray, flat: np.ndarray,
+                   ls: np.ndarray, qp: np.ndarray) -> "np.ndarray | None":
+    """Single-pass MAXINFO over a ragged quality column (see
+    nimble_maxinfo); returns None when the native library is unavailable.
+
+    ``ls``/``qp`` are the normalized i64 fixed-point tables from
+    :func:`nimble_tpu.core.trim._tables`.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(offs) - 1
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.uint8)
+    out = np.empty(n, dtype=np.int64)
+    lib.nimble_maxinfo(
+        n, offs.ctypes.data, flat.ctypes.data,
+        ls.ctypes.data, qp.ctypes.data, out.ctypes.data,
+    )
+    return out
 
 
 class DedupeSet:

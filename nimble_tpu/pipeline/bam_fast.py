@@ -72,20 +72,19 @@ def _revcomp_bytes(b: bytes) -> bytes:
     return b.translate(_RC_TABLE)[::-1]
 
 
-def _parse_rev_flags(rev2: List[bytes]) -> np.ndarray:
-    """parse_str_as_bool over the REVERSE metadata column
-    (`src/process/bam.rs:417-423`).
+def _parse_rev_flags(rev2) -> np.ndarray:
+    """parse_str_as_bool over the REVERSE metadata column — a columnar
+    (offsets, flat) _Col — (`src/process/bam.rs:417-423`).
 
-    Fast path: values of length 4/5 must be exactly b"true"/b"false" — one
-    join + one bytes compare validates the whole column; anything else
+    Fast path: values of length 4/5 must be exactly b"true"/b"false" —
+    vectorized byte compares validate the whole column; anything else
     falls to the per-value loop for the reference's error message.
     """
     n = len(rev2)
-    lens = np.fromiter(map(len, rev2), dtype=np.int64, count=n)
+    lens = rev2.lens()
     if n and lens.min() >= 4 and lens.max() <= 5:
-        arr = np.frombuffer(b"".join(rev2), dtype=np.uint8)
-        starts = np.zeros(n, dtype=np.int64)
-        np.cumsum(lens[:-1], out=starts[1:])
+        arr = rev2.flat
+        starts = rev2.offs[:-1]
         is4 = lens == 4
         ok = np.ones(n, dtype=bool)
         for word, mask in ((b"true", is4), (b"false", ~is4)):
@@ -95,7 +94,8 @@ def _parse_rev_flags(rev2: List[bytes]) -> np.ndarray:
         if ok.all():
             return is4
     out = np.empty(n, dtype=bool)
-    for i, v in enumerate(rev2):
+    for i in range(n):
+        v = rev2.get(i)
         if v == b"true":
             out[i] = True
         elif v == b"false":
@@ -200,19 +200,13 @@ def _prepare_batch(batch, workers: List[_LibraryWorker]):
     if n_rec == 0:
         return None
 
-    rev2_flat = batch.rev2
-    qual_flat = batch.qual
-    skip_flat = batch.skip
-    seq_list = batch.seqs
-
-    rev = _parse_rev_flags(rev2_flat)
-    lens = np.fromiter((len(s) for s in seq_list), dtype=np.int32, count=n_rec)
+    rev = _parse_rev_flags(batch.rev2)
+    lens = batch.seq.lens().astype(np.int32)
     W = max(int(lens.max()), 1)
     mat = np.zeros((n_rec, W), dtype=np.int8)
-    # vectorized padded fill from the concatenated codes
-    flat = np.concatenate(seq_list) if seq_list else np.zeros(0, np.int8)
+    # vectorized padded fill from the flat ragged codes
     valid0 = np.arange(W, dtype=np.int32)[None, :] < lens[:, None]
-    mat[valid0] = flat
+    mat[valid0] = batch.seq.flat.view(np.int8)
     # orientation correction (`src/process/bam.rs:322-326`): revcomp flagged
     # reads; vectorized gather in code space (complement = 3 - code)
     ar = np.arange(W, dtype=np.int32)[None, :]
@@ -222,24 +216,19 @@ def _prepare_batch(batch, workers: List[_LibraryWorker]):
     valid = ar < lens[:, None]
     oriented = np.where(rev[:, None] & valid, 3 - om, np.where(valid, om, 0))
 
-    skip_mask = np.fromiter(
-        (s == b"TRUE" for s in skip_flat), dtype=bool, count=n_rec
-    )
+    skip_mask = batch.skip_true
     active = ~skip_mask
 
     # decoded ASCII bytes of each oriented (untrimmed) read — the score-map
-    # key material (`src/align.rs:576-579`)
+    # key material (`src/align.rs:576-579`); row i spans [i*W, i*W+lens[i])
     dec_flat = _DECODE_LUT[oriented].tobytes()
-    dec = [
-        dec_flat[i * W : i * W + int(lens[i])] for i in range(n_rec)
-    ]
 
     # ---- per-library: trim + dispatch (async), then collect ----
     states = []
     for w in workers:
         cfg = w.config
         trim_lens = maxinfo_batch(
-            qual_flat, cfg.trim_target_length, cfg.trim_strictness
+            batch.qual, cfg.trim_target_length, cfg.trim_strictness
         ).astype(np.int32)
         # r1[:trim_len] clamps at the read length (aux-QU quirk can make the
         # quality string longer than the sequence)
@@ -248,7 +237,7 @@ def _prepare_batch(batch, workers: List[_LibraryWorker]):
         # fetch on a background thread: batch N's wire transfer overlaps
         # batch N-1's host packaging in the consumer
         states.append(_fetcher().submit(w.engine.full_collect, st))
-    return (batch, states, rev, skip_mask, dec, n_rec)
+    return (batch, states, rev, skip_mask, (dec_flat, W, lens), n_rec)
 
 
 _FETCHER = None
@@ -267,15 +256,18 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
     """Collect the dispatched alignment + build the per-library output rows."""
     if ctx is None:
         return [[] for _ in workers]
-    batch, states, rev, skip_mask, dec, n_rec = ctx
+    batch, states, rev, skip_mask, (dec_flat, W, dlens), n_rec = ctx
     collected = [fut.result() for fut in states]
+    qn_get = batch.qn.get
+    seq15_get = batch.seq15.get
+    meta_get = batch.meta.get
+    skipb_get = batch.skipb.get
 
     # ---- per-group packaging ----
     out_rows: List[List[bytes]] = [[] for _ in workers]
     go = batch.group_off
     group_bounds = [
-        (int(go[gi]), int(go[gi + 1]), batch)
-        for gi in range(batch.n_groups)
+        (int(go[gi]), int(go[gi + 1])) for gi in range(batch.n_groups)
     ]
 
     for li, w in enumerate(workers):
@@ -308,7 +300,7 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
         ).astype(np.int64)
         c_sorted = w.content_sorted
 
-        for lo, hi, g in group_bounds:
+        for lo, hi in group_bounds:
             n_pairs = (hi - lo) // 2
             if n_pairs == 0:
                 continue
@@ -322,7 +314,10 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
                 c2 = cid[i2]
                 s1 = int(s_arr[i1])
                 s2 = int(s_arr[i2])
-                key = dec[i1] + dec[i2]
+                o1 = i1 * W
+                o2 = i2 * W
+                key = (dec_flat[o1 : o1 + dlens[i1]]
+                       + dec_flat[o2 : o2 + dlens[i2]])
 
                 if require_pair and (
                     c1 < 0 or c2 < 0
@@ -359,11 +354,11 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
                 # for a library with no scored callsets (`bam.rs:315-330`)
                 continue
 
-            scored_qnames = set(g.qn[e[1][1]] for e in s_entries)
+            scored_qnames = set(qn_get(e[1][1]) for e in s_entries)
             zero_rows = []
             for p in range(n_pairs):
                 g1, g2 = lo + 2 * p, lo + 2 * p + 1
-                if g.qn[g2] in scored_qnames:
+                if qn_get(g2) in scored_qnames:
                     continue
                 zero_rows.append((None, (0, g1, g2)))
 
@@ -372,10 +367,10 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
                 feat_b = w.callset_bytes(callset) if callset else b""
                 # forensic re-key from metadata SEQ/REVERSE
                 # (`src/process/bam.rs:355-396`)
-                r1k = g.seq15[g1]
+                r1k = seq15_get(g1)
                 if rev[g1]:
                     r1k = _revcomp_bytes(r1k)
-                r2k = g.seq15[g2]
+                r2k = seq15_get(g2)
                 if rev[g2]:
                     r2k = _revcomp_bytes(r2k)
                 v = filter_reasons.get(r1k + r2k)
@@ -395,8 +390,8 @@ def _finish_batch(ctx, workers: List[_LibraryWorker]):
                     orient_b = _NONE_B
                 v2 = v3 = _NONE_PAIR
 
-                m1b = g.meta[g1] + b"\t" + g.skip[g1]
-                m2b = g.meta[g2] + b"\t" + g.skip[g2]
+                m1b = meta_get(g1) + b"\t" + skipb_get(g1)
+                m2b = meta_get(g2) + b"\t" + skipb_get(g2)
                 # r1/r2 swap quirk (`src/process/bam.rs:103-120`): the "r1"
                 # block gets mate metadata, r1 filter columns get the R2
                 # filter record

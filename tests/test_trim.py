@@ -68,3 +68,33 @@ def test_maxinfo_batch_matches_scalar():
         batch = maxinfo_batch(quals, target, strict)
         for i, q in enumerate(quals):
             assert batch[i] == maxinfo(q, target, strict), (i, target, strict)
+
+
+def test_maxinfo_native_columnar_matches_scalar():
+    """The C++ single-pass MAXINFO over a ragged column must equal the
+    scalar oracle bit-for-bit (i64 wrapping accumulation, last-max ties,
+    >MAXQUAL clamping, reads beyond LONGEST_READ)."""
+    import numpy as np
+    from nimble_tpu import native
+    from nimble_tpu.core.trim import maxinfo, maxinfo_batch
+
+    class Col:
+        def __init__(s, offs, flat):
+            s.offs, s.flat = offs, flat
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        n = int(rng.integers(0, 40))
+        hi = int(rng.choice([5, 40, 70, 255]))
+        quals = [
+            bytes(rng.integers(0, hi, int(rng.integers(0, 1200))).astype(np.uint8))
+            for _ in range(n)
+        ]
+        tl = int(rng.choice([0, 1, 36, 90, 1000]))
+        st = float(rng.choice([0.0, 0.1, 0.5, 0.9, 1.0]))
+        offs = np.zeros(n + 1, np.int64)
+        offs[1:] = np.cumsum([len(q) for q in quals])
+        flat = np.frombuffer(b"".join(quals), dtype=np.uint8)
+        got = maxinfo_batch(Col(offs, flat), tl, st)
+        want = np.array([maxinfo(q, tl, st) for q in quals], dtype=np.int64)
+        assert (got == want).all(), (trial, tl, st)
