@@ -141,7 +141,7 @@ def main(argv=None) -> int:
     p.add_argument("--timed-rounds", type=int, default=6)
     p.add_argument("--bam", action="store_true",
                    help="benchmark the threaded BAM pipeline instead")
-    p.add_argument("--bam-groups", type=int, default=4096)
+    p.add_argument("--bam-groups", type=int, default=16384)
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 

@@ -22,6 +22,8 @@ filter-column crossover, dropped final UMI group of multi-group BAMs
 from __future__ import annotations
 
 import gzip
+import os
+import sys
 import queue
 import threading
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -252,12 +254,13 @@ def _fetcher():
     return _FETCHER
 
 
-def _finish_batch(ctx, workers: List[_LibraryWorker]):
+def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
     """Collect the dispatched alignment + build the per-library output rows."""
     if ctx is None:
         return [[] for _ in workers]
     batch, states, rev, skip_mask, (dec_flat, W, dlens), n_rec = ctx
-    collected = [fut.result() for fut in states]
+    if collected is None:
+        collected = [fut.result() for fut in states]
     qn_get = batch.qn.get
     seq15_get = batch.seq15.get
     meta_get = batch.meta.get
@@ -464,16 +467,28 @@ def process_fast(
         print("Logging thread terminating.")
 
     def producer() -> None:
+        import time as _time
+
         print("Spawning reader thread.")
         stream = ColumnarGroupStream(input_files[0], force_bam_paired)
         prev = None
         total_groups = 0
+        t_read = 0.0
         try:
-            for b in stream.batches(batch_records):
+            it = stream.batches(batch_records)
+            while True:
+                ts = _time.time()
+                b = next(it, None)
+                t_read += _time.time() - ts
+                if b is None:
+                    break
                 total_groups += b.n_groups
                 if prev is not None:
                     work_queue.put(prev)
                 prev = b
+            if os.environ.get("NIMBLE_TIMING"):
+                print(f"[bam_fast producer] read {t_read:.2f}s",
+                      file=sys.stderr)
         finally:
             # final-group quirk (`src/process/bam.rs:163-179`): the producer
             # drops the last group of a multi-group BAM; a single-group BAM
@@ -486,30 +501,53 @@ def process_fast(
             print("Finished reading UMIs from input file.")
 
     def consumer(thread_num: int) -> None:
+        import time as _time
+
         from nimble_tpu.utils.metrics import METRICS
 
+        t_prep = t_wait = t_fin = t_get = 0.0
         pending = None  # (ctx, n_records) — batch dispatched, not packaged
 
         def finish(p) -> None:
+            nonlocal t_wait, t_fin
             ctx, n_records = p
             with METRICS.meter("bam_align").measure(n_records):
-                per_lib = _finish_batch(ctx, workers)
+                if ctx is not None:
+                    ts = _time.time()
+                    collected = [fut.result() for fut in ctx[1]]
+                    t_wait += _time.time() - ts
+                else:
+                    collected = None
+                ts = _time.time()
+                per_lib = _finish_batch(ctx, workers, collected)
+                t_fin += _time.time() - ts
             for i, rows in enumerate(per_lib):
                 if rows:
                     log_queue.put((b"".join(rows), i))
 
         while True:
+            ts = _time.time()
             batch = work_queue.get()
+            t_get += _time.time() - ts
             if batch is None:
                 break
             # dispatch batch N+1 before packaging batch N: device alignment
             # overlaps the host-side row building
+            ts = _time.time()
             ctx = _prepare_batch(batch, workers)
+            t_prep += _time.time() - ts
             if pending is not None:
                 finish(pending)
             pending = (ctx, len(batch))
         if pending is not None:
             finish(pending)
+        if os.environ.get("NIMBLE_TIMING"):
+            print(
+                f"[bam_fast consumer] prepare {t_prep:.2f}s "
+                f"collect-wait {t_wait:.2f}s finish {t_fin:.2f}s "
+                f"queue-wait {t_get:.2f}s",
+                file=sys.stderr,
+            )
 
     log_thread = threading.Thread(target=logger)
     log_thread.start()
