@@ -59,12 +59,14 @@ class MeshAlignEngine:
         c_max: int = 8,
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
+        launch_batch: int = 8192,
     ):
         self.index = index
         self.config = config
         self.c_max = int(c_max)
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
+        self._launch_batch_per_shard = int(launch_batch)
 
         if mesh is None:
             n = len(jax.devices())
@@ -123,6 +125,15 @@ class MeshAlignEngine:
             B *= 2
         return B
 
+    @property
+    def launch_batch(self) -> int:
+        """Fixed sub-launch size: one compile per bucket on real hardware
+        (the single-chip engine's launch discipline, ported to the mesh)."""
+        lb = self._launch_batch_per_shard * self.data_shards
+        while lb % self.data_shards:
+            lb *= 2
+        return lb
+
     # --- compact interface (FastCounter) ----------------------------------
 
     def compact_dispatch(self, mat: np.ndarray, lens: np.ndarray):
@@ -143,11 +154,24 @@ class MeshAlignEngine:
                     sel_idx = np.flatnonzero(eligible & (bucket_idx == bi))
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
-                B = self._batch_size(m)
+                lb = self.launch_batch
+                if m <= lb:
+                    B = self._batch_size(m)
+                else:
+                    B = ((m + lb - 1) // lb) * lb
                 buf = self._pack(bmat, blens, bucket, B)
                 step = self._step_for(bucket)
-                out = step(buf, *self._dev, self._s_min_dev(bucket))
-                launches.append((bucket, sel, m, out, buf, blens))
+                s_min = self._s_min_dev(bucket)
+                if B <= lb:
+                    outs = [step(buf, *self._dev, s_min)]
+                else:
+                    # fixed-size async sub-launches: the lb-read body
+                    # compiles once per bucket regardless of chunk size
+                    outs = [
+                        step(buf[i : i + lb], *self._dev, s_min)
+                        for i in range(0, B, lb)
+                    ]
+                launches.append((bucket, sel, m, outs, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -159,8 +183,10 @@ class MeshAlignEngine:
         needs_host = state["needs_host"]
         from nimble_tpu.models.aligner import entropy_pass_packed
 
-        for bucket, sel, m, out_dev, buf, blens in state["launches"]:
-            packed = np.asarray(out_dev)
+        for bucket, sel, m, outs, buf, blens in state["launches"]:
+            packed = np.asarray(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            )                                   # ONE fetch per bucket batch
             flags = packed[:m, 1]
             a = packed[:m, 0].astype(np.int64)
             mk = (flags & 0xFFFF).astype(np.int32)
@@ -230,15 +256,25 @@ class MeshAlignEngine:
 
         for bucket, idxs in by_bucket.items():
             m = len(idxs)
-            B = self._batch_size(m)
+            lb = self.launch_batch
+            B = self._batch_size(m) if m <= lb else ((m + lb - 1) // lb) * lb
             reads = np.zeros((B, bucket), dtype=np.int8)
             blens = np.zeros(B, dtype=np.int32)
             for j, i in enumerate(idxs):
                 reads[j, : len(seqs[i])] = seqs[i]
                 blens[j] = len(seqs[i])
             buf = self._pack(reads[:m], blens[:m], bucket, B)
+            step = self._step_for(bucket)
+            s_min = self._s_min_dev(bucket)
+            if B <= lb:
+                outs = [step(buf, *self._dev, s_min)]
+            else:
+                outs = [
+                    step(buf[i : i + lb], *self._dev, s_min)
+                    for i in range(0, B, lb)
+                ]
             out = np.asarray(
-                self._step_for(bucket)(buf, *self._dev, self._s_min_dev(bucket))
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
             )
             flags = out[:m, 1]
             a = out[:m, 0].astype(np.int64)

@@ -134,3 +134,39 @@ def test_sharded_fast_align_batch_matches_single():
     mesh = jax.make_mesh((4, 2), ("data", "model"))
     eng = MeshAlignEngine(index, cfg, mesh=mesh)
     assert eng.align_batch(reads) == single.align_batch(reads)
+
+
+def test_sharded_fast_multi_sublaunch_bit_equal():
+    """The fixed-size sub-launch discipline (chunk > launch_batch) must be
+    bit-identical to the single-chip kernel AND to a one-launch mesh run."""
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.models.mesh_aligner import MeshAlignEngine
+
+    cfg, ref = load_reference_library(library_path("basic.json"), LibraryChemistry.NONE)
+    cfg.num_mismatches = 1
+    index = build_index(get_reference_sequence_data(ref)[0])
+    reads = read_fastq_codes(reads_path("basic.fastq")) * 75  # 300 reads
+    B, Lmax = 300, 128
+    batch, lens = _padded_batch(reads, B, Lmax)
+
+    single = DeviceAlignEngine(index, cfg)
+    ref_raw = single.align_raw_compact_from_matrix(batch, lens)
+
+    mesh = jax.make_mesh((4, 2), ("data", "model"))
+    # launch_batch 16/shard -> lb=64: 300 reads span 5 fixed sub-launches
+    eng = MeshAlignEngine(index, cfg, mesh=mesh, launch_batch=16)
+    assert eng.launch_batch == 64
+    out_raw = eng.align_raw_compact_from_matrix(batch, lens)
+
+    np.testing.assert_array_equal(out_raw["passed"], ref_raw["passed"])
+    np.testing.assert_array_equal(out_raw["needs_host"], ref_raw["needs_host"])
+    for i in range(B):
+        if not ref_raw["passed"][i]:
+            continue
+        eq_ref = single.decode_combo(
+            int(ref_raw["astart"][i]), int(ref_raw["mask"][i])
+        )
+        eq_mesh = eng.decode_combo(
+            int(out_raw["astart"][i]), int(out_raw["mask"][i])
+        )
+        assert eq_ref == eq_mesh, f"read {i}"
