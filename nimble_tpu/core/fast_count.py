@@ -145,13 +145,50 @@ class FastCounter:
         rows.sort(axis=1)
         return rows
 
+    @staticmethod
+    def _flatten_rows(m, ls):
+        """(matrix, lens) -> (flat exact-length rows, offsets)."""
+        kl = ls.astype(np.int64)
+        offs = np.zeros(len(kl) + 1, dtype=np.int64)
+        np.cumsum(kl, out=offs[1:])
+        if len(kl) and kl.min() == m.shape[1]:
+            # uniform full-width reads: rows are already contiguous
+            return np.ascontiguousarray(m).reshape(-1), offs
+        valid = np.arange(m.shape[1])[None, :] < kl[:, None]
+        return m[valid], offs  # row-major -> concatenated exact rows
+
     def dispatch(self, mat, lens, mate_mat=None, mate_lens=None):
         """Launch this chunk's device work (async); returns a handle for
         :meth:`process`.  The result FETCH also starts immediately on a
         background thread, so the wire transfer of chunk N overlaps the
         host counting of chunk N-1 (the tunnel serializes transfers with
         kernel execution, so hiding the host tail behind them is the only
-        free win left)."""
+        free win left).
+
+        Duplicate read pairs are dropped BEFORE upload: the reference's
+        score map is keyed by the read(+mate) bytes (`src/align.rs:574-579`)
+        so a duplicate pair cannot change any count — skipping it saves its
+        wire bytes and device work entirely (real 10x runs are heavy with
+        PCR duplicates).  The global seen-set admission happens here, so
+        counting in :meth:`process` treats every surviving read as new.
+        """
+        if (self._native_seen is not None and mat.shape[0]
+                and hasattr(self.engine, "compact_dispatch")):
+            flat1, off1 = self._flatten_rows(mat, lens)
+            if mate_mat is not None:
+                flat2, off2 = self._flatten_rows(mate_mat, mate_lens)
+            else:
+                flat2, off2 = None, None
+            is_new = self._native_seen.insert_batch(flat1, off1, flat2, off2)
+            new_idx = np.flatnonzero(is_new)
+            if len(new_idx) < mat.shape[0]:
+                mat, lens = mat[new_idx], lens[new_idx]
+                if mate_mat is not None:
+                    mate_mat = mate_mat[new_idx]
+                    mate_lens = mate_lens[new_idx]
+            prededuped = True
+        else:
+            prededuped = False
         st1 = st2 = None
         if hasattr(self.engine, "compact_dispatch") and mat.shape[0]:
             st1 = self.engine.compact_dispatch(mat, lens)
@@ -161,14 +198,16 @@ class FastCounter:
             st1 = self._fetcher.submit(self.engine.compact_collect, st1)
             if st2 is not None:
                 st2 = self._fetcher.submit(self.engine.compact_collect, st2)
-            return (mat, lens, mate_mat, mate_lens, st1, st2, True)
-        return (mat, lens, mate_mat, mate_lens, st1, st2, False)
+            return (mat, lens, mate_mat, mate_lens, st1, st2, True, prededuped)
+        return (mat, lens, mate_mat, mate_lens, st1, st2, False, prededuped)
 
     def process(self, handle) -> None:
         """Collect + count one dispatched chunk."""
-        mat, lens, mate_mat, mate_lens, st1, st2, async_fetch = handle
+        (mat, lens, mate_mat, mate_lens, st1, st2, async_fetch,
+         prededuped) = handle
         if st1 is None:
-            self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
+            if not prededuped:
+                self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
             return
         if async_fetch:
             raw1 = st1.result()
@@ -178,12 +217,14 @@ class FastCounter:
             raw2 = (
                 self.engine.compact_collect(st2) if st2 is not None else None
             )
-        self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
+        self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
+                           prededuped=prededuped)
 
     def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:
         self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
 
-    def _add_with_raw(self, mat, lens, mate_mat, mate_lens, raw1, raw2) -> None:
+    def _add_with_raw(self, mat, lens, mate_mat, mate_lens, raw1, raw2,
+                      prededuped: bool = False) -> None:
         n = mat.shape[0]
         if n == 0:
             return
@@ -271,7 +312,13 @@ class FastCounter:
             else:
                 entry[2] += count
 
-        if self._native_seen is not None:
+        if prededuped:
+            # dispatch() already did global seen-set admission on the raw
+            # bytes; every read in this chunk is new by construction
+            counts_per_combo = np.bincount(kept_inverse, minlength=len(combos))
+            for ci in np.flatnonzero(counts_per_combo):
+                bump_combo(int(ci), int(counts_per_combo[ci]))
+        elif self._native_seen is not None:
             all_kept = len(kept) == n
 
             # vectorized key extraction + native hash-set insert

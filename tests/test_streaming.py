@@ -51,3 +51,42 @@ def test_chunked_equals_oneshot():
     chunked = counter.finalize()
     assert chunked == oneshot
     assert len(chunked) > 0
+
+
+def test_dispatch_pipeline_equals_oneshot():
+    """dispatch/process (async launch + pre-upload dedupe) must match the
+    synchronous path, including duplicates both within and across chunks."""
+    engine, ref, cfg, reads = _setup()
+    mat, lens = pack_matrix(reads)
+    oneshot = fast_count_calls_matrix(mat, lens, None, None, engine, ref, cfg)
+
+    counter = FastCounter(engine, ref, cfg)
+    handles = []
+    for start in range(0, len(reads), 64):
+        cm, cl = pack_matrix(reads[start : start + 64])
+        handles.append(counter.dispatch(cm, cl))
+    for h in handles:
+        counter.process(h)
+    assert counter.finalize() == oneshot
+
+
+def test_dispatch_pipeline_paired_equals_oneshot():
+    engine, ref, cfg, reads = _setup()
+    n = len(reads) // 2
+    r1, r2 = reads[:n], reads[n : 2 * n]
+    # duplicate pairs across chunk boundaries
+    r1 = r1 + r1[:40]
+    r2 = r2 + r2[:40]
+    m1, l1 = pack_matrix(r1)
+    m2, l2 = pack_matrix(r2)
+    oneshot = fast_count_calls_matrix(m1, l1, m2, l2, engine, ref, cfg)
+
+    counter = FastCounter(engine, ref, cfg)
+    handles = []
+    for start in range(0, len(r1), 48):
+        cm1, cl1 = pack_matrix(r1[start : start + 48])
+        cm2, cl2 = pack_matrix(r2[start : start + 48])
+        handles.append(counter.dispatch(cm1, cl1, cm2, cl2))
+    for h in handles:
+        counter.process(h)
+    assert counter.finalize() == oneshot
