@@ -204,19 +204,23 @@ def main(argv=None) -> int:
             t_dispatch += time.time() - ts
             if pending is not None:
                 ts = time.time()
-                raw = pending[4].result()
+                raw = pending[4].result() if pending[4] is not None else None
                 t_collect += time.time() - ts
                 ts = time.time()
-                counter._add_with_raw(
-                    pending[0], pending[1], None, None, raw, None
-                )
+                if raw is not None:
+                    counter._add_with_raw(
+                        pending[0], pending[1], None, None, raw, None,
+                        prededuped=pending[7],
+                    )
                 t_host += time.time() - ts
             pending = handle
         ts = time.time()
-        raw = pending[4].result()
+        raw = pending[4].result() if pending[4] is not None else None
         t_collect += time.time() - ts
         ts = time.time()
-        counter._add_with_raw(pending[0], pending[1], None, None, raw, None)
+        if raw is not None:
+            counter._add_with_raw(pending[0], pending[1], None, None, raw,
+                                  None, prededuped=pending[7])
         results = counter.finalize()
         t_host += time.time() - ts
         dt = time.time() - t0
