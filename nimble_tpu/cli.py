@@ -55,6 +55,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-parity-quirks", action="store_true",
                    help="Disable reproduction of reference output quirks "
                         "(e.g. dropping the final UMI group of a BAM)")
+    p.add_argument("--num-processes", type=int, default=None,
+                   help="Multi-host FASTQ mode: total jax processes; run one "
+                        "CLI per host with matching --process-id")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="This host's process index (multi-host mode)")
+    p.add_argument("--coordinator", default=None,
+                   help="host:port of process 0 for jax.distributed "
+                        "(multi-host mode)")
     return p
 
 
@@ -80,6 +88,20 @@ def main(argv: List[str] | None = None) -> int:
     first = input_files[0].lower()
     is_fastq = first.endswith(".fastq") or first.endswith(".fastq.gz")
     is_bam = first.endswith(".bam")
+
+    distributed = args.num_processes is not None and args.num_processes > 1
+    if distributed:
+        if not is_fastq:
+            raise SystemExit(
+                "--num-processes applies to FASTQ inputs only"
+            )
+        from nimble_tpu.parallel import multihost
+
+        multihost.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
 
     engines = []
     references = []
@@ -111,7 +133,20 @@ def main(argv: List[str] | None = None) -> int:
         aligner_configs.append(aligner_config)
 
     print("Loading read sequences and aligning")
-    if is_fastq:
+    if distributed:
+        print("Processing as FASTQ file (multi-host)")
+        from nimble_tpu.parallel import multihost
+
+        mate = input_files[1] if len(input_files) > 1 else None
+        for engine, reference, cfg, out in zip(
+            engines, references, aligner_configs, output_paths
+        ):
+            multihost.process_fastq_multihost(
+                input_files[0], engine, reference, cfg, out,
+                mate_path=mate,
+                n_hosts=args.num_processes, host_id=args.process_id,
+            )
+    elif is_fastq:
         print("Processing as FASTQ file")
         fastq_pipeline.process(
             input_files, engines, references, aligner_configs, output_paths

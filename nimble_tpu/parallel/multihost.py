@@ -52,18 +52,44 @@ def host_record_range(n_records: int, n_hosts: int, host_id: int) -> Tuple[int, 
     return lo, hi
 
 
-def _read_owner_hash(mat: np.ndarray, lens: np.ndarray,
-                     n_hosts: int) -> np.ndarray:
-    """Owner host per read from its exact content bytes (vectorized FNV-1a
-    over the padded row with the length mixed in — padding is zeros, and
-    two reads with equal bytes+length always hash identically)."""
+def _read_owner_hash(mat: np.ndarray, lens: np.ndarray, n_hosts: int,
+                     mate_mat: Optional[np.ndarray] = None,
+                     mate_lens: Optional[np.ndarray] = None) -> np.ndarray:
+    """Owner host per read(-pair) from its exact content bytes (vectorized
+    FNV-1a over the padded row(s) with the lengths mixed in — padding is
+    zeros, so two reads with equal bytes+length always hash identically).
+    Paired reads hash BOTH mates: the score-map key is the pair
+    (`src/align.rs:574-579`), so all copies of a pair must share an owner.
+    """
     h = np.full(mat.shape[0], 0x811C9DC5, dtype=np.uint64)
     for j in range(mat.shape[1]):
         h = (h ^ mat[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
         h &= np.uint64(0xFFFFFFFFFFFFFFFF)
     h ^= lens.astype(np.uint64)
     h *= np.uint64(0x100000001B3)
+    if mate_mat is not None:
+        for j in range(mate_mat.shape[1]):
+            h = (h ^ mate_mat[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
+            h &= np.uint64(0xFFFFFFFFFFFFFFFF)
+        h ^= mate_lens.astype(np.uint64)
+        h *= np.uint64(0x100000001B3)
     return (h % np.uint64(n_hosts)).astype(np.int64)
+
+
+def _stack_owned(mats: List[np.ndarray], lens_list: List[np.ndarray]):
+    """Concatenate per-host owned (mat, lens) shards, re-padding widths."""
+    width = max((m.shape[1] for m in mats if m.shape[0]), default=1)
+    total = sum(m.shape[0] for m in mats)
+    out = np.zeros((total, width), dtype=np.int8)
+    out_lens = np.zeros(total, dtype=np.int32)
+    at = 0
+    for m, l in zip(mats, lens_list):
+        if not m.shape[0]:
+            continue
+        out[at : at + m.shape[0], : m.shape[1]] = m
+        out_lens[at : at + m.shape[0]] = l
+        at += m.shape[0]
+    return out, out_lens
 
 
 def exchange_reads_by_content(
@@ -72,69 +98,74 @@ def exchange_reads_by_content(
     n_hosts: int,
     host_id: int,
     allgather=None,
+    mate_mat: Optional[np.ndarray] = None,
+    mate_lens: Optional[np.ndarray] = None,
 ):
-    """Route reads to content-hash owners; returns this host's owned reads.
+    """Route reads to content-hash owners; returns this host's owned reads
+    — ``(mat, lens)`` single-end, ``(mat, lens, mate_mat, mate_lens)``
+    paired.
 
     ``allgather(list_of_arrays) -> list over hosts`` defaults to
     `multihost_utils.process_allgather` with padding to a common shape; a
     test shim can inject a local implementation.
     """
+    paired = mate_mat is not None
     if n_hosts <= 1:
-        return mat, lens
+        return (mat, lens, mate_mat, mate_lens) if paired else (mat, lens)
     if allgather is None:
         allgather = _process_allgather_padded
 
-    owner = _read_owner_hash(mat, lens, n_hosts)
-    gathered = allgather([mat, lens, owner])
-    own_mat: List[np.ndarray] = []
-    own_lens: List[np.ndarray] = []
-    for g_mat, g_lens, g_owner in gathered:
-        pick = g_owner == host_id
-        own_mat.append(g_mat[pick])
-        own_lens.append(g_lens[pick])
-    width = max((m.shape[1] for m in own_mat if m.size), default=1)
-    total = sum(m.shape[0] for m in own_mat)
-    out = np.zeros((total, width), dtype=np.int8)
-    out_lens = np.zeros(total, dtype=np.int32)
-    at = 0
-    for m, l in zip(own_mat, own_lens):
-        out[at : at + m.shape[0], : m.shape[1]] = m
-        out_lens[at : at + m.shape[0]] = l
-        at += m.shape[0]
+    owner = _read_owner_hash(mat, lens, n_hosts, mate_mat, mate_lens)
+    if paired:
+        gathered = allgather([mat, lens, mate_mat, mate_lens, owner])
+    else:
+        gathered = allgather([mat, lens, owner])
+    picks = [g[-1] == host_id for g in gathered]
+    out, out_lens = _stack_owned(
+        [g[0][p] for g, p in zip(gathered, picks)],
+        [g[1][p] for g, p in zip(gathered, picks)],
+    )
+    if paired:
+        out2, out2_lens = _stack_owned(
+            [g[2][p] for g, p in zip(gathered, picks)],
+            [g[3][p] for g, p in zip(gathered, picks)],
+        )
+        return out, out_lens, out2, out2_lens
     return out, out_lens
 
 
 def _process_allgather_padded(arrays: Sequence[np.ndarray]):
-    """allgather a per-host (mat, lens, owner) triple across processes.
+    """allgather a per-host array list across processes.
 
-    Hosts may hold different record counts/widths; everything is padded to
-    the global maximum before the collective and trimmed after.
+    Arrays are matched positionally across hosts; index 0's leading dim is
+    the host's record count.  Hosts may hold different record counts and
+    2-D widths; everything is padded to the global maximum before the
+    collective and trimmed after.  1-D int64 arrays pad with -1 (owner ids
+    must not collide with a real host id); everything else pads with 0.
     """
-    import jax
     from jax.experimental import multihost_utils as mh
 
     n = arrays[0].shape[0]
-    width = arrays[0].shape[1]
-    dims = mh.process_allgather(np.array([n, width], dtype=np.int64))
-    dims = np.asarray(dims).reshape(-1, 2)
+    widths = [a.shape[1] if a.ndim == 2 else 0 for a in arrays]
+    dims = np.asarray(
+        mh.process_allgather(np.array([n] + widths, dtype=np.int64))
+    ).reshape(-1, 1 + len(arrays))
     n_max = int(dims[:, 0].max())
-    w_max = int(dims[:, 1].max())
 
-    mat = np.zeros((n_max, w_max), dtype=np.int8)
-    mat[:n, :width] = arrays[0]
-    lens = np.zeros(n_max, dtype=np.int32)
-    lens[:n] = arrays[1]
-    owner = np.full(n_max, -1, dtype=np.int64)
-    owner[:n] = arrays[2]
-
-    g_mat = np.asarray(mh.process_allgather(mat))
-    g_lens = np.asarray(mh.process_allgather(lens))
-    g_owner = np.asarray(mh.process_allgather(owner))
-    out = []
-    for h in range(dims.shape[0]):
-        nh = int(dims[h, 0])
-        out.append((g_mat[h, :nh], g_lens[h, :nh], g_owner[h, :nh]))
-    return out
+    per_host: List[List[np.ndarray]] = [[] for _ in range(dims.shape[0])]
+    for ai, a in enumerate(arrays):
+        if a.ndim == 2:
+            w_max = int(dims[:, 1 + ai].max())
+            pad = np.zeros((n_max, w_max), dtype=a.dtype)
+            pad[:n, : a.shape[1]] = a
+        else:
+            fill = -1 if a.dtype == np.int64 else 0
+            pad = np.full(n_max, fill, dtype=a.dtype)
+            pad[:n] = a
+        g = np.asarray(mh.process_allgather(pad))
+        for h in range(dims.shape[0]):
+            per_host[h].append(g[h, : int(dims[h, 0])])
+    return [tuple(x) for x in per_host]
 
 
 def merge_host_results(
@@ -186,6 +217,7 @@ def process_fastq_multihost(
     config,
     output_path: Optional[str],
     *,
+    mate_path: Optional[str] = None,
     n_hosts: Optional[int] = None,
     host_id: Optional[int] = None,
     chunk_reads: int = 1 << 16,
@@ -193,7 +225,8 @@ def process_fastq_multihost(
     allgather_bytes=None,
 ):
     """Multi-host FASTQ counting: per-host record ranges -> content-hash
-    routing -> local align/count -> global merge.
+    routing -> local align/count -> global merge.  Paired-end when
+    ``mate_path`` is given (pairs are routed and counted as units).
 
     Returns the merged results (every host); only process 0 (or the caller)
     should write ``output_path``.
@@ -210,15 +243,31 @@ def process_fastq_multihost(
 
     mat, lens = read_fastq_matrix(input_path)
     lo, hi = host_record_range(mat.shape[0], n_hosts, host_id)
-    own_mat, own_lens = exchange_reads_by_content(
-        mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather
-    )
+    if mate_path is not None:
+        mate_mat, mate_lens = read_fastq_matrix(mate_path)
+        if mate_mat.shape[0] < mat.shape[0]:
+            raise ValueError(
+                "Error -- read and reverse read files do not have matching "
+                "lengths: "
+            )
+        own_mat, own_lens, own_m2, own_l2 = exchange_reads_by_content(
+            mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather,
+            mate_mat=mate_mat[lo:hi], mate_lens=mate_lens[lo:hi],
+        )
+    else:
+        own_mat, own_lens = exchange_reads_by_content(
+            mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather
+        )
+        own_m2 = own_l2 = None
 
     counter = FastCounter(engine, reference, config)
     pending = None
     for clo in range(0, own_mat.shape[0], chunk_reads):
         chunk = counter.dispatch(
-            own_mat[clo : clo + chunk_reads], own_lens[clo : clo + chunk_reads]
+            own_mat[clo : clo + chunk_reads],
+            own_lens[clo : clo + chunk_reads],
+            own_m2[clo : clo + chunk_reads] if own_m2 is not None else None,
+            own_l2[clo : clo + chunk_reads] if own_l2 is not None else None,
         )
         if pending is not None:
             counter.process(pending)

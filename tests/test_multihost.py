@@ -173,3 +173,112 @@ def test_real_two_process_distributed_cpu(tmp_path):
     counter.add(mat, lens)
     expected = [(cs, e[0]) for cs, e in counter.finalize()]
     assert merged == expected
+
+
+def test_simulated_two_host_paired_merge_equals_single():
+    """Paired-end routing: all copies of a PAIR land on one owner host and
+    the merged counts equal the single-process paired run."""
+    cfg, ref, index = _setup()
+    engine = DeviceAlignEngine(index, cfg)
+    reads = read_fastq_codes(reads_path("basic.fastq"))
+    # mates = reversed list so pairs are non-trivial; duplicate the pairs
+    r1 = (reads * 6)[:20]
+    r2 = (list(reversed(reads)) * 6)[:20]
+    m1, l1 = pack_matrix(r1)
+    m2, l2 = pack_matrix(r2)
+
+    single = FastCounter(engine, ref, cfg)
+    single.add(m1, l1, m2, l2)
+    expected = [(cs, e[0]) for cs, e in single.finalize()]
+
+    n_hosts = 2
+    ranges = [multihost.host_record_range(m1.shape[0], n_hosts, h)
+              for h in range(n_hosts)]
+    payloads = [
+        (
+            m1[lo:hi], l1[lo:hi], m2[lo:hi], l2[lo:hi],
+            multihost._read_owner_hash(
+                m1[lo:hi], l1[lo:hi], n_hosts, m2[lo:hi], l2[lo:hi]
+            ),
+        )
+        for lo, hi in ranges
+    ]
+
+    local_results = []
+    owned_total = 0
+    for h in range(n_hosts):
+        lo, hi = ranges[h]
+        om, ol, om2, ol2 = multihost.exchange_reads_by_content(
+            m1[lo:hi], l1[lo:hi], n_hosts, h,
+            allgather=lambda arrays: payloads,
+            mate_mat=m2[lo:hi], mate_lens=l2[lo:hi],
+        )
+        owned_total += om.shape[0]
+        assert om.shape[0] == om2.shape[0]
+        counter = FastCounter(engine, ref, cfg)
+        counter.add(om, ol, om2, ol2)
+        local_results.append(counter.finalize())
+    assert owned_total == m1.shape[0]
+
+    import pickle
+
+    blobs = [
+        pickle.dumps([(tuple(cs), e[0]) for cs, e in res])
+        for res in local_results
+    ]
+    merged = multihost.merge_host_results(
+        local_results[0], allgather_bytes=lambda payload: blobs
+    )
+    assert [(cs, e[0]) for cs, e in merged] == expected
+
+
+def test_real_two_process_cli(tmp_path):
+    """The CLI's --num-processes/--process-id/--coordinator surface: two
+    real processes produce the same TSV as the single-process CLI."""
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nimble_tpu_jax_cache_mh")
+    env["PYTHONPATH"] = "/root/repo"
+
+    single_out = str(tmp_path / "single.tsv")
+    rc = subprocess.run(
+        [sys.executable, "-m", "nimble_tpu.cli",
+         "-r", library_path("basic.json"), "-i", reads_path("basic.fastq"),
+         "-o", single_out, "--engine", "device"],
+        env=env, capture_output=True, timeout=150,
+    )
+    assert rc.returncode == 0, rc.stderr.decode()[-2000:]
+
+    outs = [str(tmp_path / f"mh{i}.tsv") for i in range(2)]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nimble_tpu.cli",
+             "-r", library_path("basic.json"),
+             "-i", reads_path("basic.fastq"), "-o", outs[i],
+             "--engine", "device",
+             "--num-processes", "2", "--process-id", str(i),
+             "--coordinator", f"127.0.0.1:{port}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed CLI timed out")
+        assert p.returncode == 0, stderr.decode()[-2000:]
+
+    with open(single_out, "rb") as f:
+        expected_bytes = f.read()
+    with open(outs[0], "rb") as f:
+        assert f.read() == expected_bytes  # process 0 writes the table
+    assert not os.path.exists(outs[1]) or open(outs[1], "rb").read() in (
+        b"", expected_bytes
+    )
