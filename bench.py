@@ -132,6 +132,70 @@ def bench_bam(args, log) -> dict:
     }
 
 
+def bench_multilib(args, log) -> dict:
+    """N-library single-pass dispatch (MultiLibraryDispatcher): the N-library
+    run should cost ~the cost of one library, vs the reference's sequential
+    per-library passes (`src/process/fastq.rs:15`)."""
+    import time as _time
+
+    from nimble_tpu.core.fast_count import FastCounter
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.models.multi_aligner import MultiLibraryDispatcher
+
+    L = args.libraries
+    workloads = [build_workload(n_reads=args.reads, seed=s) for s in range(L)]
+    engines = [DeviceAlignEngine(w[0], w[2]) for w in workloads]
+    refs = [w[1] for w in workloads]
+    cfgs = [w[2] for w in workloads]
+    # mixed workload: equal read share drawn from every library's features
+    per = args.reads // L
+    mat = np.concatenate([w[3][:per] for w in workloads])
+    lens = np.concatenate([w[4][:per] for w in workloads])
+    args = argparse.Namespace(**{**vars(args), "reads": len(mat)})
+    multi = MultiLibraryDispatcher(engines)
+
+    n_chunks = max(1, args.reads // args.chunk)
+    bounds = [
+        (i * args.reads // n_chunks, (i + 1) * args.reads // n_chunks)
+        for i in range(n_chunks)
+    ]
+
+    def run_once():
+        counters = [FastCounter(engines[i], refs[i], cfgs[i]) for i in range(L)]
+        pending = None
+        for lo, hi in bounds:
+            st = multi.dispatch(mat[lo:hi], lens[lo:hi])
+            if pending is not None:
+                pmat, plens, pst = pending
+                for counter, raw in zip(counters, multi.collect(pst)):
+                    counter._add_with_raw(pmat, plens, None, None, raw, None)
+            pending = (mat[lo:hi], lens[lo:hi], st)
+        pmat, plens, pst = pending
+        for counter, raw in zip(counters, multi.collect(pst)):
+            counter._add_with_raw(pmat, plens, None, None, raw, None)
+        return [c.finalize() for c in counters]
+
+    run_once()  # warmup
+    times = []
+    for r in range(args.timed_rounds):
+        t0 = _time.time()
+        results = run_once()
+        dt = _time.time() - t0
+        times.append(dt)
+        log(f"multilib round {r}: {dt:.3f}s -> "
+            f"{args.reads/dt:,.0f} reads/s across {L} libraries")
+    best = min(times)
+    rps = args.reads / best
+    log(f"callsets per library: {[len(r) for r in results]}")
+    return {
+        "metric": f"fastq_multilib{L}_reads_per_sec_per_chip",
+        "value": round(rps, 1),
+        "unit": "reads/s",
+        "vs_baseline": round(rps * L / RUST_BASELINE_READS_PER_SEC, 2),
+        "libraries": L,
+    }
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
@@ -142,6 +206,11 @@ def main(argv=None) -> int:
     p.add_argument("--bam", action="store_true",
                    help="benchmark the threaded BAM pipeline instead")
     p.add_argument("--bam-groups", type=int, default=16384)
+    p.add_argument("--mesh", action="store_true",
+                   help="run the FASTQ bench through MeshAlignEngine "
+                        "(single-chip-degenerate mesh on 1 device)")
+    p.add_argument("--libraries", type=int, default=0,
+                   help="N>0: benchmark the N-library single-pass dispatcher")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -171,8 +240,20 @@ def main(argv=None) -> int:
     if args.bam:
         print(json.dumps(bench_bam(args, log)))
         return 0
+    if args.libraries:
+        print(json.dumps(bench_multilib(args, log)))
+        return 0
     index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
-    engine = DeviceAlignEngine(index, cfg)
+    if args.mesh:
+        from nimble_tpu.models.mesh_aligner import MeshAlignEngine
+
+        n_dev = len(jax.devices())
+        model = 2 if n_dev % 2 == 0 and n_dev > 1 else 1
+        mesh = jax.make_mesh((n_dev // model, model), ("data", "model"))
+        engine = MeshAlignEngine(index, cfg, mesh=mesh)
+        log(f"mesh: {dict(mesh.shape)}")
+    else:
+        engine = DeviceAlignEngine(index, cfg)
 
     n_chunks = max(1, args.reads // args.chunk)
     chunk_bounds = [
@@ -240,7 +321,11 @@ def main(argv=None) -> int:
     print(
         json.dumps(
             {
-                "metric": "fastq_align_count_reads_per_sec_per_chip",
+                "metric": (
+                    "fastq_mesh_align_count_reads_per_sec_per_chip"
+                    if args.mesh
+                    else "fastq_align_count_reads_per_sec_per_chip"
+                ),
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / RUST_BASELINE_READS_PER_SEC, 2),

@@ -562,12 +562,14 @@ int32_t nimble_bam_meta(
         else {
             bool paired = (flag & 0x1) != 0;
             bool unmapped = (flag & 0x4) != 0, munmapped = (flag & 0x8) != 0;
-            if (paired && !unmapped && !munmapped && tid == mtid) {
+            // rust-htslib 0.40 semantics: same-start mates are undecidable
+            // (-> "None"); otherwise leftmost mate's label leads
+            if (paired && !unmapped && !munmapped && tid == mtid && pos != mpos) {
                 bool first = (flag & 0x40) != 0;
                 bool mrev = (flag & 0x20) != 0;
                 char self_l[3] = {rev ? 'R' : 'F', first ? '1' : '2', 0};
                 char mate_l[3] = {mrev ? 'R' : 'F', first ? '2' : '1', 0};
-                if (pos <= mpos) { meta.puts(self_l); meta.puts(mate_l); }
+                if (pos < mpos) { meta.puts(self_l); meta.puts(mate_l); }
                 else { meta.puts(mate_l); meta.puts(self_l); }
             } else {
                 meta.puts("None");

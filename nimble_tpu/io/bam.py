@@ -95,21 +95,34 @@ class BamRecord:
         return "".join(f"{ln}{_CIGAR_OPS[op]}" for ln, op in self.cigar_ops) or "*"
 
     def read_pair_orientation(self) -> str:
-        """rust-htslib SequenceReadPairOrientation: F1R2-style label from the
-        leftmost-first ordering of a properly co-mapped pair, else "None"."""
+        """rust-htslib 0.40 ``Record::read_pair_orientation`` (the reference
+        renders it with the bio-types enum's Display, `src/parse/bam.rs:214`).
+
+        Semantics per rust-htslib's implementation: requires a paired record
+        with both mates mapped to the same contig; if both mates start at the
+        same position the orientation is undecidable and the result is
+        ``None``; otherwise the label leads with the leftmost mate's
+        (strand, template-role) pair — e.g. ``F1R2`` = read 1 forward at the
+        lower coordinate, read 2 reverse.  Derived from the rust-htslib
+        ``record.rs`` source semantics (the crate itself is not in this
+        image); the same-position→None case is documented in its API docs.
+        """
         if (
             self.is_paired()
             and not self.is_unmapped()
             and not self.is_mate_unmapped()
             and self.tid == self.mtid
         ):
+            if self.pos == self.mpos:
+                # mates start at the same position: orientation undecidable
+                return "None"
             self_label = ("R" if self.is_reverse() else "F") + (
                 "1" if self.is_first_in_template() else "2"
             )
             mate_label = ("R" if self.is_mate_reverse() else "F") + (
                 "2" if self.is_first_in_template() else "1"
             )
-            if self.pos <= self.mpos:
+            if self.pos < self.mpos:
                 return self_label + mate_label
             return mate_label + self_label
         return "None"
