@@ -160,19 +160,36 @@ def bench_multilib(args, log) -> dict:
         for i in range(n_chunks)
     ]
 
+    from concurrent.futures import ThreadPoolExecutor
+
+    from nimble_tpu import native
+
+    fetcher = ThreadPoolExecutor(max_workers=1)
+
     def run_once():
+        # fresh shared dedupe set per round (pipeline state, not index state)
+        multi._seen = native.make_dedupe_set()
         counters = [FastCounter(engines[i], refs[i], cfgs[i]) for i in range(L)]
         pending = None
+
+        def drain(p):
+            pmat, plens, fut, pdd = p
+            if not pmat.shape[0]:
+                return
+            for counter, raw in zip(counters, fut.result()):
+                counter._add_with_raw(pmat, plens, None, None, raw, None,
+                                      prededuped=pdd)
+
         for lo, hi in bounds:
-            st = multi.dispatch(mat[lo:hi], lens[lo:hi])
+            cmat, clens, _, _, pdd = multi.dedupe(mat[lo:hi], lens[lo:hi])
+            fut = (
+                fetcher.submit(multi.collect, multi.dispatch(cmat, clens))
+                if cmat.shape[0] else None
+            )
             if pending is not None:
-                pmat, plens, pst = pending
-                for counter, raw in zip(counters, multi.collect(pst)):
-                    counter._add_with_raw(pmat, plens, None, None, raw, None)
-            pending = (mat[lo:hi], lens[lo:hi], st)
-        pmat, plens, pst = pending
-        for counter, raw in zip(counters, multi.collect(pst)):
-            counter._add_with_raw(pmat, plens, None, None, raw, None)
+                drain(pending)
+            pending = (cmat, clens, fut, pdd)
+        drain(pending)
         return [c.finalize() for c in counters]
 
     run_once()  # warmup

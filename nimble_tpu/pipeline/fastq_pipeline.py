@@ -34,11 +34,17 @@ def _drain_pending(pending, multi) -> None:
         return
     if not pending:
         return
-    mat, lens, mate_mat, mate_lens, st1, st2 = pending[0][1]
-    raws1 = multi.collect(st1)
-    raws2 = multi.collect(st2) if st2 is not None else [None] * len(pending)
+    mat, lens, mate_mat, mate_lens, st1, st2, prededuped = pending[0][1]
+    if not mat.shape[0]:
+        return
+    raws1 = st1.result() if hasattr(st1, "result") else multi.collect(st1)
+    if st2 is None:
+        raws2 = [None] * len(pending)
+    else:
+        raws2 = st2.result() if hasattr(st2, "result") else multi.collect(st2)
     for (counter, _), raw1, raw2 in zip(pending, raws1, raws2):
-        counter._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2)
+        counter._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
+                              prededuped=prededuped)
 
 
 def process(
@@ -63,6 +69,7 @@ def process(
         # `src/process/fastq.rs:15`) — per-launch latency dominates, so the
         # N-library run costs ~the same as one
         multi = None
+        fetcher = None
         if len(engines) > 1:
             try:
                 from nimble_tpu.models.aligner import DeviceAlignEngine
@@ -74,6 +81,11 @@ def process(
                     multi = MultiLibraryDispatcher(engines)
             except AssertionError:
                 multi = None
+            if multi is not None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                # one worker keeps tunnel transfer order deterministic
+                fetcher = ThreadPoolExecutor(max_workers=1)
         r1_chunks = iter_fastq_matrix_chunks(input_files[0], chunk_reads)
         r2_chunks = (
             iter_fastq_matrix_chunks(input_files[1], chunk_reads)
@@ -101,13 +113,26 @@ def process(
                 mate_mat, mate_lens = None, None
             with meter.measure(mat.shape[0] * len(counters)):
                 if multi is not None:
-                    st1 = multi.dispatch(mat, lens)
-                    st2 = (
-                        multi.dispatch(mate_mat, mate_lens)
-                        if mate_mat is not None else None
+                    # shared pre-upload dedupe + background-thread fetch
+                    # (the single-library FastCounter.dispatch disciplines,
+                    # applied once for all libraries)
+                    mat, lens, mate_mat, mate_lens, prededuped = (
+                        multi.dedupe(mat, lens, mate_mat, mate_lens)
                     )
+                    if mat.shape[0]:
+                        st1 = multi.dispatch(mat, lens)
+                        st2 = (
+                            multi.dispatch(mate_mat, mate_lens)
+                            if mate_mat is not None else None
+                        )
+                        if fetcher is not None:
+                            st1 = fetcher.submit(multi.collect, st1)
+                            if st2 is not None:
+                                st2 = fetcher.submit(multi.collect, st2)
+                    else:
+                        st1 = st2 = None
                     handles = [
-                        (mat, lens, mate_mat, mate_lens, st1, st2)
+                        (mat, lens, mate_mat, mate_lens, st1, st2, prededuped)
                     ] * len(counters)
                 else:
                     handles = [

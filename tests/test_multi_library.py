@@ -138,3 +138,44 @@ def test_paired_end_multi_library(tmp_path):
         )
     for i in range(2):
         assert open(m_outs[i]).read() == outs_seq[i]
+
+
+def test_multi_library_duplicates_across_chunks(tmp_path):
+    """Pre-upload shared dedupe: duplicate reads (within AND across chunks)
+    contribute once per distinct pair, byte-identical to sequential runs."""
+    rng = np.random.default_rng(11)
+    libs = [_lib(21), _lib(22)]
+    fastq = str(tmp_path / "dup.fastq")
+    with open(fastq, "w") as f:
+        seqs = []
+        for _ in range(10):
+            feats = libs[int(rng.integers(0, len(libs)))][3]
+            src = feats[int(rng.integers(0, len(feats)))]
+            s = int(rng.integers(0, len(src) - 60))
+            seqs.append(src[s : s + 60])
+        # heavy duplication: every read appears 6x, interleaved so copies
+        # land in different chunks
+        i = 0
+        for rep in range(6):
+            for seq in seqs:
+                f.write(f"@r{i}\n{seq}\n+\n{'I' * len(seq)}\n")
+                i += 1
+
+    refs = [l[0] for l in libs]
+    cfgs = [l[2] for l in libs]
+    seq_outs = []
+    for i, (ref, index, cfg, _) in enumerate(libs):
+        out = str(tmp_path / f"dseq{i}.tsv")
+        engine = DeviceAlignEngine(index, cfg)
+        with contextlib.redirect_stdout(io.StringIO()):
+            fastq_pipeline.process([fastq], [engine], [ref], [cfg], [out],
+                                   chunk_reads=16)
+        seq_outs.append(open(out).read())
+
+    engines = [DeviceAlignEngine(l[1], l[2]) for l in libs]
+    multi_outs = [str(tmp_path / f"dmulti{i}.tsv") for i in range(len(libs))]
+    with contextlib.redirect_stdout(io.StringIO()):
+        fastq_pipeline.process(fastq.split(), engines, refs, cfgs, multi_outs,
+                               chunk_reads=16)
+    for i in range(len(libs)):
+        assert open(multi_outs[i]).read() == seq_outs[i], f"library {i}"
