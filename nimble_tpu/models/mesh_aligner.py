@@ -77,6 +77,21 @@ class MeshAlignEngine:
         self.data_shards = mesh.shape["data"]
         model_shards = mesh.shape["model"]
 
+        # degenerate 1x1 mesh: single chip, no partitioning — delegate to
+        # the single-chip engine so no shard_map/collective machinery is
+        # paid (bit-equality with the sharded step is tested across mesh
+        # shapes including 1x1, tests/test_sharded_fast.py)
+        self._delegate = None
+        if self.data_shards == 1 and model_shards == 1:
+            from nimble_tpu.models.aligner import DeviceAlignEngine
+
+            self._delegate = DeviceAlignEngine(
+                index, config, c_max=c_max, buckets=buckets,
+                min_batch=min_batch,
+            )
+            self.bidx = self._delegate.bidx
+            return
+
         self.sbidx = build_sharded_bucketed_index(index, model_shards)
         self.bidx = _BidxShim(self.sbidx.postings_row_flat)
         self._dev = sharded_device_arrays(self.sbidx)
@@ -137,6 +152,8 @@ class MeshAlignEngine:
     # --- compact interface (FastCounter) ----------------------------------
 
     def compact_dispatch(self, mat: np.ndarray, lens: np.ndarray):
+        if self._delegate is not None:
+            return self._delegate.compact_dispatch(mat, lens)
         n, width = mat.shape
         lens = np.asarray(lens, dtype=np.int32)
         needs_host = lens > self.buckets[-1]
@@ -176,6 +193,10 @@ class MeshAlignEngine:
                 "launches": launches}
 
     def compact_collect(self, state, defer_unresolved: bool = False):
+        if self._delegate is not None:
+            return self._delegate.compact_collect(
+                state, defer_unresolved=defer_unresolved
+            )
         n = state["n"]
         astart = np.zeros(n, dtype=np.int64)
         mask = np.zeros(n, dtype=np.int32)
@@ -210,6 +231,8 @@ class MeshAlignEngine:
 
     def decode_combo(self, astart: int, mask: int) -> List[int]:
         """(global astart, mask) -> sorted distinct eq rows (host-side)."""
+        if self._delegate is not None:
+            return self._delegate.decode_combo(astart, mask)
         prow = self.sbidx.postings_row_flat
         rows = []
         c = 0
@@ -230,6 +253,8 @@ class MeshAlignEngine:
         Distinct eq identity comes from the compact (astart, mask) pair; raw
         score/mismatches ride in col 2 of the packed result.
         """
+        if self._delegate is not None:
+            return self._delegate.align_batch(seqs)
         n = len(seqs)
         results: list = [(None, None)] * n
         cfg = self.config

@@ -83,7 +83,7 @@ def test_mesh_devices_available():
     assert len(jax.devices()) == 8, "conftest must provide 8 virtual CPU devices"
 
 
-@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8)])
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1), (1, 8), (1, 1)])
 def test_sharded_fast_step_bit_equal(mesh_shape):
     """The mesh port of the FAST kernel is bit-identical to
     probe_walk_filter on the same packed batch (VERDICT r1 item 3)."""
