@@ -228,6 +228,10 @@ def main(argv=None) -> int:
                         "(single-chip-degenerate mesh on 1 device)")
     p.add_argument("--libraries", type=int, default=0,
                    help="N>0: benchmark the N-library single-pass dispatcher")
+    # depth-2 pipelining measured marginally best on the tunnel (the wire
+    # serializes transactions, so deeper helps little; 65k chunks hurt)
+    p.add_argument("--depth", type=int, default=2,
+                   help="chunks in flight before draining (pipeline depth)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -295,30 +299,31 @@ def main(argv=None) -> int:
         # the pipeline's feed: chunk N's fetch runs on a background thread
         # while chunk N-1's host counting executes (FastCounter.dispatch)
         counter = FastCounter(engine, reference, cfg)
-        pending = None
+        pending: list = []
+
+        def drain_one():
+            nonlocal t_collect, t_host
+            handle = pending.pop(0)
+            ts = time.time()
+            raw = handle[4].result() if handle[4] is not None else None
+            t_collect += time.time() - ts
+            ts = time.time()
+            if raw is not None:
+                counter._add_with_raw(
+                    handle[0], handle[1], None, None, raw, None,
+                    prededuped=handle[7],
+                )
+            t_host += time.time() - ts
+
         for lo, hi in chunk_bounds:
             ts = time.time()
-            handle = counter.dispatch(mat[lo:hi], lens[lo:hi])
+            pending.append(counter.dispatch(mat[lo:hi], lens[lo:hi]))
             t_dispatch += time.time() - ts
-            if pending is not None:
-                ts = time.time()
-                raw = pending[4].result() if pending[4] is not None else None
-                t_collect += time.time() - ts
-                ts = time.time()
-                if raw is not None:
-                    counter._add_with_raw(
-                        pending[0], pending[1], None, None, raw, None,
-                        prededuped=pending[7],
-                    )
-                t_host += time.time() - ts
-            pending = handle
+            if len(pending) > args.depth:
+                drain_one()
+        while pending:
+            drain_one()
         ts = time.time()
-        raw = pending[4].result() if pending[4] is not None else None
-        t_collect += time.time() - ts
-        ts = time.time()
-        if raw is not None:
-            counter._add_with_raw(pending[0], pending[1], None, None, raw,
-                                  None, prededuped=pending[7])
         results = counter.finalize()
         t_host += time.time() - ts
         dt = time.time() - t0

@@ -16,6 +16,7 @@
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <unordered_map>
 #include <unordered_set>
 #include <utility>
 #include <vector>
@@ -854,6 +855,261 @@ int64_t nimble_dedupe_insert(
         n_new += inserted;
     }
     return n_new;
+}
+
+// ---------------------------------------------------------------------------
+// BAM forensic-row assembler: the per-group score-map / zero-row / re-key /
+// row-formatting logic of the fast BAM pipeline's host tail
+// (`src/process/bam.rs:305-405` + the logger row format `:103-121`),
+// byte-identical to pipeline/bam_fast.py's Python loop.
+//
+// The orientation pipeline itself stays in Python (memoized per distinct
+// (content1, content2) combination — few per run); its results arrive here
+// as a (combo_key -> kind/callset-id/triage-bytes) table.  combo_key =
+// (c1+1)*(n_contents+1)+(c2+1).
+//
+// Returns 0 ok; -1 output overflow (caller doubles the buffer); -2 invalid
+// character under revcomp (caller falls back to the Python path for the
+// reference's exact panic message).
+// ---------------------------------------------------------------------------
+namespace {
+
+struct RowOut {
+    uint8_t* buf;
+    int64_t pos, cap;
+    bool overflow;
+    void put(const uint8_t* src, int64_t n) {
+        if (pos + n > cap) { overflow = true; return; }
+        std::memcpy(buf + pos, src, n);
+        pos += n;
+    }
+    void putc(char c) {
+        if (pos + 1 > cap) { overflow = true; return; }
+        buf[pos++] = (uint8_t)c;
+    }
+    void puts(const char* s) { put((const uint8_t*)s, (int64_t)std::strlen(s)); }
+    void puti(int64_t v) {
+        char tmp[24];
+        int n = 0;
+        if (v < 0) { putc('-'); v = -v; }
+        if (v == 0) tmp[n++] = '0';
+        while (v > 0) { tmp[n++] = (char)('0' + v % 10); v /= 10; }
+        while (n > 0) putc(tmp[--n]);
+    }
+};
+
+// revcomp table mirroring utils.revcomp (`src/utils.rs:61-94`): ACGT/U case-
+// preserving, N passthrough; 0 = invalid (reference panics)
+struct RcTable {
+    uint8_t t[256];
+    RcTable() {
+        std::memset(t, 0, sizeof(t));
+        const char* from = "acgtuACGTUnN";
+        const char* to = "tgcaaTGCAANN";
+        for (int i = 0; from[i]; ++i) t[(uint8_t)from[i]] = (uint8_t)to[i];
+    }
+};
+const RcTable kRc;
+
+}  // namespace
+
+int32_t nimble_bam_rows(
+    int64_t n_rec, int64_t W,
+    const uint8_t* dec_flat, const int64_t* dlens,
+    const int64_t* cid, const int64_t* scid_of,
+    const int64_t* score, const int64_t* code,
+    const uint8_t* rev,
+    const int64_t* group_off, int64_t n_groups,
+    int32_t require_pair, int64_t code_not_matching, int64_t n_contents,
+    const int64_t* combo_keys, const uint8_t* combo_kind,
+    const int64_t* combo_csid,
+    const int64_t* combo_tri_off, const uint8_t* combo_tri_flat,
+    int64_t n_combos,
+    const int64_t* cs_rank, const int64_t* cs_off, const uint8_t* cs_flat,
+    const int64_t* qn_off, const uint8_t* qn_flat,
+    const int64_t* s15_off, const uint8_t* s15_flat,
+    const int64_t* meta_off, const uint8_t* meta_flat,
+    const int64_t* skip_off, const uint8_t* skip_flat,
+    const int64_t* reason_off, const uint8_t* reason_flat,
+    uint8_t* out_buf, int64_t out_cap, int64_t* out_len) {
+    (void)n_rec;
+    RowOut out{out_buf, 0, out_cap, false};
+
+    std::unordered_map<int64_t, int64_t> combo_map;
+    combo_map.reserve((size_t)n_combos * 2 + 8);
+    for (int64_t i = 0; i < n_combos; ++i) combo_map.emplace(combo_keys[i], i);
+
+    struct FR { int64_t c1, s1, c2, s2; };
+    struct SM { int64_t c1, c2, g1, g2; };
+    struct Res { int64_t csid, count, g1, g2; };
+
+    // per-group scratch, reused across groups
+    std::unordered_map<std::string, FR> filter_reasons;
+    std::unordered_map<std::string, int64_t> score_pos;   // key -> index
+    std::vector<std::pair<std::string, SM>> score_vec;    // insertion order
+    std::unordered_map<std::string, int64_t> post_triaged;  // key -> combo idx
+    std::unordered_map<int64_t, int64_t> res_pos;         // csid -> index
+    std::vector<Res> results;
+    std::unordered_set<std::string> scored_qnames;
+    std::string key, rekey;
+
+    auto put_col = [&](const int64_t* off, const uint8_t* flat, int64_t i) {
+        out.put(flat + off[i], off[i + 1] - off[i]);
+    };
+
+    for (int64_t gi = 0; gi < n_groups; ++gi) {
+        int64_t lo = group_off[gi], hi = group_off[gi + 1];
+        int64_t n_pairs = (hi - lo) / 2;
+        if (n_pairs == 0) continue;
+        filter_reasons.clear();
+        score_pos.clear();
+        score_vec.clear();
+        post_triaged.clear();
+        res_pos.clear();
+        results.clear();
+        scored_qnames.clear();
+
+        for (int64_t p = 0; p < n_pairs; ++p) {
+            int64_t i1 = lo + 2 * p, i2 = i1 + 1;
+            int64_t c1 = cid[i1], c2 = cid[i2];
+            key.assign((const char*)dec_flat + i1 * W, (size_t)dlens[i1]);
+            key.append((const char*)dec_flat + i2 * W, (size_t)dlens[i2]);
+
+            if (require_pair &&
+                (c1 < 0 || c2 < 0 ||
+                 (c1 != c2 && scid_of[c1] != scid_of[c2]))) {
+                filter_reasons[key] = FR{code_not_matching, score[i1],
+                                         code_not_matching, score[i2]};
+                continue;
+            }
+            filter_reasons[key] = FR{code[i1], score[i1], code[i2], score[i2]};
+            if (c1 >= 0 || c2 >= 0) {
+                auto it = score_pos.find(key);
+                if (it == score_pos.end()) {
+                    score_pos.emplace(key, (int64_t)score_vec.size());
+                    score_vec.emplace_back(key, SM{c1, c2, i1, i2});
+                } else {
+                    score_vec[(size_t)it->second].second = SM{c1, c2, i1, i2};
+                }
+            }
+        }
+
+        // orientation results accumulation (`src/align.rs:440-449`)
+        for (auto& kv : score_vec) {
+            const SM& sm = kv.second;
+            int64_t ck = (sm.c1 + 1) * (n_contents + 1) + (sm.c2 + 1);
+            auto it = combo_map.find(ck);
+            if (it == combo_map.end()) return -3;  // pre-pass bug guard
+            int64_t ci = it->second;
+            if (combo_kind[ci] == 0) {
+                int64_t csid = combo_csid[ci];
+                auto rit = res_pos.find(csid);
+                if (rit == res_pos.end()) {
+                    res_pos.emplace(csid, (int64_t)results.size());
+                    results.push_back(Res{csid, 1, sm.g1, sm.g2});
+                } else {
+                    Res& r = results[(size_t)rit->second];
+                    r.count += 1;
+                    r.g1 = sm.g1;
+                    r.g2 = sm.g2;
+                }
+            } else {
+                post_triaged[kv.first] = ci;
+            }
+        }
+
+        // sort_score_vector (`src/utils.rs:54-59`): ranks are the global
+        // lexicographic order of the interned callsets
+        std::sort(results.begin(), results.end(),
+                  [&](const Res& a, const Res& b) {
+                      return cs_rank[a.csid] < cs_rank[b.csid];
+                  });
+        if (results.empty()) continue;  // no zero rows either (`bam.rs:315-330`)
+
+        for (const Res& r : results)
+            scored_qnames.emplace(
+                (const char*)qn_flat + qn_off[r.g1],
+                (size_t)(qn_off[r.g1 + 1] - qn_off[r.g1]));
+
+        int64_t n_out = (int64_t)results.size();
+        // zero rows: pairs whose qname produced no scored callset
+        std::vector<Res> zero_rows;
+        for (int64_t p = 0; p < n_pairs; ++p) {
+            int64_t g1 = lo + 2 * p, g2 = g1 + 1;
+            std::string qn2((const char*)qn_flat + qn_off[g2],
+                            (size_t)(qn_off[g2 + 1] - qn_off[g2]));
+            if (scored_qnames.count(qn2)) continue;
+            zero_rows.push_back(Res{-1, 0, g1, g2});
+        }
+
+        for (int64_t ri = 0; ri < n_out + (int64_t)zero_rows.size(); ++ri) {
+            const Res& r = ri < n_out ? results[(size_t)ri]
+                                      : zero_rows[(size_t)(ri - n_out)];
+            // forensic re-key from metadata SEQ/REVERSE
+            // (`src/process/bam.rs:355-396`)
+            rekey.clear();
+            for (int side = 0; side < 2; ++side) {
+                int64_t g = side == 0 ? r.g1 : r.g2;
+                const uint8_t* s = s15_flat + s15_off[g];
+                int64_t L = s15_off[g + 1] - s15_off[g];
+                if (rev[g]) {
+                    for (int64_t j = L - 1; j >= 0; --j) {
+                        uint8_t c = kRc.t[s[j]];
+                        if (c == 0) return -2;  // reference panics; Python path
+                        rekey.push_back((char)c);
+                    }
+                } else {
+                    rekey.append((const char*)s, (size_t)L);
+                }
+            }
+
+            if (r.csid >= 0)
+                out.put(cs_flat + cs_off[r.csid],
+                        cs_off[r.csid + 1] - cs_off[r.csid]);
+            out.putc('\t');
+            out.puti(r.count);
+            out.putc('\t');
+            // r1/r2 swap quirk (`src/process/bam.rs:103-120`)
+            put_col(meta_off, meta_flat, r.g2); out.putc('\t');
+            put_col(skip_off, skip_flat, r.g2); out.putc('\t');
+            put_col(meta_off, meta_flat, r.g1); out.putc('\t');
+            put_col(skip_off, skip_flat, r.g1); out.putc('\t');
+
+            auto fit = filter_reasons.find(rekey);
+            const char* none_pair = "None\t0";
+            if (fit != filter_reasons.end()) {
+                const FR& v = fit->second;
+                auto put_side = [&](int64_t code_i, int64_t s) {
+                    out.put(reason_flat + reason_off[code_i],
+                            reason_off[code_i + 1] - reason_off[code_i]);
+                    out.putc('\t');
+                    out.puti(s);
+                };
+                put_side(v.c2, v.s2); out.putc('\t');     // v1 (R2 record)
+                out.puts(none_pair); out.putc('\t');       // v3
+                put_side(v.c1, v.s1); out.putc('\t');     // v0 (R1 record)
+                out.puts(none_pair); out.putc('\t');       // v2
+                auto tit = post_triaged.find(rekey);
+                if (tit != post_triaged.end()) {
+                    int64_t ci = tit->second;
+                    out.put(combo_tri_flat + combo_tri_off[ci],
+                            combo_tri_off[ci + 1] - combo_tri_off[ci]);
+                } else {
+                    out.puts("None\tNone");
+                }
+            } else {
+                out.puts(none_pair); out.putc('\t');
+                out.puts(none_pair); out.putc('\t');
+                out.puts(none_pair); out.putc('\t');
+                out.puts(none_pair); out.putc('\t');
+                out.puts("None\tNone");
+            }
+            out.putc('\n');
+            if (out.overflow) return -1;
+        }
+    }
+    *out_len = out.pos;
+    return out.overflow ? -1 : 0;
 }
 
 }  // extern "C"

@@ -135,6 +135,18 @@ class _Col:
     def get(self, i: int) -> bytes:
         return self.flat[self.offs[i] : self.offs[i + 1]].tobytes()
 
+    def slicer(self):
+        """Fast per-row getter for hot loops: ONE whole-column bytes copy up
+        front, then each row read is a plain Python bytes slice (~5x cheaper
+        than ndarray slice + tobytes per row)."""
+        flat = self.flat.tobytes()
+        offs = self.offs.tolist()
+
+        def get(i: int, _f=flat, _o=offs) -> bytes:
+            return _f[_o[i] : _o[i + 1]]
+
+        return get
+
     def lens(self) -> np.ndarray:
         return np.diff(self.offs)
 

@@ -79,6 +79,18 @@ def _load():
             lib.nimble_maxinfo.argtypes = [
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+            lib.nimble_bam_rows.restype = ctypes.c_int32
+            lib.nimble_bam_rows.argtypes = (
+                [ctypes.c_int64, ctypes.c_int64]          # n_rec, W
+                + [ctypes.c_void_p] * 7                   # dec..rev
+                + [ctypes.c_void_p, ctypes.c_int64]       # group_off, n_groups
+                + [ctypes.c_int32, ctypes.c_int64, ctypes.c_int64]
+                + [ctypes.c_void_p] * 5 + [ctypes.c_int64]  # combo tables
+                + [ctypes.c_void_p] * 3                   # cs tables
+                + [ctypes.c_void_p] * 8                   # qn/s15/meta/skip
+                + [ctypes.c_void_p] * 2                   # reasons
+                + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
+            )
             lib.nimble_dedupe_new.restype = ctypes.c_void_p
             lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
             lib.nimble_dedupe_size.restype = ctypes.c_int64
@@ -295,6 +307,60 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
     go = group_off[: ng + 1].copy()
     go[ng] = ec
     return emit_idx[:ec], emit_skip[:ec], go, int(consumed[0])
+
+
+def bam_rows(
+    n_rec, W, dec_flat, dlens, cid, scid_of, score, code, rev,
+    group_off, n_groups, require_pair, code_not_matching, n_contents,
+    combo_keys, combo_kind, combo_csid, combo_tri,
+    cs_rank, cs,
+    qn, s15, meta, skipb, reasons,
+):
+    """Forensic-row assembly (see nimble_bam_rows).
+
+    Columnar (offsets, flat) pairs throughout; returns the rows blob as
+    bytes, or None when native is unavailable / the batch needs the Python
+    path (invalid revcomp character -> the reference's panic message).
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    tri_off, tri_flat = combo_tri
+    cs_off, cs_flat = cs
+    qn_off, qn_flat = qn
+    s15_off, s15_flat = s15
+    meta_off, meta_flat = meta
+    skip_off, skip_flat = skipb
+    reason_off, reason_flat = reasons
+    dec_arr = np.frombuffer(dec_flat, dtype=np.uint8)
+    cap = 256 * max(n_rec, 1) + int(meta_off[n_rec]) * 2 + 4096
+    out_len = np.zeros(1, dtype=np.int64)
+    while True:
+        out = np.empty(cap, dtype=np.uint8)
+        rc = lib.nimble_bam_rows(
+            n_rec, W,
+            dec_arr.ctypes.data,
+            dlens.ctypes.data, cid.ctypes.data, scid_of.ctypes.data,
+            score.ctypes.data, code.ctypes.data, rev.ctypes.data,
+            group_off.ctypes.data, n_groups,
+            1 if require_pair else 0, code_not_matching, n_contents,
+            combo_keys.ctypes.data, combo_kind.ctypes.data,
+            combo_csid.ctypes.data,
+            tri_off.ctypes.data, tri_flat.ctypes.data, len(combo_keys),
+            cs_rank.ctypes.data, cs_off.ctypes.data, cs_flat.ctypes.data,
+            qn_off.ctypes.data, qn_flat.ctypes.data,
+            s15_off.ctypes.data, s15_flat.ctypes.data,
+            meta_off.ctypes.data, meta_flat.ctypes.data,
+            skip_off.ctypes.data, skip_flat.ctypes.data,
+            reason_off.ctypes.data, reason_flat.ctypes.data,
+            out.ctypes.data, cap, out_len.ctypes.data,
+        )
+        if rc == 0:
+            return out[: int(out_len[0])].tobytes()
+        if rc == -1:
+            cap *= 2
+            continue
+        return None  # -2 invalid revcomp char (or -3 guard): Python path
 
 
 def take_rows(offs: np.ndarray, flat: np.ndarray,

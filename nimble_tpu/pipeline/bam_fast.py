@@ -125,7 +125,19 @@ class _LibraryWorker:
         self.content_eq: List[tuple] = []    # cid -> ordered eq tuple
         self.content_sorted: List[tuple] = []  # cid -> sorted eq tuple
         self.orient_memo: Dict[tuple, tuple] = {}
-        self.features_b: Dict[tuple, bytes] = {}
+        # interned callsets: csid -> tuple / joined bytes (per-pair loops
+        # then hash small ints, not tuples of strings)
+        self.callset_intern: Dict[tuple, int] = {}
+        self.callsets: List[tuple] = []
+        self.callsets_b: List[bytes] = []
+        # sorted-content ids: scid[cid1] == scid[cid2] iff the sorted eq
+        # tuples are equal (the require_valid_pair test, `src/align.rs:732`)
+        self.sorted_intern: Dict[tuple, int] = {}
+        self.scid: List[int] = []
+
+    def _intern_sorted(self, sorted_eq: tuple) -> None:
+        sid = self.sorted_intern.setdefault(sorted_eq, len(self.sorted_intern))
+        self.scid.append(sid)
 
     def intern_rows(self, rows_padded: np.ndarray) -> np.ndarray:
         """Intern each padded-row vector (sorted distinct, device order) to a
@@ -142,6 +154,7 @@ class _LibraryWorker:
                 intern[b] = cid
                 self.content_eq.append(eq)
                 self.content_sorted.append(eq)  # device rows are sorted
+                self._intern_sorted(eq)
             out[j] = cid
         return out
 
@@ -153,13 +166,16 @@ class _LibraryWorker:
             cid = len(self.content_eq)
             self.content_intern[key] = cid
             self.content_eq.append(tuple(eq))
-            self.content_sorted.append(tuple(sorted(eq)))
+            srt = tuple(sorted(eq))
+            self.content_sorted.append(srt)
+            self._intern_sorted(srt)
         return cid
 
     def orient(self, c1: int, c2: int) -> tuple:
         """Memoized orientation pipeline for one (cid1, cid2) combination.
 
-        Returns ("c", callset_tuple) or ("t", (reason, orientation)).
+        Returns ("c", callset_id) or ("t", (reason, orientation)); resolve
+        callset ids through :attr:`callsets` / :attr:`callsets_b`.
         """
         memo_key = (c1, c2)
         r = self.orient_memo.get(memo_key)
@@ -179,18 +195,18 @@ class _LibraryWorker:
                 call, tmp, self.reference, self.config, "", tkeys
             )
             if tmp:
-                r = ("c", next(iter(tmp.keys())))
+                callset = next(iter(tmp.keys()))
+                csid = self.callset_intern.get(callset)
+                if csid is None:
+                    csid = len(self.callsets)
+                    self.callset_intern[callset] = csid
+                    self.callsets.append(callset)
+                    self.callsets_b.append(",".join(callset).encode("utf-8"))
+                r = ("c", csid)
             else:
                 r = ("t", tkeys[""])
             self.orient_memo[memo_key] = r
         return r
-
-    def callset_bytes(self, callset: tuple) -> bytes:
-        b = self.features_b.get(callset)
-        if b is None:
-            b = ",".join(callset).encode("utf-8")
-            self.features_b[callset] = b
-        return b
 
 
 def _prepare_batch(batch, workers: List[_LibraryWorker]):
@@ -254,6 +270,107 @@ def _fetcher():
     return _FETCHER
 
 
+def _pack_bytes_col(items: List[bytes]):
+    off = np.zeros(len(items) + 1, dtype=np.int64)
+    if items:
+        np.cumsum(np.fromiter((len(b) for b in items), dtype=np.int64,
+                              count=len(items)), out=off[1:])
+        flat = np.frombuffer(b"".join(items), dtype=np.uint8)
+    else:
+        flat = np.zeros(0, dtype=np.uint8)
+    return off, flat
+
+
+_REASONS_COL = _pack_bytes_col(_REASON_B)
+
+
+def _native_rows(batch, w: _LibraryWorker, cid, s_arr, code_arr, rev,
+                 dec_flat, W, dlens, require_pair):
+    """C++ row assembly for one library/batch (see nimble_bam_rows).
+
+    Runs the orientation pipeline in Python for every distinct admitted
+    (content1, content2) combination (memoized across batches), hands the
+    results + columnar inputs to the native assembler.  Returns the rows
+    blob, b"" for no rows, or None when the batch needs the Python loop.
+    """
+    from nimble_tpu import native
+
+    if not native.available():
+        return None
+    go = np.ascontiguousarray(batch.group_off, dtype=np.int64)
+    n_groups = batch.n_groups
+    N = len(w.content_eq)
+
+    # distinct admitted combos -> orient (vectorized pair index build)
+    starts = go[:-1]
+    cnts = (go[1:] - starts) // 2
+    total_pairs = int(cnts.sum())
+    if total_pairs:
+        rep_start = np.repeat(starts, cnts)
+        csum = np.cumsum(cnts) - cnts
+        inner = np.arange(total_pairs, dtype=np.int64) - np.repeat(csum, cnts)
+        i1 = rep_start + 2 * inner
+        c1 = cid[i1]
+        c2 = cid[i1 + 1]
+        admitted = (c1 >= 0) | (c2 >= 0)
+        if require_pair:
+            scid_arr = np.asarray(w.scid, dtype=np.int64)
+            g1 = np.where(c1 >= 0, c1, 0)
+            g2 = np.where(c2 >= 0, c2, 0)
+            admitted &= (
+                (c1 >= 0) & (c2 >= 0)
+                & ((c1 == c2) | (scid_arr[g1] == scid_arr[g2]))
+            )
+        keys = ((c1 + 1) * (N + 1) + (c2 + 1))[admitted]
+        for key in np.unique(keys):
+            w.orient(int(key // (N + 1)) - 1, int(key % (N + 1)) - 1)
+
+    # combo tables from the (cross-batch) memo; keys use THIS N
+    combo_keys = np.empty(len(w.orient_memo), dtype=np.int64)
+    combo_kind = np.empty(len(w.orient_memo), dtype=np.uint8)
+    combo_csid = np.empty(len(w.orient_memo), dtype=np.int64)
+    tri_items: List[bytes] = []
+    for j, ((cc1, cc2), r) in enumerate(w.orient_memo.items()):
+        combo_keys[j] = (cc1 + 1) * (N + 1) + (cc2 + 1)
+        if r[0] == "c":
+            combo_kind[j] = 0
+            combo_csid[j] = r[1]
+            tri_items.append(b"")
+        else:
+            combo_kind[j] = 1
+            combo_csid[j] = -1
+            tri_items.append(
+                str(r[1][0]).encode() + b"\t" + str(r[1][1]).encode()
+            )
+
+    # global lexicographic ranks of the interned callsets
+    order = sorted(range(len(w.callsets)), key=w.callsets.__getitem__)
+    cs_rank = np.empty(len(order), dtype=np.int64)
+    for rank, idx in enumerate(order):
+        cs_rank[idx] = rank
+
+    scid_of = np.asarray(w.scid, dtype=np.int64)
+    if not len(scid_of):
+        scid_of = np.zeros(1, dtype=np.int64)
+
+    return native.bam_rows(
+        len(batch), W, dec_flat, dlens.astype(np.int64),
+        np.ascontiguousarray(cid, dtype=np.int64), scid_of,
+        np.ascontiguousarray(s_arr, dtype=np.int64),
+        np.ascontiguousarray(code_arr, dtype=np.int64),
+        np.ascontiguousarray(rev, dtype=np.uint8),
+        go, n_groups, require_pair,
+        _CODE_NOT_MATCHING, N,
+        combo_keys, combo_kind, combo_csid, _pack_bytes_col(tri_items),
+        cs_rank, _pack_bytes_col(w.callsets_b),
+        (batch.qn.offs, batch.qn.flat),
+        (batch.seq15.offs, batch.seq15.flat),
+        (batch.meta.offs, batch.meta.flat),
+        (batch.skipb.offs, batch.skipb.flat),
+        _REASONS_COL,
+    )
+
+
 def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
     """Collect the dispatched alignment + build the per-library output rows."""
     if ctx is None:
@@ -261,10 +378,10 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
     batch, states, rev, skip_mask, (dec_flat, W, dlens), n_rec = ctx
     if collected is None:
         collected = [fut.result() for fut in states]
-    qn_get = batch.qn.get
-    seq15_get = batch.seq15.get
-    meta_get = batch.meta.get
-    skipb_get = batch.skipb.get
+    qn_get = batch.qn.slicer()
+    seq15_get = batch.seq15.slicer()
+    meta_get = batch.meta.slicer()
+    skipb_get = batch.skipb.slicer()
 
     # ---- per-group packaging ----
     out_rows: List[List[bytes]] = [[] for _ in workers]
@@ -295,13 +412,20 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
             cid[i] = w.intern_list(rescued[int(eq_key[i])])
 
         # per-read forensic reason code + reported score, vectorized
-        s_arr = np.where(passed, res["score"], 0)
+        s_arr = np.where(passed, res["score"], 0).astype(np.int64)
         r16 = reason.astype(np.int64)
         code_arr = np.where(
             skip_mask, _CODE_SKIPPED,
             np.where(passed | (r16 < 0), _CODE_SUCCESS, r16),
         ).astype(np.int64)
         c_sorted = w.content_sorted
+
+        native_rows = _native_rows(batch, w, cid, s_arr, code_arr, rev,
+                                   dec_flat, W, dlens, require_pair)
+        if native_rows is not None:
+            if native_rows:
+                rows.append(native_rows)
+            continue
 
         for lo, hi in group_bounds:
             n_pairs = (hi - lo) // 2
@@ -338,7 +462,7 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
                     score_map[key] = (int(c1), int(c2), i1, i2)
 
             # orientation + results accumulation (`src/align.rs:440-449`)
-            results: Dict[tuple, list] = {}
+            results: Dict[int, list] = {}      # callset id -> [count, g1, g2]
             post_triaged: Dict[bytes, tuple] = {}
             for key, (c1, c2, g1, g2) in score_map.items():
                 r = w.orient(c1, c2)
@@ -351,7 +475,8 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
                     post_triaged[key] = r[1]
 
             # sort_score_vector (`src/utils.rs:54-59`)
-            s_entries = sorted(results.items(), key=lambda kv: list(kv[0]))
+            csets = w.callsets
+            s_entries = sorted(results.items(), key=lambda kv: csets[kv[0]])
             if not s_entries:
                 # reference: `if s.len() == 0 { continue }` — no zero rows
                 # for a library with no scored callsets (`bam.rs:315-330`)
@@ -365,9 +490,9 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
                     continue
                 zero_rows.append((None, (0, g1, g2)))
 
-            for callset, entry in list(s_entries) + zero_rows:
+            for csid, entry in list(s_entries) + zero_rows:
                 count, g1, g2 = entry[0], entry[1], entry[2]
-                feat_b = w.callset_bytes(callset) if callset else b""
+                feat_b = w.callsets_b[csid] if csid is not None else b""
                 # forensic re-key from metadata SEQ/REVERSE
                 # (`src/process/bam.rs:355-396`)
                 r1k = seq15_get(g1)

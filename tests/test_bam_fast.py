@@ -221,3 +221,60 @@ def test_fast_matches_slow_force_paired(tmp_path):
     with gzip.open(fast_out, "rb") as f:
         fast = f.read()
     assert fast == slow
+
+
+def test_fast_invalid_revcomp_char_falls_back(tmp_path):
+    """A REVERSE-flagged record whose SE metadata override holds a non-DNA
+    character: the C++ row assembler bails out (rc=-2) and the Python path
+    raises the reference's revcomp panic (`src/utils.rs:84-87`)."""
+    from nimble_tpu.io.bam import (
+        FLAG_FIRST_IN_TEMPLATE,
+        FLAG_LAST_IN_TEMPLATE,
+        FLAG_MATE_REVERSE,
+        FLAG_PAIRED,
+        FLAG_REVERSE,
+        BamHeader,
+        BamRecord,
+        write_bam,
+    )
+    from nimble_tpu.io.bam_columnar import ColumnarGroupStream
+    from nimble_tpu.pipeline.bam_fast import (
+        _LibraryWorker,
+        _finish_batch,
+        _prepare_batch,
+    )
+
+    feats, reference, index = _workload(seed=9)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    frag = feats[0][10:80]
+    r1 = BamRecord(
+        qname="q0", flag=FLAG_PAIRED | FLAG_FIRST_IN_TEMPLATE | FLAG_MATE_REVERSE,
+        pos=100, mpos=200, tid=0, mtid=0, mapq=60,
+        seq=frag, qual=bytes([40] * len(frag)),
+    )
+    r2 = BamRecord(
+        qname="q0", flag=FLAG_PAIRED | FLAG_LAST_IN_TEMPLATE | FLAG_REVERSE,
+        pos=200, mpos=100, tid=0, mtid=0, mapq=60,
+        seq=frag, qual=bytes([40] * len(frag)),
+    )
+    for r in (r1, r2):
+        r.tags["CB"] = ("Z", "CBX0000-1")
+        r.tags["UB"] = ("Z", "ACGTACGTAC")
+    r2.tags["SE"] = ("Z", "AC!T")  # SEQ override with a non-DNA character
+    bam = str(tmp_path / "bad.bam")
+    write_bam(
+        bam,
+        BamHeader(text="@HD\tVN:1.6\n@SQ\tSN:c\tLN:99999\n",
+                  references=[("c", 99999)]),
+        [r1, r2],
+    )
+
+    worker = _LibraryWorker(DeviceAlignEngine(index, cfg), reference, cfg)
+    batches = list(ColumnarGroupStream(bam, False).batches(1024))
+    assert len(batches) == 1
+    ctx = _prepare_batch(batches[0], [worker])
+    with pytest.raises(ValueError, match="Input sequence base is not DNA"):
+        _finish_batch(ctx, [worker])
