@@ -228,10 +228,10 @@ def main(argv=None) -> int:
                         "(single-chip-degenerate mesh on 1 device)")
     p.add_argument("--libraries", type=int, default=0,
                    help="N>0: benchmark the N-library single-pass dispatcher")
-    # depth-2 pipelining measured marginally best on the tunnel (the wire
-    # serializes transactions, so deeper helps little; 65k chunks hurt)
-    p.add_argument("--depth", type=int, default=2,
-                   help="chunks in flight before draining (pipeline depth)")
+    # 3-in-flight pipelining measured marginally best on the tunnel (the
+    # wire serializes transactions, so deeper helps little; 65k chunks hurt)
+    p.add_argument("--depth", type=int, default=3,
+                   help="max chunks in flight (drain when this many pend)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -319,7 +319,7 @@ def main(argv=None) -> int:
             ts = time.time()
             pending.append(counter.dispatch(mat[lo:hi], lens[lo:hi]))
             t_dispatch += time.time() - ts
-            if len(pending) > args.depth:
+            if len(pending) >= args.depth:
                 drain_one()
         while pending:
             drain_one()

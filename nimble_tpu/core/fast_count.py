@@ -50,6 +50,30 @@ def pack_matrix(reads: Sequence[np.ndarray]) -> Tuple[np.ndarray, np.ndarray]:
     return mat, lens
 
 
+def dedupe_admit(seen, mat, lens, mate_mat=None, mate_lens=None):
+    """Seen-set admission on the read(+mate) bytes (the reference's score-map
+    key, `src/align.rs:574-579`): filters the chunk to unseen rows.
+
+    Returns (mat, lens, mate_mat, mate_lens, prededuped).  ``seen`` is a
+    native dedupe set (or None -> no-op with prededuped False).
+    """
+    if seen is None or not mat.shape[0]:
+        return mat, lens, mate_mat, mate_lens, False
+    flat1, off1 = FastCounter._flatten_rows(mat, lens)
+    if mate_mat is not None:
+        flat2, off2 = FastCounter._flatten_rows(mate_mat, mate_lens)
+    else:
+        flat2, off2 = None, None
+    is_new = seen.insert_batch(flat1, off1, flat2, off2)
+    new_idx = np.flatnonzero(is_new)
+    if len(new_idx) < mat.shape[0]:
+        mat, lens = mat[new_idx], lens[new_idx]
+        if mate_mat is not None:
+            mate_mat = mate_mat[new_idx]
+            mate_lens = mate_lens[new_idx]
+    return mat, lens, mate_mat, mate_lens, True
+
+
 def _combo_ids(mat, lens, engine, which_label, raw=None):
     """Run the compact device path + host rescue for one mate side.
 
@@ -172,21 +196,10 @@ class FastCounter:
         PCR duplicates).  The global seen-set admission happens here, so
         counting in :meth:`process` treats every surviving read as new.
         """
-        if (self._native_seen is not None and mat.shape[0]
-                and hasattr(self.engine, "compact_dispatch")):
-            flat1, off1 = self._flatten_rows(mat, lens)
-            if mate_mat is not None:
-                flat2, off2 = self._flatten_rows(mate_mat, mate_lens)
-            else:
-                flat2, off2 = None, None
-            is_new = self._native_seen.insert_batch(flat1, off1, flat2, off2)
-            new_idx = np.flatnonzero(is_new)
-            if len(new_idx) < mat.shape[0]:
-                mat, lens = mat[new_idx], lens[new_idx]
-                if mate_mat is not None:
-                    mate_mat = mate_mat[new_idx]
-                    mate_lens = mate_lens[new_idx]
-            prededuped = True
+        if hasattr(self.engine, "compact_dispatch"):
+            mat, lens, mate_mat, mate_lens, prededuped = dedupe_admit(
+                self._native_seen, mat, lens, mate_mat, mate_lens
+            )
         else:
             prededuped = False
         st1 = st2 = None

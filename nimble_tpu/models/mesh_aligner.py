@@ -80,14 +80,14 @@ class MeshAlignEngine:
         # degenerate 1x1 mesh: single chip, no partitioning — delegate to
         # the single-chip engine so no shard_map/collective machinery is
         # paid (bit-equality with the sharded step is tested across mesh
-        # shapes including 1x1, tests/test_sharded_fast.py)
+        # shapes including 1x1, tests/test_sharded.py)
         self._delegate = None
         if self.data_shards == 1 and model_shards == 1:
             from nimble_tpu.models.aligner import DeviceAlignEngine
 
             self._delegate = DeviceAlignEngine(
                 index, config, c_max=c_max, buckets=buckets,
-                min_batch=min_batch,
+                min_batch=min_batch, launch_batch=launch_batch,
             )
             self.bidx = self._delegate.bidx
             return

@@ -116,23 +116,9 @@ class MultiLibraryDispatcher:
     def dedupe(self, mat, lens, mate_mat=None, mate_lens=None):
         """Drop already-seen read(+mate) pairs before upload (shared across
         libraries).  Returns (mat, lens, mate_mat, mate_lens, prededuped)."""
-        from nimble_tpu.core.fast_count import FastCounter
+        from nimble_tpu.core.fast_count import dedupe_admit
 
-        if self._seen is None or not mat.shape[0]:
-            return mat, lens, mate_mat, mate_lens, False
-        flat1, off1 = FastCounter._flatten_rows(mat, lens)
-        if mate_mat is not None:
-            flat2, off2 = FastCounter._flatten_rows(mate_mat, mate_lens)
-        else:
-            flat2, off2 = None, None
-        is_new = self._seen.insert_batch(flat1, off1, flat2, off2)
-        new_idx = np.flatnonzero(is_new)
-        if len(new_idx) < mat.shape[0]:
-            mat, lens = mat[new_idx], lens[new_idx]
-            if mate_mat is not None:
-                mate_mat = mate_mat[new_idx]
-                mate_lens = mate_lens[new_idx]
-        return mat, lens, mate_mat, mate_lens, True
+        return dedupe_admit(self._seen, mat, lens, mate_mat, mate_lens)
 
     def _s_min_stack(self, bucket: int):
         t = self._s_min_cache.get(bucket)

@@ -315,6 +315,10 @@ def _native_rows(batch, w: _LibraryWorker, cid, s_arr, code_arr, rev,
         admitted = (c1 >= 0) | (c2 >= 0)
         if require_pair:
             scid_arr = np.asarray(w.scid, dtype=np.int64)
+            if not len(scid_arr):
+                # nothing interned yet (no read aligned); the index-0 pad is
+                # never semantically used because c1>=0 gates the comparison
+                scid_arr = np.zeros(1, dtype=np.int64)
             g1 = np.where(c1 >= 0, c1, 0)
             g2 = np.where(c2 >= 0, c2, 0)
             admitted &= (
@@ -378,10 +382,15 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
     batch, states, rev, skip_mask, (dec_flat, W, dlens), n_rec = ctx
     if collected is None:
         collected = [fut.result() for fut in states]
-    qn_get = batch.qn.slicer()
-    seq15_get = batch.seq15.slicer()
-    meta_get = batch.meta.slicer()
-    skipb_get = batch.skipb.slicer()
+    # slicers are built lazily: when the C++ assembler handles every
+    # library, the whole-column copies are never needed
+    slicers: List = []
+
+    def _slicers():
+        if not slicers:
+            slicers.extend((batch.qn.slicer(), batch.seq15.slicer(),
+                            batch.meta.slicer(), batch.skipb.slicer()))
+        return slicers
 
     # ---- per-group packaging ----
     out_rows: List[List[bytes]] = [[] for _ in workers]
@@ -426,6 +435,7 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
             if native_rows:
                 rows.append(native_rows)
             continue
+        qn_get, seq15_get, meta_get, skipb_get = _slicers()
 
         for lo, hi in group_bounds:
             n_pairs = (hi - lo) // 2

@@ -98,51 +98,13 @@ def process(
         # double-buffered feed: chunk N+1's kernels launch (async) before
         # chunk N's host-side counting runs
         pending: List = []
-        for mat, lens in r1_chunks:
-            if r2_chunks is not None:
-                try:
-                    mate_mat, mate_lens = next(r2_chunks)
-                except StopIteration:
-                    mate_mat, mate_lens = None, None
-                if mate_mat is None or mate_mat.shape[0] < mat.shape[0]:
-                    raise ValueError(
-                        "Error -- read and reverse read files do not have "
-                        "matching lengths: "
-                    )
-            else:
-                mate_mat, mate_lens = None, None
-            with meter.measure(mat.shape[0] * len(counters)):
-                if multi is not None:
-                    # shared pre-upload dedupe + background-thread fetch
-                    # (the single-library FastCounter.dispatch disciplines,
-                    # applied once for all libraries)
-                    mat, lens, mate_mat, mate_lens, prededuped = (
-                        multi.dedupe(mat, lens, mate_mat, mate_lens)
-                    )
-                    if mat.shape[0]:
-                        st1 = multi.dispatch(mat, lens)
-                        st2 = (
-                            multi.dispatch(mate_mat, mate_lens)
-                            if mate_mat is not None else None
-                        )
-                        if fetcher is not None:
-                            st1 = fetcher.submit(multi.collect, st1)
-                            if st2 is not None:
-                                st2 = fetcher.submit(multi.collect, st2)
-                    else:
-                        st1 = st2 = None
-                    handles = [
-                        (mat, lens, mate_mat, mate_lens, st1, st2, prededuped)
-                    ] * len(counters)
-                else:
-                    handles = [
-                        counter.dispatch(mat, lens, mate_mat, mate_lens)
-                        for counter in counters
-                    ]
-                _drain_pending(pending, multi)
-                pending = list(zip(counters, handles))
-        with meter.measure(0):
-            _drain_pending(pending, multi)
+        try:
+            _run_fast_loop(
+                r1_chunks, r2_chunks, counters, multi, fetcher, meter, pending
+            )
+        finally:
+            if fetcher is not None:
+                fetcher.shutdown(wait=True)
         print(meter.summary())
         for i, counter in enumerate(counters):
             results = counter.finalize()
@@ -164,3 +126,52 @@ def process(
             [(features, entry[0]) for features, entry in results],
             output_paths[i],
         )
+
+
+def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher, meter,
+                   pending) -> None:
+    for mat, lens in r1_chunks:
+        if r2_chunks is not None:
+            try:
+                mate_mat, mate_lens = next(r2_chunks)
+            except StopIteration:
+                mate_mat, mate_lens = None, None
+            if mate_mat is None or mate_mat.shape[0] < mat.shape[0]:
+                raise ValueError(
+                    "Error -- read and reverse read files do not have "
+                    "matching lengths: "
+                )
+        else:
+            mate_mat, mate_lens = None, None
+        with meter.measure(mat.shape[0] * len(counters)):
+            if multi is not None:
+                # shared pre-upload dedupe + background-thread fetch
+                # (the single-library FastCounter.dispatch disciplines,
+                # applied once for all libraries)
+                mat, lens, mate_mat, mate_lens, prededuped = (
+                    multi.dedupe(mat, lens, mate_mat, mate_lens)
+                )
+                if mat.shape[0]:
+                    st1 = multi.dispatch(mat, lens)
+                    st2 = (
+                        multi.dispatch(mate_mat, mate_lens)
+                        if mate_mat is not None else None
+                    )
+                    if fetcher is not None:
+                        st1 = fetcher.submit(multi.collect, st1)
+                        if st2 is not None:
+                            st2 = fetcher.submit(multi.collect, st2)
+                else:
+                    st1 = st2 = None
+                handles = [
+                    (mat, lens, mate_mat, mate_lens, st1, st2, prededuped)
+                ] * len(counters)
+            else:
+                handles = [
+                    counter.dispatch(mat, lens, mate_mat, mate_lens)
+                    for counter in counters
+                ]
+            _drain_pending(pending, multi)
+            pending = list(zip(counters, handles))
+    with meter.measure(0):
+        _drain_pending(pending, multi)

@@ -278,3 +278,21 @@ def test_fast_invalid_revcomp_char_falls_back(tmp_path):
     ctx = _prepare_batch(batches[0], [worker])
     with pytest.raises(ValueError, match="Input sequence base is not DNA"):
         _finish_batch(ctx, [worker])
+
+
+def test_fast_require_pair_all_junk_batch(tmp_path):
+    """require_valid_pair=True with a batch where nothing aligns: the
+    native pre-pass must not crash on the empty sorted-content table
+    (regression: IndexError on scid_arr[g1])."""
+    rng = np.random.default_rng(13)
+    feats, reference, index = _workload(seed=13)
+    junk = ["".join(rng.choice(list("ACGT"), size=70)) for _ in range(4)]
+    bam = str(tmp_path / "junk.bam")
+    make_synthetic_bam(bam, junk, n_groups=2, pairs_per_group=2, read_len=70,
+                       seed=13)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8, require_valid_pair=True,
+    )
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
+    assert fast == slow
