@@ -91,9 +91,9 @@ def main(argv: List[str] | None = None) -> int:
 
     distributed = args.num_processes is not None and args.num_processes > 1
     if distributed:
-        if not is_fastq:
+        if not (is_fastq or is_bam):
             raise SystemExit(
-                "--num-processes applies to FASTQ inputs only"
+                "--num-processes applies to FASTQ and BAM inputs only"
             )
         from nimble_tpu.parallel import multihost
 
@@ -133,7 +133,17 @@ def main(argv: List[str] | None = None) -> int:
         aligner_configs.append(aligner_config)
 
     print("Loading read sequences and aligning")
-    if distributed:
+    if distributed and is_bam:
+        print("Processing as BAM file (multi-host)")
+        from nimble_tpu.parallel import multihost
+
+        multihost.process_bam_multihost(
+            input_files[0], engines, references, aligner_configs,
+            output_paths, args.force_bam_paired,
+            n_hosts=args.num_processes, host_id=args.process_id,
+            parity_quirks=not args.no_parity_quirks,
+        )
+    elif distributed:
         print("Processing as FASTQ file (multi-host)")
         from nimble_tpu.parallel import multihost
 

@@ -69,12 +69,25 @@ class EmittedBatch:
         quirk, `src/process/bam.rs:163-179`)."""
         if self.n_groups == 0:
             return self
-        end = int(self.group_off[-2])
+        return self.slice_groups(0, self.n_groups - 1)
+
+    def slice_groups(self, g_lo: int, g_hi: int) -> "EmittedBatch":
+        """Groups [g_lo, g_hi) as a new batch (multi-host group-range
+        sharding; zero-copy column views)."""
+        g_lo = max(0, g_lo)
+        g_hi = min(self.n_groups, g_hi)
+        if g_lo >= g_hi:
+            g_lo = g_hi = 0
+        start = int(self.group_off[g_lo])
+        end = int(self.group_off[g_hi])
+
+        def cut(col: "_Col") -> "_Col":
+            return col.head(end).drop_front(start)
+
         return EmittedBatch(
-            self.meta.head(end), self.skipb.head(end), self.skip_true[:end],
-            self.qual.head(end), self.rev2.head(end),
-            self.seq15.head(end), self.qn.head(end),
-            self.seq.head(end), self.group_off[:-1].copy(),
+            cut(self.meta), cut(self.skipb), self.skip_true[start:end],
+            cut(self.qual), cut(self.rev2), cut(self.seq15), cut(self.qn),
+            cut(self.seq), self.group_off[g_lo : g_hi + 1] - start,
         )
 
 

@@ -210,6 +210,128 @@ def _allgather_bytes(payload: bytes):
     return [gathered[h, : int(sizes[h])].tobytes() for h in range(gathered.shape[0])]
 
 
+def barrier(allgather_bytes=None) -> int:
+    """Cross-process rendezvous; returns the number of participants."""
+    if allgather_bytes is None:
+        allgather_bytes = _allgather_bytes
+    return len(allgather_bytes(b"\x00"))
+
+
+def host_group_range(n_groups: int, n_hosts: int, host_id: int) -> Tuple[int, int]:
+    """[lo, hi) of the UMI x CB groups this host aligns (contiguous split —
+    the BAM stream's group order is semantic, `src/parse/bam.rs:178`, so
+    shards must be contiguous runs of it)."""
+    return host_record_range(n_groups, n_hosts, host_id)
+
+
+def process_bam_multihost(
+    input_path: str,
+    engines,
+    references,
+    configs,
+    output_paths,
+    force_bam_paired: bool,
+    *,
+    n_hosts: Optional[int] = None,
+    host_id: Optional[int] = None,
+    parity_quirks: bool = True,
+    batch_records: int = 16384,
+    allgather_bytes=None,
+):
+    """Multi-host BAM forensic pipeline: group-range sharding.
+
+    Every host scans the stream once to count UMI x CB groups (C++ scan,
+    no alignment), takes a contiguous group range, aligns + packages only
+    its range on a second pass, and writes ``{out}.part{host_id}`` — a
+    complete gzip member.  After a barrier, process 0 concatenates the
+    parts (multi-member gzip is a valid gzip stream): the decompressed
+    bytes equal the single-host pipeline's output exactly, group order
+    preserved.  The dropped-final-group quirk applies to the GLOBAL last
+    group.  Requires the native library (columnar fast path).
+    """
+    import gzip as _gzip
+
+    import jax
+
+    from nimble_tpu.io.bam_columnar import ColumnarGroupStream
+    from nimble_tpu.pipeline.bam_fast import (
+        _LibraryWorker,
+        _finish_batch,
+        _prepare_batch,
+    )
+    from nimble_tpu.pipeline.bam_pipeline import log_header, validate_gzip
+
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    if host_id is None:
+        host_id = jax.process_index()
+
+    # pass 1: count groups (scan only — no device work)
+    total_groups = 0
+    for b in ColumnarGroupStream(input_path, force_bam_paired).batches(
+        batch_records
+    ):
+        total_groups += b.n_groups
+    effective = total_groups
+    if parity_quirks and total_groups > 1:
+        effective -= 1  # the reference drops the global final group
+    lo, hi = host_group_range(effective, n_hosts, host_id)
+
+    workers = [
+        _LibraryWorker(e, r, c)
+        for e, r, c in zip(engines, references, configs)
+    ]
+    parts = [f"{p}.part{host_id}" for p in output_paths]
+    files = [_gzip.open(p, "wb", compresslevel=6) for p in parts]
+    if host_id == 0:
+        header = (log_header() + "\n").encode()
+        for f in files:
+            f.write(header)
+
+    # pass 2: align + package only this host's groups (dispatch N+1's
+    # device work before packaging N, like the threaded consumer)
+    g_seen = 0
+    pending = None
+    for b in ColumnarGroupStream(input_path, force_bam_paired).batches(
+        batch_records
+    ):
+        b_lo, b_hi = g_seen, g_seen + b.n_groups
+        g_seen = b_hi
+        if b_hi <= lo or b_lo >= hi:
+            continue
+        sub = b.slice_groups(lo - b_lo, hi - b_lo)
+        if not len(sub):
+            continue
+        ctx = _prepare_batch(sub, workers)
+        if pending is not None:
+            for i, rows in enumerate(_finish_batch(pending, workers)):
+                for blob in rows:
+                    files[i].write(blob)
+        pending = ctx
+    if pending is not None:
+        for i, rows in enumerate(_finish_batch(pending, workers)):
+            for blob in rows:
+                files[i].write(blob)
+    for f in files:
+        f.close()
+
+    barrier(allgather_bytes)
+    if host_id == 0:
+        for out in output_paths:
+            with open(out, "wb") as dst:
+                for h in range(n_hosts):
+                    with open(f"{out}.part{h}", "rb") as sf:
+                        dst.write(sf.read())
+            validate_gzip(out)
+    barrier(allgather_bytes)
+    import os
+
+    for p in output_paths:
+        part = f"{p}.part{host_id}"
+        if os.path.exists(part):
+            os.remove(part)
+
+
 def process_fastq_multihost(
     input_path: str,
     engine,

@@ -282,3 +282,157 @@ def test_real_two_process_cli(tmp_path):
     assert not os.path.exists(outs[1]) or open(outs[1], "rb").read() in (
         b"", expected_bytes
     )
+
+
+# --- BAM multi-host (group-range sharding) -------------------------------
+
+def _bam_workload(tmp_path, n_groups=12):
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.io.synth import make_synthetic_bam
+    from nimble_tpu.library import Reference
+    from nimble_tpu.utils.dna import revcomp
+
+    rng = np.random.default_rng(17)
+    feats = ["".join(rng.choice(list("ACGT"), size=220)) for _ in range(6)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    names = [n for i in range(6) for n in (f"feat{i}", f"feat{i}§rev")]
+    reference = Reference(
+        group_on=0, headers=["sequence_name", "sequence"],
+        columns=[names, doubled], sequence_name_idx=0, sequence_idx=1,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=12, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    index = build_index(doubled)
+    bam = str(tmp_path / "mh.bam")
+    make_synthetic_bam(bam, feats, n_groups=n_groups, pairs_per_group=3,
+                       read_len=80, seed=17, mutate_every=4)
+    return bam, reference, index, cfg
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_simulated_two_host_bam_equals_single(tmp_path, quirks):
+    """Two simulated hosts (threads + a real rendezvous barrier) produce a
+    multi-member gzip whose decompressed bytes equal the single-host fast
+    pipeline's output exactly."""
+    import contextlib
+    import gzip
+    import io
+    import threading
+
+    from nimble_tpu import native
+    from nimble_tpu.pipeline.bam_fast import process_fast
+
+    if not native.available():
+        pytest.skip("native library required")
+    bam, reference, index, cfg = _bam_workload(tmp_path)
+
+    single_out = str(tmp_path / "single.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        process_fast(
+            [bam], [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+            [single_out], 2, False, parity_quirks=quirks,
+        )
+    expected = gzip.open(single_out, "rb").read()
+
+    bar = threading.Barrier(2, timeout=120)
+
+    def ag_bytes(payload):
+        bar.wait()
+        return [payload, payload]
+
+    mh_out = str(tmp_path / "mh.tsv.gz")
+    errors = []
+
+    def run_host(hid):
+        try:
+            multihost.process_bam_multihost(
+                bam, [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+                [mh_out], False, n_hosts=2, host_id=hid,
+                parity_quirks=quirks, batch_records=64,
+                allgather_bytes=ag_bytes,
+            )
+        except Exception as e:  # surfaced below
+            errors.append(e)
+            try:
+                bar.abort()
+            except Exception:
+                pass
+
+    threads = [threading.Thread(target=run_host, args=(h,)) for h in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert gzip.open(mh_out, "rb").read() == expected
+
+
+def test_real_two_process_cli_bam(tmp_path):
+    """--num-processes with a BAM input: two real jax.distributed processes
+    produce decompressed bytes identical to the single-process CLI."""
+    import gzip
+
+    from nimble_tpu import native
+
+    if not native.available():
+        pytest.skip("native library required")
+    bam, reference, index, cfg = _bam_workload(tmp_path)
+    # library JSON for the CLI
+    import json
+
+    feats = reference.columns[1][0::2]
+    names = reference.columns[0][0::2]
+    lib = [
+        {"score_percent": 0.2, "score_filter": 25, "score_threshold": 40,
+         "num_mismatches": 1, "discard_multiple_matches": False,
+         "require_valid_pair": False, "discard_multi_hits": 0,
+         "intersect_level": 0, "max_hits_to_report": 8, "group_on": "",
+         "trim_target_length": 0, "trim_strictness": 0.5},
+        {"headers": ["sequence_name", "sequence"],
+         "columns": [list(names), list(feats)]},
+    ]
+    libp = str(tmp_path / "lib.json")
+    with open(libp, "w") as f:
+        json.dump(lib, f)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = str(s.getsockname()[1])
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nimble_tpu_jax_cache_mh")
+    env["PYTHONPATH"] = "/root/repo"
+
+    single_out = str(tmp_path / "single.tsv.gz")
+    rc = subprocess.run(
+        [sys.executable, "-m", "nimble_tpu.cli",
+         "-r", libp, "-i", bam, "-o", single_out, "-c", "2"],
+        env=env, capture_output=True, timeout=150,
+    )
+    assert rc.returncode == 0, rc.stderr.decode()[-2000:]
+    expected = gzip.open(single_out, "rb").read()
+
+    mh_out = str(tmp_path / "mh.tsv.gz")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "nimble_tpu.cli",
+             "-r", libp, "-i", bam, "-o", mh_out, "-c", "2",
+             "--num-processes", "2", "--process-id", str(i),
+             "--coordinator", f"127.0.0.1:{port}"],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for i in range(2)
+    ]
+    for p in procs:
+        try:
+            stdout, stderr = p.communicate(timeout=150)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("distributed BAM CLI timed out")
+        assert p.returncode == 0, stderr.decode()[-2000:]
+
+    assert gzip.open(mh_out, "rb").read() == expected
