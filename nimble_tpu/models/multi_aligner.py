@@ -27,6 +27,7 @@ from nimble_tpu.models.aligner import DeviceAlignEngine
 from nimble_tpu.ops.device_index import build_bucketed_index
 from nimble_tpu.ops.engine_fast import (
     probe_walk_filter_packed_multi_chunked,
+    probe_walk_full_packed_multi_chunked,
     unpack_compact,
 )
 
@@ -178,6 +179,96 @@ class MultiLibraryDispatcher:
                 launches.append((bucket, sel, m, outs, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
+
+    @property
+    def uniform_trim(self) -> bool:
+        """True when every library shares trim settings — the packed read
+        buffer depends on the per-library MAXINFO trim lengths, so ONE
+        upload can serve all libraries only in that case."""
+        c0 = self.engines[0].config
+        return all(
+            e.config.trim_target_length == c0.trim_target_length
+            and e.config.trim_strictness == c0.trim_strictness
+            for e in self.engines
+        )
+
+    def full_dispatch(self, mat: np.ndarray, lens: np.ndarray,
+                      active: np.ndarray):
+        """One stacked full-output launch serving every library (the BAM
+        consumer's per-batch alignment).  Requires :attr:`uniform_trim`.
+        Returns opaque state for :meth:`full_collect`."""
+        assert self.uniform_trim
+        e0 = self.engines[0]
+        n = mat.shape[0]
+        lens = np.asarray(lens, dtype=np.int32)
+        act = np.asarray(active, dtype=bool)
+        host_rescue = act & (lens > self.buckets[-1])
+        eligible = act & (lens >= MIN_READ_LENGTH) & ~host_rescue
+        launches = []
+        if eligible.any():
+            mat_z = np.where(
+                np.arange(mat.shape[1], dtype=np.int32)[None, :]
+                < lens[:, None],
+                mat, 0,
+            ).astype(np.int8, copy=False)
+            bucket_arr = np.asarray(self.buckets)
+            bucket_idx = np.searchsorted(bucket_arr, lens)
+            for bi in np.unique(bucket_idx[eligible]):
+                bucket = int(bucket_arr[bi])
+                sel = np.flatnonzero(eligible & (bucket_idx == bi))
+                m = len(sel)
+                lb = self.launch_batch
+                if m <= lb:
+                    B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
+                else:
+                    B = ((m + lb - 1) // lb) * lb
+                buf = DeviceAlignEngine._pack_reads(
+                    mat_z[sel], lens[sel], bucket, B
+                )
+                n_sub = (B + lb - 1) // lb
+                buf_dev = jnp.asarray(
+                    buf.reshape(n_sub, min(B, lb), buf.shape[1])
+                )
+                outs = [
+                    probe_walk_full_packed_multi_chunked(
+                        buf_dev[i : i + 1],
+                        self._dev["bkey_lo"], self._dev["bkey_hi"],
+                        self._dev["bstart"], self._dev["bcount"],
+                        self._dev["postings_row"], self._dev["postings_off"],
+                        self._dev["ref_codes_packed"],
+                        self._dev["row_starts"], self._dev["row_lengths"],
+                        k=self.k, max_probe=self.max_probe, c_max=self.c_max,
+                        bucket_mask=self.n_buckets - 1,
+                        p_limit=bucket - self.k + 1,
+                        ref_pad=self.ref_pad, bucket=bucket,
+                    )
+                    for i in range(n_sub)
+                ]
+                launches.append((sel, m, outs, buf, bucket))
+        return {"n": n, "mat": mat, "lens": lens, "active": act,
+                "host_rescue": host_rescue, "launches": launches}
+
+    def full_collect(self, state) -> List[dict]:
+        """ONE fetch; per-library full results via each engine's exact host
+        gates (`DeviceAlignEngine.full_collect` on that library's slice)."""
+        L = len(self.engines)
+        # fetch each bucket batch once: (n_sub, L, lb, 3)
+        raws = [
+            np.asarray(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            )
+            for (_sel, _m, outs, _buf, _bucket) in state["launches"]
+        ]
+        results = []
+        for li, e in enumerate(self.engines):
+            lib_state = dict(state)
+            lib_state["launches"] = [
+                (sel, m, [np.ascontiguousarray(raw[:, li])], buf, bucket)
+                for (sel, m, _outs, buf, bucket), raw
+                in zip(state["launches"], raws)
+            ]
+            results.append(e.full_collect(lib_state))
+        return results
 
     def collect(self, state) -> List[dict]:
         """One fetch; per-library compact raw dicts (FastCounter format)."""

@@ -624,6 +624,59 @@ def probe_walk_full_packed_chunked(
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
                      "bucket", "use_pallas"),
 )
+def probe_walk_full_packed_multi_chunked(
+    packed3,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
+    """Chunked multi-library FULL-output kernel: (n_sub, lb, W) packed reads
+    against stacked (L, ...) library tables; (n_sub, L, lb, 3) in one
+    launch (the BAM path's per-batch alignment for every library)."""
+    nb = (bucket + 3) // 4
+
+    def body(packed):
+        words = packed[:, :nb].astype(jnp.int32)
+        j = jnp.arange(bucket, dtype=jnp.int32)
+        reads_i32 = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+        read_lens = (
+            packed[:, nb].astype(jnp.int32)
+            | (packed[:, nb + 1].astype(jnp.int32) << 8)
+        )
+
+        def one(bkl, bkh, bst, bcn, prow, poff, refp, rst, rln):
+            return _probe_walk_full_impl(
+                reads_i32, read_lens,
+                bkl, bkh, bst, bcn, prow, poff, refp, rst, rln,
+                k=k, max_probe=max_probe, c_max=c_max,
+                bucket_mask=bucket_mask, p_limit=p_limit, ref_pad=ref_pad,
+                bucket=bucket, use_pallas=use_pallas,
+            )
+
+        return jax.vmap(one)(
+            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            ref_codes_packed, row_starts, row_lengths,
+        )
+
+    if packed3.shape[0] == 1:
+        return body(packed3[0])[None]
+    return jax.lax.map(body, packed3)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas"),
+)
 def probe_walk_filter_packed_multi_chunked(
     packed3,
     bkey_lo, bkey_hi, bstart, bcount,
@@ -809,7 +862,6 @@ def _probe_walk_full_packed_body(
     bucket: int,
     use_pallas: bool = False,
 ):
-    B = packed.shape[0]
     nb = (bucket + 3) // 4
     words = packed[:, :nb].astype(jnp.int32)
     j = jnp.arange(bucket, dtype=jnp.int32)
@@ -818,7 +870,31 @@ def _probe_walk_full_packed_body(
         packed[:, nb].astype(jnp.int32)
         | (packed[:, nb + 1].astype(jnp.int32) << 8)
     )
+    return _probe_walk_full_impl(
+        reads_i32, read_lens,
+        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        ref_codes_packed, row_starts, row_lengths,
+        k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+        p_limit=p_limit, ref_pad=ref_pad, bucket=bucket,
+        use_pallas=use_pallas,
+    )
 
+
+def _probe_walk_full_impl(
+    reads_i32, read_lens,
+    bkey_lo, bkey_hi, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+):
     has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
         reads_i32, read_lens, bkey_lo, bkey_hi,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,

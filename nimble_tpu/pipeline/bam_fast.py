@@ -209,11 +209,12 @@ class _LibraryWorker:
         return r
 
 
-def _prepare_batch(batch, workers: List[_LibraryWorker]):
+def _prepare_batch(batch, workers: List[_LibraryWorker], multi=None):
     """Trim + DISPATCH one flat batch (device work is async); returns an
     opaque context for :func:`_finish_batch`.  Splitting the two lets the
     consumer overlap batch N's host packaging with batch N+1's device
-    alignment."""
+    alignment.  With ``multi`` (a MultiLibraryDispatcher), one stacked
+    launch serves every library."""
     n_rec = len(batch)
     if n_rec == 0:
         return None
@@ -243,19 +244,43 @@ def _prepare_batch(batch, workers: List[_LibraryWorker]):
 
     # ---- per-library: trim + dispatch (async), then collect ----
     states = []
-    for w in workers:
-        cfg = w.config
-        trim_lens = maxinfo_batch(
-            batch.qual, cfg.trim_target_length, cfg.trim_strictness
-        ).astype(np.int32)
-        # r1[:trim_len] clamps at the read length (aux-QU quirk can make the
-        # quality string longer than the sequence)
-        trim_lens = np.minimum(trim_lens, lens)
-        st = w.engine.full_dispatch(oriented, trim_lens, active)
-        # fetch on a background thread: batch N's wire transfer overlaps
-        # batch N-1's host packaging in the consumer
-        states.append(_fetcher().submit(w.engine.full_collect, st))
+    if multi is not None:
+        # ONE stacked launch + ONE fetch serves every library (uniform
+        # trim settings -> one packed buffer is valid for all)
+        cfg = workers[0].config
+        trim_lens = np.minimum(
+            maxinfo_batch(
+                batch.qual, cfg.trim_target_length, cfg.trim_strictness
+            ).astype(np.int32),
+            lens,
+        )
+        st = multi.full_dispatch(oriented, trim_lens, active)
+        shared = _fetcher().submit(multi.full_collect, st)
+        states = [_SliceFuture(shared, li) for li in range(len(workers))]
+    else:
+        for w in workers:
+            cfg = w.config
+            trim_lens = maxinfo_batch(
+                batch.qual, cfg.trim_target_length, cfg.trim_strictness
+            ).astype(np.int32)
+            # r1[:trim_len] clamps at the read length (aux-QU quirk can make
+            # the quality string longer than the sequence)
+            trim_lens = np.minimum(trim_lens, lens)
+            st = w.engine.full_dispatch(oriented, trim_lens, active)
+            # fetch on a background thread: batch N's wire transfer overlaps
+            # batch N-1's host packaging in the consumer
+            states.append(_fetcher().submit(w.engine.full_collect, st))
     return (batch, states, rev, skip_mask, (dec_flat, W, lens), n_rec)
+
+
+class _SliceFuture:
+    """Per-library view of one shared multi-library collect future."""
+
+    def __init__(self, fut, i: int):
+        self._fut, self._i = fut, i
+
+    def result(self):
+        return self._fut.result()[self._i]
 
 
 _FETCHER = None
@@ -573,6 +598,20 @@ def process_fast(
         _LibraryWorker(e, r, c)
         for e, r, c in zip(engines, references, aligner_configs)
     ]
+    # N>1 libraries with uniform trim: one stacked device table serves all
+    # (the FASTQ multi-library discipline on the BAM path)
+    multi = None
+    if len(engines) > 1:
+        try:
+            from nimble_tpu.models.aligner import DeviceAlignEngine
+            from nimble_tpu.models.multi_aligner import MultiLibraryDispatcher
+
+            if all(isinstance(e, DeviceAlignEngine) for e in engines):
+                cand = MultiLibraryDispatcher(engines)
+                if cand.uniform_trim:
+                    multi = cand
+        except AssertionError:
+            multi = None
 
     log_queue: "queue.Queue" = queue.Queue()
     work_queue: "queue.Queue" = queue.Queue(maxsize=8)  # batches in flight
@@ -669,7 +708,7 @@ def process_fast(
             # dispatch batch N+1 before packaging batch N: device alignment
             # overlaps the host-side row building
             ts = _time.time()
-            ctx = _prepare_batch(batch, workers)
+            ctx = _prepare_batch(batch, workers, multi)
             t_prep += _time.time() - ts
             if pending is not None:
                 finish(pending)

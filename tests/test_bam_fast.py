@@ -296,3 +296,41 @@ def test_fast_require_pair_all_junk_batch(tmp_path):
     )
     slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
     assert fast == slow
+
+
+def test_fast_multi_library_single_pass(tmp_path):
+    """Two libraries through one process_fast call (stacked single-pass
+    device launches) match the slow pipeline's per-library outputs."""
+    feats1, ref1, idx1 = _workload(seed=31)
+    feats2, ref2, idx2 = _workload(seed=32, n_features=6, feat_len=260)
+    bam = str(tmp_path / "in.bam")
+    # reads drawn from BOTH libraries' features
+    make_synthetic_bam(bam, feats1 + feats2, n_groups=6, pairs_per_group=3,
+                       read_len=80, seed=31, mutate_every=4)
+    cfg1 = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    cfg2 = AlignFilterConfig(
+        reference_genome_size=12, score_percent=0.3, score_threshold=45,
+        num_mismatches=0, max_hits_to_report=8,
+    )
+
+    import gzip
+
+    slow_outs = [str(tmp_path / f"slow{i}.tsv.gz") for i in range(2)]
+    fast_outs = [str(tmp_path / f"fast{i}.tsv.gz") for i in range(2)]
+    with contextlib.redirect_stdout(io.StringIO()):
+        bam_pipeline.process(
+            [bam], [HostAlignEngine(idx1, cfg1), HostAlignEngine(idx2, cfg2)],
+            [ref1, ref2], [cfg1, cfg2], slow_outs, 2, False,
+            parity_quirks=True,
+        )
+        process_fast(
+            [bam],
+            [DeviceAlignEngine(idx1, cfg1), DeviceAlignEngine(idx2, cfg2)],
+            [ref1, ref2], [cfg1, cfg2], fast_outs, 2, False,
+            parity_quirks=True,
+        )
+    for s, f in zip(slow_outs, fast_outs):
+        assert gzip.open(f, "rb").read() == gzip.open(s, "rb").read()
