@@ -164,10 +164,9 @@ def main(argv: List[str] | None = None) -> int:
     elif is_bam:
         print("Processing as BAM file")
         from nimble_tpu import native
-        from nimble_tpu.models.aligner import DeviceAlignEngine
 
         use_fast = native.available() and all(
-            isinstance(e, DeviceAlignEngine) for e in engines
+            hasattr(e, "full_dispatch") for e in engines
         )
         if use_fast:
             # columnar fast path: byte-identical output (tests/test_bam_fast)

@@ -245,6 +245,94 @@ class MeshAlignEngine:
             c += 1
         return sorted(set(rows))
 
+    # --- full interface (BAM fast path) ----------------------------------
+
+    EQ_ROW_PAD = np.int64(2**62)
+
+    from nimble_tpu.config import FILTER_REASON_CODE as _REASON_CODE
+
+    def decode_rows_padded(self, keys: np.ndarray, valid=None) -> np.ndarray:
+        from nimble_tpu.models.aligner import DeviceAlignEngine
+
+        if self._delegate is not None:
+            return self._delegate.decode_rows_padded(keys, valid)
+        return DeviceAlignEngine.decode_rows_padded(self, keys, valid)
+
+    def _decode_counts(self, keys: np.ndarray, valid: np.ndarray) -> np.ndarray:
+        from nimble_tpu.models.aligner import DeviceAlignEngine
+
+        return DeviceAlignEngine._decode_counts(self, keys, valid)
+
+    def full_dispatch(self, mat: np.ndarray, lens: np.ndarray,
+                      active: np.ndarray):
+        """Full-output dispatch on the mesh (the BAM consumer's alignment):
+        same launch discipline as :meth:`compact_dispatch`; the sharded
+        step's packed (B, 3) result carries score/mismatches in col 2, so
+        one step serves both interfaces."""
+        if self._delegate is not None:
+            return ("dlg", self._delegate.full_dispatch(mat, lens, active))
+        n = mat.shape[0]
+        lens = np.asarray(lens, dtype=np.int32)
+        act = np.asarray(active, dtype=bool)
+        host_rescue = act & (lens > self.buckets[-1])
+        eligible = act & (lens >= MIN_READ_LENGTH) & ~host_rescue
+        launches = []
+        if eligible.any():
+            # zero codes beyond the (trimmed) length: the packed entropy
+            # gate assumes zero padding
+            mat_z = np.where(
+                np.arange(mat.shape[1], dtype=np.int32)[None, :]
+                < lens[:, None],
+                mat, 0,
+            ).astype(np.int8, copy=False)
+            bucket_arr = np.asarray(self.buckets)
+            bucket_idx = np.searchsorted(bucket_arr, lens)
+            for bi in np.unique(bucket_idx[eligible]):
+                bucket = int(bucket_arr[bi])
+                sel = np.flatnonzero(eligible & (bucket_idx == bi))
+                m = len(sel)
+                lb = self.launch_batch
+                B = self._batch_size(m) if m <= lb else ((m + lb - 1) // lb) * lb
+                buf = self._pack(mat_z[sel], lens[sel], bucket, B)
+                step = self._step_for(bucket)
+                s_min = self._s_min_dev(bucket)
+                if B <= lb:
+                    outs = [step(buf, *self._dev, s_min)]
+                else:
+                    outs = [
+                        step(buf[i : i + lb], *self._dev, s_min)
+                        for i in range(0, B, lb)
+                    ]
+                launches.append((sel, m, outs, buf, bucket))
+        return {"n": n, "mat": mat, "lens": lens, "active": act,
+                "host_rescue": host_rescue, "launches": launches}
+
+    def full_collect(self, state):
+        """Fetch + exact host gates (borrows DeviceAlignEngine.full_collect
+        after translating the sharded flag layout to the full layout)."""
+        from nimble_tpu.models.aligner import DeviceAlignEngine
+
+        if isinstance(state, tuple) and state[0] == "dlg":
+            return self._delegate.full_collect(state[1])
+        launches = []
+        for sel, m, outs, buf, bucket in state["launches"]:
+            raw = np.asarray(
+                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+            )
+            col1 = raw[:, 1]
+            # sharded: mask | passed<<16 | needs_host<<17 | has_anchor<<18
+            # full:    mask | has_anchor<<16 | overflow<<17
+            full_col1 = (
+                (col1 & 0xFFFF)
+                | (((col1 >> 18) & 1) << 16)
+                | (((col1 >> 17) & 1) << 17)
+            )
+            conv = np.stack([raw[:, 0], full_col1, raw[:, 2]], axis=1)
+            launches.append((sel, m, [conv], buf, bucket))
+        lib_state = dict(state)
+        lib_state["launches"] = launches
+        return DeviceAlignEngine.full_collect(self, lib_state)
+
     # --- forensic interface ------------------------------------------------
 
     def align_batch(self, seqs: Sequence[Optional[np.ndarray]]):

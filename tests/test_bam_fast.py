@@ -334,3 +334,40 @@ def test_fast_multi_library_single_pass(tmp_path):
         )
     for s, f in zip(slow_outs, fast_outs):
         assert gzip.open(f, "rb").read() == gzip.open(s, "rb").read()
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (1, 1)])
+def test_fast_bam_on_mesh_engine(tmp_path, mesh_shape):
+    """The columnar fast BAM pipeline over MeshAlignEngine (sharded full
+    kernel / degenerate delegate) is byte-identical to the slow pipeline."""
+    import gzip
+
+    import jax
+
+    from nimble_tpu.models.mesh_aligner import MeshAlignEngine
+
+    if len(jax.devices()) < mesh_shape[0] * mesh_shape[1]:
+        pytest.skip("needs virtual device mesh")
+    feats, reference, index = _workload(seed=21)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(bam, feats, n_groups=6, pairs_per_group=3,
+                       read_len=80, seed=21, mutate_every=4)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    mesh = jax.make_mesh(mesh_shape, ("data", "model"))
+    mesh_engine = MeshAlignEngine(index, cfg, mesh=mesh)
+
+    slow_out = str(tmp_path / "slow.tsv.gz")
+    fast_out = str(tmp_path / "fast.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        bam_pipeline.process(
+            [bam], [HostAlignEngine(index, cfg)], [reference], [cfg],
+            [slow_out], 2, False, parity_quirks=True,
+        )
+        process_fast(
+            [bam], [mesh_engine], [reference], [cfg], [fast_out], 2, False,
+            parity_quirks=True,
+        )
+    assert gzip.open(fast_out, "rb").read() == gzip.open(slow_out, "rb").read()
