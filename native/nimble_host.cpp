@@ -166,6 +166,55 @@ int64_t nimble_fastq_scan(const uint8_t* buf, int64_t n,
     return count;
 }
 
+// Streaming variant: stops at the last COMPLETE record and reports the
+// bytes consumed, so callers can scan fixed-size blocks and carry the
+// partial tail.  A record is complete when its quality line is
+// newline-terminated (or is_final).  Malformed records (non-'@' header,
+// non-'+' separator on a complete line, or a truncated final record)
+// return -1 — the reference's "Unable to read sequence".
+int64_t nimble_fastq_scan2(const uint8_t* buf, int64_t n, int32_t is_final,
+                           int64_t* seq_offsets, int64_t* seq_lens,
+                           int64_t max_records, int64_t* consumed) {
+    int64_t pos = 0, count = 0;
+    *consumed = 0;
+    while (pos < n && count < max_records) {
+        int64_t hs, hl;
+        int64_t p = next_line(buf, n, pos, &hs, &hl);
+        if (p < 0) break;
+        bool h_term = p < n || buf[n - 1] == '\n';
+        if (hl == 0) {
+            if (!h_term && !is_final) break;  // partial blank tail
+            pos = p;
+            *consumed = pos;
+            continue;
+        }
+        if (buf[hs] != '@') return -1;  // record starts are exact: malformed
+        int64_t ss, sl;
+        int64_t p2 = next_line(buf, n, p, &ss, &sl);
+        if (p2 < 0) { if (is_final) return -1; break; }
+        int64_t ps, plen;
+        int64_t p3 = next_line(buf, n, p2, &ps, &plen);
+        if (p3 < 0) { if (is_final) return -1; break; }
+        bool p_term = p3 < n || buf[n - 1] == '\n';
+        if (p_term || is_final) {
+            if (plen == 0 || buf[ps] != '+') return -1;
+        } else {
+            break;  // separator line may be truncated: carry
+        }
+        int64_t qs, ql;
+        int64_t p4 = next_line(buf, n, p3, &qs, &ql);
+        if (p4 < 0) { if (is_final) return -1; break; }
+        bool q_term = p4 < n || buf[n - 1] == '\n';
+        if (!q_term && !is_final) break;  // quality may be truncated: carry
+        seq_offsets[count] = ss;
+        seq_lens[count] = sl;
+        ++count;
+        pos = p4;
+        *consumed = pos;
+    }
+    return count;
+}
+
 // ---------------------------------------------------------------------------
 // k-mer key extraction: packed 2-bit base-major keys, one per position.
 // ---------------------------------------------------------------------------

@@ -67,6 +67,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: List[str] | None = None) -> int:
+    import os
+
+    # persistent XLA compilation cache: on remote-TPU backends a fresh
+    # executable costs tens of seconds to minutes, and the kernel shapes
+    # are fixed per (library, bucket) — cache across runs
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          "/tmp/nimble_tpu_jax_cache")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
     args = build_parser().parse_args(argv)
 
     strand_filter = LibraryChemistry.from_cli(args.strand_filter)

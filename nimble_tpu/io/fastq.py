@@ -64,22 +64,73 @@ def read_fastq_codes(path: str) -> List[np.ndarray]:
     return list(iter_fastq_codes(path))
 
 
+def _matrix_from_scan(buf, offsets, lens):
+    """Vectorized padded (N, Lmax) fill from scanned record spans."""
+    from nimble_tpu import native
+
+    codes = native.encode_bases_bulk(buf)
+    n = len(offsets)
+    lmax = int(lens.max()) if n else 1
+    mat = np.zeros((n, max(lmax, 1)), dtype=np.int8)
+    total = int(lens.sum())
+    cum = np.cumsum(lens) - lens
+    flat_idx = np.repeat(offsets - cum, lens) + np.arange(total, dtype=np.int64)
+    valid = np.arange(mat.shape[1], dtype=np.int64)[None, :] < lens[:, None]
+    mat[valid] = codes[flat_idx]
+    return mat, lens.astype(np.int32)
+
+
 def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
-    """Yield (codes_matrix, lengths) chunks of up to ``chunk_reads`` records.
+    """Yield (codes_matrix, lengths) chunks of ~``chunk_reads`` records.
 
     Streaming form of :func:`read_fastq_matrix` for inputs too large to hold
-    as one matrix.
+    as one matrix.  Native fast path: fixed-size blocks scanned by the C++
+    record scanner (complete records committed, partial tail carried) and
+    filled vectorized — no per-record Python work.
     """
-    from nimble_tpu.core.fast_count import pack_matrix
+    from nimble_tpu import native
 
-    batch = []
-    for codes in iter_fastq_codes(path):
-        batch.append(codes)
-        if len(batch) >= chunk_reads:
+    if not native.available():
+        from nimble_tpu.core.fast_count import pack_matrix
+
+        batch = []
+        for codes in iter_fastq_codes(path):
+            batch.append(codes)
+            if len(batch) >= chunk_reads:
+                yield pack_matrix(batch)
+                batch = []
+        if batch:
             yield pack_matrix(batch)
-            batch = []
-    if batch:
-        yield pack_matrix(batch)
+        return
+
+    with _open_maybe_gzip(path) as f:
+        tail = b""
+        eof = False
+        est = 256.0  # bytes/record estimate, refined from the first block
+        while True:
+            if not eof:
+                want = max(int(chunk_reads * est) - len(tail), 1 << 16)
+                data = f.read(want)
+                if len(data) < want:
+                    eof = True
+                buf = tail + data if tail else data
+            else:
+                buf = tail
+            if not buf:
+                return
+            offsets, lens, consumed = native.fastq_scan2(
+                buf, eof, len(buf) // 5 + 1
+            )
+            tail = buf[consumed:]
+            if len(offsets) == 0:
+                if eof:
+                    return  # only blanks remained (scan2 raised if malformed)
+                est *= 2  # record larger than the block: grow and retry
+                continue
+            est = max(consumed / len(offsets), 16.0)
+            yield _matrix_from_scan(buf, offsets, lens)
+            if eof and not tail:
+                return
 
 
 def read_fastq_matrix(path: str):
@@ -105,10 +156,4 @@ def read_fastq_matrix(path: str):
         return pack_matrix(read_fastq_codes(path))
 
     offsets, lens = scanned
-    codes = native.encode_bases_bulk(buf)
-    n = len(offsets)
-    lmax = int(lens.max()) if n else 1
-    mat = np.zeros((n, max(lmax, 1)), dtype=np.int8)
-    for i in range(n):
-        mat[i, : lens[i]] = codes[offsets[i] : offsets[i] + lens[i]]
-    return mat, lens.astype(np.int32)
+    return _matrix_from_scan(buf, offsets, lens)

@@ -138,6 +138,12 @@ class DeviceAlignEngine:
         # batch dimension, so launches are capped at ONE fixed shape per
         # bucket (sub-batches pipeline; dispatch is async)
         self.launch_batch = int(launch_batch)
+        # on accelerators, small batches pad UP to the launch shape: each
+        # extra executable shape costs tens of seconds of tunnel compile,
+        # vs ~ms of wasted lanes (CPU tests keep the cheap pow2 sizing)
+        import jax as _jax
+
+        self._pad_launches = _jax.default_backend() != "cpu"
         self.use_pallas_walk = bool(use_pallas_walk)
         if self.use_pallas_walk:
             # Pallas tiles need 128-aligned read batches
@@ -244,6 +250,19 @@ class DeviceAlignEngine:
         self._s_min_cache[key] = table
         return table
 
+    def _launch_B(self, m: int) -> int:
+        """Padded batch size for an m-read launch.
+
+        Accelerator backends round UP to the fixed launch_batch shape (one
+        executable per bucket — every extra shape costs a tunnel compile
+        measured in tens of seconds); CPU keeps the cheap pow2 sizing."""
+        lb = self.launch_batch
+        if m > lb:
+            return ((m + lb - 1) // lb) * lb
+        if self._pad_launches:
+            return lb
+        return min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
+
     @staticmethod
     def _pack_reads(mat: np.ndarray, lens: np.ndarray, bucket: int,
                     B: int) -> np.ndarray:
@@ -301,10 +320,7 @@ class DeviceAlignEngine:
                 # as separate async launches instead), then ONE fetch of
                 # the device-concatenated results in compact_collect.
                 lb = self.launch_batch
-                if m <= lb:
-                    B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
-                else:
-                    B = ((m + lb - 1) // lb) * lb
+                B = self._launch_B(m)
                 buf = self._pack_reads(bmat, blens, bucket, B)
                 n_sub = (B + lb - 1) // lb
                 buf_dev = jnp.asarray(buf.reshape(n_sub, min(B, lb), buf.shape[1]))
@@ -412,10 +428,7 @@ class DeviceAlignEngine:
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
                 m = len(sel)
                 lb = self.launch_batch
-                if m <= lb:
-                    B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
-                else:
-                    B = ((m + lb - 1) // lb) * lb
+                B = self._launch_B(m)
                 buf = self._pack_reads(mat_z[sel], lens[sel], bucket, B)
                 n_sub = (B + lb - 1) // lb
                 buf_dev = jnp.asarray(

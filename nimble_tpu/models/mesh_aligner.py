@@ -140,6 +140,18 @@ class MeshAlignEngine:
             B *= 2
         return B
 
+    def _launch_B(self, m: int) -> int:
+        """Padded batch size (DeviceAlignEngine._launch_B discipline: on
+        accelerators every launch uses the fixed launch_batch shape)."""
+        lb = self.launch_batch
+        if m > lb:
+            return ((m + lb - 1) // lb) * lb
+        import jax as _jax
+
+        if _jax.default_backend() != "cpu":
+            return lb
+        return min(self._batch_size(m), lb)
+
     @property
     def launch_batch(self) -> int:
         """Fixed sub-launch size: one compile per bucket on real hardware
@@ -172,10 +184,7 @@ class MeshAlignEngine:
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
                 lb = self.launch_batch
-                if m <= lb:
-                    B = self._batch_size(m)
-                else:
-                    B = ((m + lb - 1) // lb) * lb
+                B = self._launch_B(m)
                 buf = self._pack(bmat, blens, bucket, B)
                 step = self._step_for(bucket)
                 s_min = self._s_min_dev(bucket)
@@ -292,7 +301,7 @@ class MeshAlignEngine:
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
                 m = len(sel)
                 lb = self.launch_batch
-                B = self._batch_size(m) if m <= lb else ((m + lb - 1) // lb) * lb
+                B = self._launch_B(m)
                 buf = self._pack(mat_z[sel], lens[sel], bucket, B)
                 step = self._step_for(bucket)
                 s_min = self._s_min_dev(bucket)
@@ -370,7 +379,7 @@ class MeshAlignEngine:
         for bucket, idxs in by_bucket.items():
             m = len(idxs)
             lb = self.launch_batch
-            B = self._batch_size(m) if m <= lb else ((m + lb - 1) // lb) * lb
+            B = self._launch_B(m)
             reads = np.zeros((B, bucket), dtype=np.int8)
             blens = np.zeros(B, dtype=np.int32)
             for j, i in enumerate(idxs):

@@ -150,10 +150,7 @@ class MultiLibraryDispatcher:
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
                 lb = self.launch_batch
-                if m <= lb:
-                    Btot = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
-                else:
-                    Btot = ((m + lb - 1) // lb) * lb
+                Btot = self.engines[0]._launch_B(m)
                 buf = DeviceAlignEngine._pack_reads(bmat, blens, bucket, Btot)
                 n_sub = (Btot + lb - 1) // lb
                 buf_dev = jnp.asarray(
@@ -218,10 +215,7 @@ class MultiLibraryDispatcher:
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
                 m = len(sel)
                 lb = self.launch_batch
-                if m <= lb:
-                    B = min(max(self.min_batch, 1 << (m - 1).bit_length()), lb)
-                else:
-                    B = ((m + lb - 1) // lb) * lb
+                B = self.engines[0]._launch_B(m)
                 buf = DeviceAlignEngine._pack_reads(
                     mat_z[sel], lens[sel], bucket, B
                 )

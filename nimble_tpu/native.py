@@ -43,6 +43,11 @@ def _load():
             lib.nimble_fastq_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64]
+            lib.nimble_fastq_scan2.restype = ctypes.c_int64
+            lib.nimble_fastq_scan2.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p]
             lib.nimble_extract_kmer_keys.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
             lib.nimble_build_hash_table.restype = ctypes.c_int32
@@ -144,6 +149,28 @@ def fastq_scan(buf: bytes, max_records: int) -> tuple[np.ndarray, np.ndarray] | 
     if n < 0:
         raise ValueError("Unable to read sequence")
     return offsets[:n], lens[:n]
+
+
+def fastq_scan2(buf: bytes, is_final: bool, max_records: int):
+    """Streaming FASTQ scan: (seq_offsets, seq_lens, consumed_bytes) over the
+    COMPLETE records in ``buf``; the caller carries ``buf[consumed:]`` into
+    the next block.  None if native absent; raises the reference's
+    ValueError on malformed input."""
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    offsets = np.empty(max_records, dtype=np.int64)
+    lens = np.empty(max_records, dtype=np.int64)
+    consumed = np.zeros(1, dtype=np.int64)
+    n = lib.nimble_fastq_scan2(
+        arr.ctypes.data, len(arr), 1 if is_final else 0,
+        offsets.ctypes.data, lens.ctypes.data, max_records,
+        consumed.ctypes.data,
+    )
+    if n < 0:
+        raise ValueError("Unable to read sequence")
+    return offsets[:n], lens[:n], int(consumed[0])
 
 
 def extract_kmer_keys(codes: np.ndarray, k: int) -> np.ndarray | None:

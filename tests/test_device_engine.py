@@ -121,3 +121,40 @@ def test_device_matches_host_randomized():
         reads.append(encode_bases(frag))
 
     assert_same_results(host.align_batch(reads), dev.align_batch(reads))
+
+
+def test_padded_launch_shape_matches_pow2():
+    """Accelerator launch padding (B -> launch_batch for small batches) must
+    not change results — compare an engine forced to pad against default."""
+    import numpy as np
+
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.core.fast_count import pack_matrix
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.utils.dna import encode_bases, revcomp
+
+    rng = np.random.default_rng(3)
+    feats = ["".join(rng.choice(list("ACGT"), size=200)) for _ in range(4)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    cfg = AlignFilterConfig(
+        reference_genome_size=8, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    index = build_index(doubled)
+    e_pow2 = DeviceAlignEngine(index, cfg)
+    e_pad = DeviceAlignEngine(index, cfg)
+    e_pad._pad_launches = True
+
+    reads = [encode_bases(feats[i % 4][10:80]) for i in range(7)]
+    mat, lens = pack_matrix(reads)
+    a = e_pow2.align_raw_compact_from_matrix(mat, lens)
+    b = e_pad.align_raw_compact_from_matrix(mat, lens)
+    for key in ("astart", "mask", "passed", "needs_host"):
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
+
+    act = np.ones(7, dtype=bool)
+    fa = e_pow2.full_collect(e_pow2.full_dispatch(mat, lens, act))
+    fb = e_pad.full_collect(e_pad.full_dispatch(mat, lens, act))
+    for key in ("reason", "norm", "score"):
+        np.testing.assert_array_equal(fa[key], fb[key], err_msg=key)

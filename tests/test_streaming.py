@@ -90,3 +90,97 @@ def test_dispatch_pipeline_paired_equals_oneshot():
     for h in handles:
         counter.process(h)
     assert counter.finalize() == oneshot
+
+
+# --- native streaming FASTQ reader (block scan + vectorized fill) ---------
+
+def _python_chunks(path, chunk_reads):
+    """The pure-Python reference path for iter_fastq_matrix_chunks."""
+    from nimble_tpu.core.fast_count import pack_matrix
+    from nimble_tpu.io.fastq import iter_fastq_codes
+
+    batch = []
+    for codes in iter_fastq_codes(path):
+        batch.append(codes)
+    out = []
+    for s in range(0, len(batch), chunk_reads):
+        out.append(pack_matrix(batch[s : s + chunk_reads]))
+    return batch, out
+
+
+def _all_reads(chunks):
+    reads = []
+    for mat, lens in chunks:
+        for i in range(mat.shape[0]):
+            reads.append(mat[i, : lens[i]].tolist())
+    return reads
+
+
+def test_native_chunk_reader_matches_python(tmp_path):
+    """Block-scanned chunks cover exactly the Python reader's records, in
+    order, across block boundaries / variable lengths / blank lines."""
+    import gzip
+
+    from nimble_tpu import native
+    from nimble_tpu.io.fastq import iter_fastq_matrix_chunks
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library required")
+    rng = np.random.default_rng(7)
+    path = str(tmp_path / "r.fastq")
+    with open(path, "w") as f:
+        for i in range(997):
+            L = int(rng.integers(30, 151))
+            seq = "".join(rng.choice(list("ACGTN"), size=L))
+            f.write(f"@r{i} extra words\n{seq}\n+\n{'I' * L}\n")
+            if i % 101 == 0:
+                f.write("\n")  # blank-line tolerance
+    expected, _ = _python_chunks(path, 64)
+    got = _all_reads(iter_fastq_matrix_chunks(path, 64))
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g == e.tolist()
+
+    # gzip input through the same path
+    gz = str(tmp_path / "r.fastq.gz")
+    with open(path, "rb") as src, gzip.open(gz, "wb") as dst:
+        dst.write(src.read())
+    got_gz = _all_reads(iter_fastq_matrix_chunks(gz, 64))
+    assert got_gz == got
+
+
+def test_native_chunk_reader_no_trailing_newline(tmp_path):
+    from nimble_tpu import native
+    from nimble_tpu.io.fastq import iter_fastq_matrix_chunks
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library required")
+    path = str(tmp_path / "nt.fastq")
+    with open(path, "w") as f:
+        f.write("@a\nACGTACGT\n+\nIIIIIIII\n@b\nTTTTCCCC\n+\nIIIIIIII")
+    reads = _all_reads(iter_fastq_matrix_chunks(path, 10))
+    assert len(reads) == 2 and len(reads[1]) == 8
+
+
+def test_native_chunk_reader_malformed_raises(tmp_path):
+    import pytest
+
+    from nimble_tpu import native
+    from nimble_tpu.io.fastq import iter_fastq_matrix_chunks
+
+    if not native.available():
+        pytest.skip("native library required")
+    bad = str(tmp_path / "bad.fastq")
+    with open(bad, "w") as f:
+        f.write("@a\nACGT\nNOPLUS\nIIII\n")
+    with pytest.raises(ValueError, match="Unable to read sequence"):
+        list(iter_fastq_matrix_chunks(bad, 10))
+    trunc = str(tmp_path / "trunc.fastq")
+    with open(trunc, "w") as f:
+        f.write("@a\nACGT\n+\nIIII\n@b\nACGT\n")  # record cut after seq
+    with pytest.raises(ValueError, match="Unable to read sequence"):
+        list(iter_fastq_matrix_chunks(trunc, 10))
