@@ -215,6 +215,16 @@ int64_t nimble_fastq_scan2(const uint8_t* buf, int64_t n, int32_t is_final,
     return count;
 }
 
+// Padded (n, W) matrix fill from scanned record spans: row i copies
+// codes[offsets[i] .. +lens[i]] (zero padding preset by the caller).
+void nimble_fill_matrix(const int8_t* codes, const int64_t* offsets,
+                        const int64_t* lens, int64_t n, int64_t W,
+                        int8_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        std::memcpy(out + i * W, codes + offsets[i], (size_t)lens[i]);
+    }
+}
+
 // ---------------------------------------------------------------------------
 // k-mer key extraction: packed 2-bit base-major keys, one per position.
 // ---------------------------------------------------------------------------

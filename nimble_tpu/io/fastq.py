@@ -65,18 +65,12 @@ def read_fastq_codes(path: str) -> List[np.ndarray]:
 
 
 def _matrix_from_scan(buf, offsets, lens):
-    """Vectorized padded (N, Lmax) fill from scanned record spans."""
+    """Padded (N, Lmax) fill from scanned record spans (C++ memcpy rows)."""
     from nimble_tpu import native
 
     codes = native.encode_bases_bulk(buf)
-    n = len(offsets)
-    lmax = int(lens.max()) if n else 1
-    mat = np.zeros((n, max(lmax, 1)), dtype=np.int8)
-    total = int(lens.sum())
-    cum = np.cumsum(lens) - lens
-    flat_idx = np.repeat(offsets - cum, lens) + np.arange(total, dtype=np.int64)
-    valid = np.arange(mat.shape[1], dtype=np.int64)[None, :] < lens[:, None]
-    mat[valid] = codes[flat_idx]
+    lmax = int(lens.max()) if len(lens) else 1
+    mat = native.fill_matrix(codes, offsets, lens, lmax)
     return mat, lens.astype(np.int32)
 
 

@@ -48,6 +48,9 @@ def _load():
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p]
+            lib.nimble_fill_matrix.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
             lib.nimble_extract_kmer_keys.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
             lib.nimble_build_hash_table.restype = ctypes.c_int32
@@ -149,6 +152,24 @@ def fastq_scan(buf: bytes, max_records: int) -> tuple[np.ndarray, np.ndarray] | 
     if n < 0:
         raise ValueError("Unable to read sequence")
     return offsets[:n], lens[:n]
+
+
+def fill_matrix(codes: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
+                W: int) -> "np.ndarray | None":
+    """Padded (n, W) int8 matrix from record spans (memcpy rows); None when
+    native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(offsets)
+    out = np.zeros((n, max(W, 1)), dtype=np.int8)
+    lib.nimble_fill_matrix(
+        np.ascontiguousarray(codes, dtype=np.int8).ctypes.data,
+        np.ascontiguousarray(offsets, dtype=np.int64).ctypes.data,
+        np.ascontiguousarray(lens, dtype=np.int64).ctypes.data,
+        n, out.shape[1], out.ctypes.data,
+    )
+    return out
 
 
 def fastq_scan2(buf: bytes, is_final: bool, max_records: int):
