@@ -64,6 +64,31 @@ for _b in range(256):
         _PACKED_COUNT_LUT[_b, (_b >> _s) & 3] += 1
 
 
+_TUNNEL_WARMED = False
+
+
+def warm_transfer_path() -> None:
+    """Absorb the backend's FIRST device->host fetch on a background thread.
+
+    Remote-TPU tunnels charge a fixed ~60 s setup on the first fetch of a
+    process (size-independent; uploads are cheap).  Warming it at engine
+    construction overlaps the setup with host-side ingest instead of
+    stalling the first result fetch.  One-shot per process."""
+    global _TUNNEL_WARMED
+    if _TUNNEL_WARMED:
+        return
+    _TUNNEL_WARMED = True
+    import threading
+
+    def _warm():
+        try:
+            np.asarray(jnp.zeros(8))
+        except Exception:
+            pass
+
+    threading.Thread(target=_warm, daemon=True).start()
+
+
 def entropy_pass_packed(buf: np.ndarray, m: int, lens: np.ndarray,
                         nb: int) -> np.ndarray:
     """Exact-f64 Shannon-entropy gate from a packed read buffer.
@@ -144,6 +169,8 @@ class DeviceAlignEngine:
         import jax as _jax
 
         self._pad_launches = _jax.default_backend() != "cpu"
+        if self._pad_launches:
+            warm_transfer_path()
         self.use_pallas_walk = bool(use_pallas_walk)
         if self.use_pallas_walk:
             # Pallas tiles need 128-aligned read batches
