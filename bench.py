@@ -249,6 +249,14 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
     import jax
 
+    # env vars are captured at jax import (which images may preload):
+    # apply the cache config directly as well
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from nimble_tpu.core.fast_count import FastCounter, fast_count_calls_matrix
     from nimble_tpu.models.aligner import DeviceAlignEngine
 

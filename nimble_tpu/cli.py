@@ -67,15 +67,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv: List[str] | None = None) -> int:
-    import os
-
     # persistent XLA compilation cache: on remote-TPU backends a fresh
     # executable costs tens of seconds to minutes, and the kernel shapes
-    # are fixed per (library, bucket) — cache across runs
-    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+    # are fixed per (library, bucket) — cache across runs.  Set through
+    # jax.config (env vars are captured at jax import, which images may
+    # preload before main() runs)
+    import jax
+
+    if not jax.config.jax_compilation_cache_dir:
+        jax.config.update("jax_compilation_cache_dir",
                           "/tmp/nimble_tpu_jax_cache")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
     args = build_parser().parse_args(argv)
 
@@ -145,8 +148,15 @@ def main(argv: List[str] | None = None) -> int:
     print("Loading read sequences and aligning")
     if distributed and is_bam:
         print("Processing as BAM file (multi-host)")
+        from nimble_tpu import native
         from nimble_tpu.parallel import multihost
 
+        if not (native.available()
+                and all(hasattr(e, "full_dispatch") for e in engines)):
+            raise SystemExit(
+                "multi-host BAM mode requires the native library and a "
+                "device/mesh engine (got --engine host or no native build)"
+            )
         multihost.process_bam_multihost(
             input_files[0], engines, references, aligner_configs,
             output_paths, args.force_bam_paired,

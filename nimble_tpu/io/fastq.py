@@ -75,12 +75,17 @@ def _matrix_from_scan(buf, offsets, lens):
 
 
 def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
-    """Yield (codes_matrix, lengths) chunks of ~``chunk_reads`` records.
+    """Yield (codes_matrix, lengths) chunks of EXACTLY ``chunk_reads``
+    records (final chunk smaller).
+
+    The exact chunk size is a contract: paired-end pipelines zip the R1 and
+    R2 chunk iterators in lockstep, so both files must chunk at identical
+    record counts regardless of record byte sizes.
 
     Streaming form of :func:`read_fastq_matrix` for inputs too large to hold
-    as one matrix.  Native fast path: fixed-size blocks scanned by the C++
-    record scanner (complete records committed, partial tail carried) and
-    filled vectorized — no per-record Python work.
+    as one matrix.  Native fast path: fixed-size byte blocks scanned by the
+    C++ record scanner (complete records committed, partial tail carried)
+    and filled with memcpy rows — no per-record Python work.
     """
     from nimble_tpu import native
 
@@ -97,34 +102,68 @@ def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
             yield pack_matrix(batch)
         return
 
+    # pending scanned-but-unemitted records: (codes, offsets, lens) segments
+    segments: list = []
+    pend = 0
+
+    def emit(n: int):
+        nonlocal pend
+        take = []
+        need = n
+        while need:
+            codes, offs, ls = segments[0]
+            if len(offs) <= need:
+                take.append(segments.pop(0))
+                need -= len(offs)
+            else:
+                take.append((codes, offs[:need], ls[:need]))
+                segments[0] = (codes, offs[need:], ls[need:])
+                need = 0
+        pend -= n
+        all_lens = np.concatenate([t[2] for t in take])
+        lmax = int(all_lens.max()) if n else 1
+        mat = np.zeros((n, max(lmax, 1)), dtype=np.int8)
+        row = 0
+        for codes, offs, ls in take:
+            native.fill_matrix(codes, offs, ls, lmax, out=mat, row0=row)
+            row += len(offs)
+        return mat, all_lens.astype(np.int32)
+
     with _open_maybe_gzip(path) as f:
         tail = b""
         eof = False
         est = 256.0  # bytes/record estimate, refined from the first block
         while True:
-            if not eof:
-                want = max(int(chunk_reads * est) - len(tail), 1 << 16)
-                data = f.read(want)
-                if len(data) < want:
-                    eof = True
-                buf = tail + data if tail else data
-            else:
-                buf = tail
-            if not buf:
+            while pend < chunk_reads and not (eof and not tail):
+                if not eof:
+                    want = max(
+                        int((chunk_reads - pend) * est) - len(tail), 1 << 16
+                    )
+                    data = f.read(want)
+                    if len(data) < want:
+                        eof = True
+                    buf = tail + data if tail else data
+                else:
+                    buf = tail
+                if not buf:
+                    break
+                offsets, lens, consumed = native.fastq_scan2(
+                    buf, eof, len(buf) // 5 + 1
+                )
+                tail = buf[consumed:]
+                if len(offsets) == 0:
+                    if eof and not tail:
+                        break  # only blanks (scan2 raised if malformed)
+                    est *= 2  # record larger than the block: grow and retry
+                    continue
+                est = max(consumed / len(offsets), 16.0)
+                segments.append(
+                    (native.encode_bases_bulk(buf), offsets, lens)
+                )
+                pend += len(offsets)
+            if pend == 0:
                 return
-            offsets, lens, consumed = native.fastq_scan2(
-                buf, eof, len(buf) // 5 + 1
-            )
-            tail = buf[consumed:]
-            if len(offsets) == 0:
-                if eof:
-                    return  # only blanks remained (scan2 raised if malformed)
-                est *= 2  # record larger than the block: grow and retry
-                continue
-            est = max(consumed / len(offsets), 16.0)
-            yield _matrix_from_scan(buf, offsets, lens)
-            if eof and not tail:
-                return
+            yield emit(min(pend, chunk_reads))
 
 
 def read_fastq_matrix(path: str):

@@ -76,6 +76,7 @@ class MeshAlignEngine:
         self.mesh = mesh
         self.data_shards = mesh.shape["data"]
         model_shards = mesh.shape["model"]
+        self._pad_launches = jax.default_backend() != "cpu"
 
         # degenerate 1x1 mesh: single chip, no partitioning — delegate to
         # the single-chip engine so no shard_map/collective machinery is
@@ -146,9 +147,7 @@ class MeshAlignEngine:
         lb = self.launch_batch
         if m > lb:
             return ((m + lb - 1) // lb) * lb
-        import jax as _jax
-
-        if _jax.default_backend() != "cpu":
+        if self._pad_launches:
             return lb
         return min(self._batch_size(m), lb)
 

@@ -155,19 +155,24 @@ def fastq_scan(buf: bytes, max_records: int) -> tuple[np.ndarray, np.ndarray] | 
 
 
 def fill_matrix(codes: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
-                W: int) -> "np.ndarray | None":
+                W: int, out: "np.ndarray | None" = None,
+                row0: int = 0) -> "np.ndarray | None":
     """Padded (n, W) int8 matrix from record spans (memcpy rows); None when
-    native is unavailable."""
+    native is unavailable.  With ``out``, fills rows [row0, row0+n) of the
+    given zeroed matrix instead of allocating."""
     lib = _load()
     if lib is None:
         return None
     n = len(offsets)
-    out = np.zeros((n, max(W, 1)), dtype=np.int8)
+    if out is None:
+        out = np.zeros((n, max(W, 1)), dtype=np.int8)
+        row0 = 0
+    dst = out[row0 : row0 + n]
     lib.nimble_fill_matrix(
         np.ascontiguousarray(codes, dtype=np.int8).ctypes.data,
         np.ascontiguousarray(offsets, dtype=np.int64).ctypes.data,
         np.ascontiguousarray(lens, dtype=np.int64).ctypes.data,
-        n, out.shape[1], out.ctypes.data,
+        n, out.shape[1], dst.ctypes.data,
     )
     return out
 

@@ -281,55 +281,76 @@ def process_bam_multihost(
         _LibraryWorker(e, r, c)
         for e, r, c in zip(engines, references, configs)
     ]
-    parts = [f"{p}.part{host_id}" for p in output_paths]
-    files = [_gzip.open(p, "wb", compresslevel=6) for p in parts]
-    if host_id == 0:
-        header = (log_header() + "\n").encode()
-        for f in files:
-            f.write(header)
+    import os
+    import shutil
 
-    # pass 2: align + package only this host's groups (dispatch N+1's
-    # device work before packaging N, like the threaded consumer)
-    g_seen = 0
-    pending = None
-    for b in ColumnarGroupStream(input_path, force_bam_paired).batches(
-        batch_records
-    ):
-        b_lo, b_hi = g_seen, g_seen + b.n_groups
-        g_seen = b_hi
-        if b_hi <= lo or b_lo >= hi:
-            continue
-        sub = b.slice_groups(lo - b_lo, hi - b_lo)
-        if not len(sub):
-            continue
-        ctx = _prepare_batch(sub, workers)
+    # part files open lazily on the first row block (the single-host logger
+    # writes nothing at all — not even the header — for a library with no
+    # rows, `src/process/bam.rs:90-101`; no part file = no content)
+    parts = [f"{p}.part{host_id}" for p in output_paths]
+    files: list = [None] * len(parts)
+    header = (log_header() + "\n").encode()
+
+    def write_rows(i: int, blob: bytes) -> None:
+        if files[i] is None:
+            files[i] = _gzip.open(parts[i], "wb", compresslevel=6)
+        files[i].write(blob)
+
+    try:
+        # pass 2: align + package only this host's groups (dispatch N+1's
+        # device work before packaging N, like the threaded consumer)
+        g_seen = 0
+        pending = None
+        for b in ColumnarGroupStream(input_path, force_bam_paired).batches(
+            batch_records
+        ):
+            b_lo, b_hi = g_seen, g_seen + b.n_groups
+            g_seen = b_hi
+            if b_hi <= lo or b_lo >= hi:
+                continue
+            sub = b.slice_groups(lo - b_lo, hi - b_lo)
+            if not len(sub):
+                continue
+            ctx = _prepare_batch(sub, workers)
+            if pending is not None:
+                for i, rows in enumerate(_finish_batch(pending, workers)):
+                    for blob in rows:
+                        write_rows(i, blob)
+            pending = ctx
         if pending is not None:
             for i, rows in enumerate(_finish_batch(pending, workers)):
                 for blob in rows:
-                    files[i].write(blob)
-        pending = ctx
-    if pending is not None:
-        for i, rows in enumerate(_finish_batch(pending, workers)):
-            for blob in rows:
-                files[i].write(blob)
-    for f in files:
-        f.close()
-
-    barrier(allgather_bytes)
+                    write_rows(i, blob)
+        for f in files:
+            if f is not None:
+                f.close()
+    finally:
+        # reach the rendezvous even on failure so peer hosts don't block
+        # forever in the collective; the exception then propagates
+        barrier(allgather_bytes)
     if host_id == 0:
         for out in output_paths:
-            with open(out, "wb") as dst:
-                for h in range(n_hosts):
-                    with open(f"{out}.part{h}", "rb") as sf:
-                        dst.write(sf.read())
+            # header member iff any host produced rows (single-host parity:
+            # an empty run yields an empty-content gzip, no header)
+            any_rows = any(
+                os.path.exists(f"{out}.part{h}") for h in range(n_hosts)
+            )
+            with _gzip.open(out, "wb", compresslevel=6) as dst_gz:
+                if any_rows:
+                    dst_gz.write(header)
+            if any_rows:
+                with open(out, "ab") as dst:
+                    for h in range(n_hosts):
+                        part = f"{out}.part{h}"
+                        if not os.path.exists(part):
+                            continue
+                        with open(part, "rb") as sf:
+                            shutil.copyfileobj(sf, dst)
             validate_gzip(out)
     barrier(allgather_bytes)
-    import os
-
-    for p in output_paths:
-        part = f"{p}.part{host_id}"
-        if os.path.exists(part):
-            os.remove(part)
+    for p in parts:
+        if os.path.exists(p):
+            os.remove(p)
 
 
 def process_fastq_multihost(

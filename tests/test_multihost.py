@@ -436,3 +436,79 @@ def test_real_two_process_cli_bam(tmp_path):
         assert p.returncode == 0, stderr.decode()[-2000:]
 
     assert gzip.open(mh_out, "rb").read() == expected
+
+
+def test_simulated_two_host_bam_empty_output(tmp_path):
+    """A BAM whose reads hit nothing produces the single-host pipeline's
+    empty-content gzip (no header) in multi-host mode too."""
+    import contextlib
+    import gzip
+    import io
+    import threading
+
+    from nimble_tpu import native
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.io.synth import make_synthetic_bam
+    from nimble_tpu.library import Reference
+    from nimble_tpu.pipeline.bam_fast import process_fast
+    from nimble_tpu.utils.dna import revcomp
+
+    if not native.available():
+        pytest.skip("native library required")
+    rng = np.random.default_rng(23)
+    feats = ["".join(rng.choice(list("ACGT"), size=220)) for _ in range(2)]
+    junk = ["".join(rng.choice(list("ACGT"), size=220)) for _ in range(2)]
+    doubled = [x for s in feats for x in (s, revcomp(s))]
+    names = [n for i in range(2) for n in (f"f{i}", f"f{i}§rev")]
+    reference = Reference(
+        group_on=0, headers=["sequence_name", "sequence"],
+        columns=[names, doubled], sequence_name_idx=0, sequence_idx=1,
+    )
+    cfg = AlignFilterConfig(
+        reference_genome_size=4, score_percent=0.2, score_threshold=40,
+        num_mismatches=0, max_hits_to_report=8,
+    )
+    index = build_index(doubled)
+    bam = str(tmp_path / "junk.bam")
+    make_synthetic_bam(bam, junk, n_groups=4, pairs_per_group=2, read_len=80,
+                       seed=23)
+
+    single_out = str(tmp_path / "single.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        process_fast(
+            [bam], [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+            [single_out], 2, False,
+        )
+    expected = gzip.open(single_out, "rb").read()
+    assert expected == b""  # no rows, no header — the single-host quirk
+
+    bar = threading.Barrier(2, timeout=120)
+
+    def ag_bytes(payload):
+        bar.wait()
+        return [payload, payload]
+
+    mh_out = str(tmp_path / "mh.tsv.gz")
+    errors = []
+
+    def run_host(hid):
+        try:
+            multihost.process_bam_multihost(
+                bam, [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+                [mh_out], False, n_hosts=2, host_id=hid,
+                batch_records=64, allgather_bytes=ag_bytes,
+            )
+        except Exception as e:
+            errors.append(e)
+            try:
+                bar.abort()
+            except Exception:
+                pass
+
+    threads = [threading.Thread(target=run_host, args=(h,)) for h in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    assert gzip.open(mh_out, "rb").read() == expected

@@ -184,3 +184,64 @@ def test_native_chunk_reader_malformed_raises(tmp_path):
         f.write("@a\nACGT\n+\nIIII\n@b\nACGT\n")  # record cut after seq
     with pytest.raises(ValueError, match="Unable to read sequence"):
         list(iter_fastq_matrix_chunks(trunc, 10))
+
+
+def test_native_chunk_reader_exact_chunk_sizes(tmp_path):
+    """Chunks must hold EXACTLY chunk_reads records (final partial) — the
+    paired-end pipelines zip R1/R2 chunk iterators in lockstep, so files
+    with different record byte sizes must chunk at identical counts."""
+    from nimble_tpu import native
+    from nimble_tpu.io.fastq import iter_fastq_matrix_chunks
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native library required")
+    rng = np.random.default_rng(3)
+    r1 = str(tmp_path / "r1.fastq")   # short records (10x barcode-like)
+    r2 = str(tmp_path / "r2.fastq")   # long records
+    n = 1000
+    with open(r1, "w") as f1, open(r2, "w") as f2:
+        for i in range(n):
+            s1 = "".join(rng.choice(list("ACGT"), size=26))
+            s2 = "".join(rng.choice(list("ACGT"), size=90))
+            f1.write(f"@p{i}\n{s1}\n+\n{'I' * 26}\n")
+            f2.write(f"@p{i}\n{s2}\n+\n{'I' * 90}\n")
+    sizes1 = [m.shape[0] for m, _ in iter_fastq_matrix_chunks(r1, 64)]
+    sizes2 = [m.shape[0] for m, _ in iter_fastq_matrix_chunks(r2, 64)]
+    assert sizes1 == sizes2 == [64] * (n // 64) + [n % 64]
+
+
+def test_paired_asymmetric_lengths_chunked_pipeline(tmp_path):
+    """Paired-end files with different record byte sizes (10x-style short
+    R1, long R2) through the chunked pipeline equal the single-chunk run
+    (regression: variable-size chunks broke R1/R2 lockstep)."""
+    import contextlib
+    import io
+
+    from nimble_tpu.pipeline import fastq_pipeline
+
+    engine, ref, cfg, _ = _setup()
+    rng = np.random.default_rng(9)
+    doubled = ref.columns[1]
+    r1p = str(tmp_path / "r1.fastq")
+    r2p = str(tmp_path / "r2.fastq")
+    with open(r1p, "w") as f1, open(r2p, "w") as f2:
+        for i in range(333):
+            f = int(rng.integers(0, len(doubled)))
+            s = int(rng.integers(0, 120))
+            a = doubled[f][s : s + 45]
+            b = doubled[f][s : s + 95]
+            f1.write(f"@p{i}\n{a}\n+\n{'I' * len(a)}\n")
+            f2.write(f"@p{i}\n{b}\n+\n{'I' * len(b)}\n")
+
+    outs = []
+    for chunk in (64, 1 << 20):
+        out = str(tmp_path / f"o{chunk}.tsv")
+        with contextlib.redirect_stdout(io.StringIO()):
+            fastq_pipeline.process(
+                [r1p, r2p], [engine], [ref], [cfg], [out], chunk_reads=chunk
+            )
+        outs.append(open(out).read())
+    assert outs[0] == outs[1]
+    assert outs[0].count("\n") > 1
