@@ -226,6 +226,8 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", action="store_true",
                    help="run the FASTQ bench through MeshAlignEngine "
                         "(single-chip-degenerate mesh on 1 device)")
+    p.add_argument("--paired", action="store_true",
+                   help="paired-end FASTQ workload (R2 = revcomp fragments)")
     p.add_argument("--libraries", type=int, default=0,
                    help="N>0: benchmark the N-library single-pass dispatcher")
     # 3-in-flight pipelining measured marginally best on the tunnel (the
@@ -273,6 +275,15 @@ def main(argv=None) -> int:
         print(json.dumps(bench_multilib(args, log)))
         return 0
     index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
+    mate_mat = mate_lens = None
+    if args.paired:
+        # R2 mates: revcomp of the R1 fragments (hit the §rev library rows)
+        W = mat.shape[1]
+        ar = np.arange(W)[None, :]
+        ridx = np.clip(lens[:, None] - 1 - ar, 0, W - 1)
+        om = np.take_along_axis(mat, ridx, axis=1)
+        mate_mat = np.where(ar < lens[:, None], 3 - om, 0).astype(np.int8)
+        mate_lens = lens.copy()
     if args.mesh:
         from nimble_tpu.models.mesh_aligner import MeshAlignEngine
 
@@ -295,7 +306,11 @@ def main(argv=None) -> int:
     t0 = time.time()
     warm_counter = FastCounter(engine, reference, cfg)
     for lo, hi in chunk_bounds:
-        warm_counter.process(warm_counter.dispatch(mat[lo:hi], lens[lo:hi]))
+        warm_counter.process(warm_counter.dispatch(
+            mat[lo:hi], lens[lo:hi],
+            mate_mat[lo:hi] if mate_mat is not None else None,
+            mate_lens[lo:hi] if mate_lens is not None else None,
+        ))
     warm = warm_counter.finalize()
     log(f"warmup: {time.time()-t0:.1f}s, callsets={len(warm)}")
 
@@ -313,19 +328,24 @@ def main(argv=None) -> int:
             nonlocal t_collect, t_host
             handle = pending.pop(0)
             ts = time.time()
-            raw = handle[4].result() if handle[4] is not None else None
+            raw1 = handle[4].result() if handle[4] is not None else None
+            raw2 = handle[5].result() if handle[5] is not None else None
             t_collect += time.time() - ts
             ts = time.time()
-            if raw is not None:
+            if raw1 is not None:
                 counter._add_with_raw(
-                    handle[0], handle[1], None, None, raw, None,
+                    handle[0], handle[1], handle[2], handle[3], raw1, raw2,
                     prededuped=handle[7],
                 )
             t_host += time.time() - ts
 
         for lo, hi in chunk_bounds:
             ts = time.time()
-            pending.append(counter.dispatch(mat[lo:hi], lens[lo:hi]))
+            pending.append(counter.dispatch(
+                mat[lo:hi], lens[lo:hi],
+                mate_mat[lo:hi] if mate_mat is not None else None,
+                mate_lens[lo:hi] if mate_lens is not None else None,
+            ))
             t_dispatch += time.time() - ts
             if len(pending) >= args.depth:
                 drain_one()
@@ -352,9 +372,9 @@ def main(argv=None) -> int:
         json.dumps(
             {
                 "metric": (
-                    "fastq_mesh_align_count_reads_per_sec_per_chip"
-                    if args.mesh
-                    else "fastq_align_count_reads_per_sec_per_chip"
+                    ("fastq_mesh" if args.mesh else "fastq")
+                    + ("_paired" if args.paired else "")
+                    + "_align_count_reads_per_sec_per_chip"
                 ),
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
