@@ -108,11 +108,13 @@ def bench_bam(args, log) -> dict:
             with contextlib.redirect_stdout(_io.StringIO()):
                 if use_fast:
                     process_fast(
-                        [bam], [engine], [reference], [cfg], [out], 2, False
+                        [bam], [engine], [reference], [cfg], [out],
+                        args.bam_cores, False,
                     )
                 else:
                     bam_pipeline.process(
-                        [bam], [engine], [reference], [cfg], [out], 2, False
+                        [bam], [engine], [reference], [cfg], [out],
+                        args.bam_cores, False,
                     )
 
         run(f"{td}/warm.tsv.gz")  # warmup (compiles + tunnel setup)
@@ -223,6 +225,8 @@ def main(argv=None) -> int:
     p.add_argument("--bam", action="store_true",
                    help="benchmark the threaded BAM pipeline instead")
     p.add_argument("--bam-groups", type=int, default=16384)
+    p.add_argument("--bam-cores", type=int, default=4,
+                   help="num_cores for the BAM pipeline (cores-1 consumers)")
     p.add_argument("--mesh", action="store_true",
                    help="run the FASTQ bench through MeshAlignEngine "
                         "(single-chip-degenerate mesh on 1 device)")

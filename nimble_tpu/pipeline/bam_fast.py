@@ -121,6 +121,10 @@ class _LibraryWorker:
         self.engine = engine
         self.reference = reference
         self.config = config
+        # interning/orient state is shared across consumer threads; the
+        # mutating prep sections run under this lock (the C++ row assembly
+        # reads only snapshot tables and runs outside it)
+        self.lock = threading.RLock()
         self.content_intern: Dict = {}       # rows-bytes / tuple -> cid
         self.content_eq: List[tuple] = []    # cid -> ordered eq tuple
         self.content_sorted: List[tuple] = []  # cid -> sorted eq tuple
@@ -139,12 +143,19 @@ class _LibraryWorker:
         sid = self.sorted_intern.setdefault(sorted_eq, len(self.sorted_intern))
         self.scid.append(sid)
 
+    # intern_rows/intern_list/orient mutate shared state: they self-lock
+    # (re-entrant, so the already-locked prep section pays nothing)
+
     def intern_rows(self, rows_padded: np.ndarray) -> np.ndarray:
         """Intern each padded-row vector (sorted distinct, device order) to a
         content id; returns (M,) int64 ids."""
         pad = self.engine.EQ_ROW_PAD
         out = np.empty(rows_padded.shape[0], dtype=np.int64)
         intern = self.content_intern
+        with self.lock:
+            return self._intern_rows_locked(rows_padded, pad, out, intern)
+
+    def _intern_rows_locked(self, rows_padded, pad, out, intern):
         for j in range(rows_padded.shape[0]):
             b = rows_padded[j].tobytes()
             cid = intern.get(b)
@@ -161,6 +172,10 @@ class _LibraryWorker:
     def intern_list(self, eq: list) -> int:
         """Intern a host-oracle eq list (order preserved)."""
         key = ("h", tuple(eq))
+        with self.lock:
+            return self._intern_list_locked(key, eq)
+
+    def _intern_list_locked(self, key, eq):
         cid = self.content_intern.get(key)
         if cid is None:
             cid = len(self.content_eq)
@@ -178,6 +193,13 @@ class _LibraryWorker:
         callset ids through :attr:`callsets` / :attr:`callsets_b`.
         """
         memo_key = (c1, c2)
+        r = self.orient_memo.get(memo_key)
+        if r is not None:
+            return r
+        with self.lock:
+            return self._orient_locked(memo_key, c1, c2)
+
+    def _orient_locked(self, memo_key, c1, c2):
         r = self.orient_memo.get(memo_key)
         if r is None:
             e1 = self.content_eq[c1] if c1 >= 0 else ()
@@ -309,14 +331,14 @@ def _pack_bytes_col(items: List[bytes]):
 _REASONS_COL = _pack_bytes_col(_REASON_B)
 
 
-def _native_rows(batch, w: _LibraryWorker, cid, s_arr, code_arr, rev,
-                 dec_flat, W, dlens, require_pair):
-    """C++ row assembly for one library/batch (see nimble_bam_rows).
+def _native_rows_args(batch, w: _LibraryWorker, cid, s_arr, code_arr, rev,
+                      dec_flat, W, dlens, require_pair):
+    """Argument tuple for native.bam_rows (caller holds ``w.lock``).
 
     Runs the orientation pipeline in Python for every distinct admitted
-    (content1, content2) combination (memoized across batches), hands the
-    results + columnar inputs to the native assembler.  Returns the rows
-    blob, b"" for no rows, or None when the batch needs the Python loop.
+    (content1, content2) combination (memoized across batches) and builds
+    SNAPSHOT tables, so the native call itself can run outside the lock.
+    Returns None when the native library is unavailable.
     """
     from nimble_tpu import native
 
@@ -382,7 +404,7 @@ def _native_rows(batch, w: _LibraryWorker, cid, s_arr, code_arr, rev,
     if not len(scid_of):
         scid_of = np.zeros(1, dtype=np.int64)
 
-    return native.bam_rows(
+    return (
         len(batch), W, dec_flat, dlens.astype(np.int64),
         np.ascontiguousarray(cid, dtype=np.int64), scid_of,
         np.ascontiguousarray(s_arr, dtype=np.int64),
@@ -433,33 +455,41 @@ def _finish_batch(ctx, workers: List[_LibraryWorker], collected=None):
         rows = out_rows[li]
         require_pair = cfg.require_valid_pair
 
-        passed = reason == -1
-        # vectorized eq-content interning: decode all distinct device combos
-        # once, map every read to a content id (-1 = no eq class)
-        cid = np.full(n_rec, -1, dtype=np.int64)
-        dev_idx = np.flatnonzero(passed & (eq_key >= 0))
-        if len(dev_idx):
-            u, inv = np.unique(eq_key[dev_idx], return_inverse=True)
-            rows_p = w.engine.decode_rows_padded(u)
-            cid[dev_idx] = w.intern_rows(rows_p)[inv]
-        for i in np.flatnonzero(passed & (eq_key <= -2)):
-            cid[i] = w.intern_list(rescued[int(eq_key[i])])
+        from nimble_tpu import native
 
-        # per-read forensic reason code + reported score, vectorized
-        s_arr = np.where(passed, res["score"], 0).astype(np.int64)
-        r16 = reason.astype(np.int64)
-        code_arr = np.where(
-            skip_mask, _CODE_SKIPPED,
-            np.where(passed | (r16 < 0), _CODE_SUCCESS, r16),
-        ).astype(np.int64)
-        c_sorted = w.content_sorted
+        with w.lock:
+            passed = reason == -1
+            # vectorized eq-content interning: decode all distinct device
+            # combos once, map every read to a content id (-1 = no eq class)
+            cid = np.full(n_rec, -1, dtype=np.int64)
+            dev_idx = np.flatnonzero(passed & (eq_key >= 0))
+            if len(dev_idx):
+                u, inv = np.unique(eq_key[dev_idx], return_inverse=True)
+                rows_p = w.engine.decode_rows_padded(u)
+                cid[dev_idx] = w.intern_rows(rows_p)[inv]
+            for i in np.flatnonzero(passed & (eq_key <= -2)):
+                cid[i] = w.intern_list(rescued[int(eq_key[i])])
 
-        native_rows = _native_rows(batch, w, cid, s_arr, code_arr, rev,
-                                   dec_flat, W, dlens, require_pair)
-        if native_rows is not None:
-            if native_rows:
-                rows.append(native_rows)
-            continue
+            # per-read forensic reason code + reported score, vectorized
+            s_arr = np.where(passed, res["score"], 0).astype(np.int64)
+            r16 = reason.astype(np.int64)
+            code_arr = np.where(
+                skip_mask, _CODE_SKIPPED,
+                np.where(passed | (r16 < 0), _CODE_SUCCESS, r16),
+            ).astype(np.int64)
+            c_sorted = w.content_sorted
+
+            native_args = _native_rows_args(
+                batch, w, cid, s_arr, code_arr, rev, dec_flat, W, dlens,
+                require_pair,
+            )
+        if native_args is not None:
+            # snapshot tables only: runs outside the lock (GIL-releasing)
+            native_rows = native.bam_rows(*native_args)
+            if native_rows is not None:
+                if native_rows:
+                    rows.append(native_rows)
+                continue
         qn_get, seq15_get, meta_get, skipb_get = _slicers()
 
         for lo, hi in group_bounds:
@@ -613,6 +643,11 @@ def process_fast(
         except AssertionError:
             multi = None
 
+    # the reference runs num_cores-1 consumers (`src/process/bam.rs:183`);
+    # with the row assembly in GIL-releasing C++, extra consumers overlap
+    # genuinely.  Output stays byte-deterministic: blocks carry the batch
+    # sequence number and the logger writes them in order.
+    n_consumers = max(1, num_cores - 1)
     log_queue: "queue.Queue" = queue.Queue()
     work_queue: "queue.Queue" = queue.Queue(maxsize=8)  # batches in flight
 
@@ -622,16 +657,28 @@ def process_fast(
         files = [gzip.open(p, "wb", compresslevel=6) for p in output_paths]
         header = (log_header() + "\n").encode()
         first_write = [True] * len(files)
+        buffered: Dict[int, list] = {}
+        next_seq = 0
+
+        def write_blocks(per_lib: list) -> None:
+            for index, block in enumerate(per_lib):
+                if not block:
+                    continue
+                if first_write[index]:
+                    print(f"Writing header for file {index}")
+                    files[index].write(header)
+                    first_write[index] = False
+                files[index].write(block)
+
         while True:
             msg = log_queue.get()
             if msg is None:
                 break
-            block, index = msg
-            if first_write[index]:
-                print(f"Writing header for file {index}")
-                files[index].write(header)
-                first_write[index] = False
-            files[index].write(block)
+            seq, per_lib = msg
+            buffered[seq] = per_lib
+            while next_seq in buffered:
+                write_blocks(buffered.pop(next_seq))
+                next_seq += 1
         for i, f in enumerate(files):
             f.close()
             print(f"Successfully flushed and closed file {i}")
@@ -648,6 +695,7 @@ def process_fast(
         prev = None
         total_groups = 0
         t_read = 0.0
+        seq = 0
         try:
             it = stream.batches(batch_records)
             while True:
@@ -658,7 +706,8 @@ def process_fast(
                     break
                 total_groups += b.n_groups
                 if prev is not None:
-                    work_queue.put(prev)
+                    work_queue.put((seq, prev))
+                    seq += 1
                 prev = b
             if os.environ.get("NIMBLE_TIMING"):
                 print(f"[bam_fast producer] read {t_read:.2f}s",
@@ -671,7 +720,8 @@ def process_fast(
                 if parity_quirks and total_groups > 1:
                     prev = prev.drop_last_group()
                 if len(prev):
-                    work_queue.put(prev)
+                    work_queue.put((seq, prev))
+                    seq += 1
             print("Finished reading UMIs from input file.")
 
     def consumer(thread_num: int) -> None:
@@ -680,11 +730,11 @@ def process_fast(
         from nimble_tpu.utils.metrics import METRICS
 
         t_prep = t_wait = t_fin = t_get = 0.0
-        pending = None  # (ctx, n_records) — batch dispatched, not packaged
+        pending = None  # (seq, ctx, n_records) — dispatched, not packaged
 
         def finish(p) -> None:
             nonlocal t_wait, t_fin
-            ctx, n_records = p
+            seq, ctx, n_records = p
             with METRICS.meter("bam_align").measure(n_records):
                 if ctx is not None:
                     ts = _time.time()
@@ -695,16 +745,18 @@ def process_fast(
                 ts = _time.time()
                 per_lib = _finish_batch(ctx, workers, collected)
                 t_fin += _time.time() - ts
-            for i, rows in enumerate(per_lib):
-                if rows:
-                    log_queue.put((b"".join(rows), i))
+            log_queue.put(
+                (seq, [b"".join(rows) if rows else b"" for rows in per_lib])
+            )
 
         while True:
             ts = _time.time()
-            batch = work_queue.get()
+            msg = work_queue.get()
             t_get += _time.time() - ts
-            if batch is None:
+            if msg is None:
+                work_queue.put(None)  # release sibling consumers
                 break
+            seq, batch = msg
             # dispatch batch N+1 before packaging batch N: device alignment
             # overlaps the host-side row building
             ts = _time.time()
@@ -712,12 +764,12 @@ def process_fast(
             t_prep += _time.time() - ts
             if pending is not None:
                 finish(pending)
-            pending = (ctx, len(batch))
+            pending = (seq, ctx, len(batch))
         if pending is not None:
             finish(pending)
         if os.environ.get("NIMBLE_TIMING"):
             print(
-                f"[bam_fast consumer] prepare {t_prep:.2f}s "
+                f"[bam_fast consumer {thread_num}] prepare {t_prep:.2f}s "
                 f"collect-wait {t_wait:.2f}s finish {t_fin:.2f}s "
                 f"queue-wait {t_get:.2f}s",
                 file=sys.stderr,
@@ -728,14 +780,18 @@ def process_fast(
     producer_thread = threading.Thread(target=producer)
     producer_thread.start()
 
-    print("Spawning consumer thread 0")
-    consumer_thread = threading.Thread(target=consumer, args=(0,))
-    consumer_thread.start()
+    consumer_threads = []
+    for tn in range(n_consumers):
+        print(f"Spawning consumer thread {tn}")
+        t = threading.Thread(target=consumer, args=(tn,))
+        t.start()
+        consumer_threads.append(t)
 
     producer_thread.join()
     print("Joined on producer.")
     work_queue.put(None)
-    consumer_thread.join()
+    for t in consumer_threads:
+        t.join()
     print("Joined on consumer.")
     log_queue.put(None)
     log_thread.join()

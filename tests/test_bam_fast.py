@@ -371,3 +371,29 @@ def test_fast_bam_on_mesh_engine(tmp_path, mesh_shape):
             parity_quirks=True,
         )
     assert gzip.open(fast_out, "rb").read() == gzip.open(slow_out, "rb").read()
+
+
+def test_fast_multiple_consumers_deterministic(tmp_path):
+    """-c 5 (4 consumers) must produce byte-identical output to -c 2 (the
+    sequence-numbered logger restores stream order)."""
+    import gzip
+
+    feats, reference, index = _workload(seed=44)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(bam, feats, n_groups=40, pairs_per_group=3,
+                       read_len=80, seed=44, mutate_every=4)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    outs = []
+    for cores in (2, 5):
+        out = str(tmp_path / f"c{cores}.tsv.gz")
+        with contextlib.redirect_stdout(io.StringIO()):
+            process_fast(
+                [bam], [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+                [out], cores, False, batch_records=64,
+            )
+        outs.append(gzip.open(out, "rb").read())
+    assert outs[0] == outs[1]
+    assert len(outs[0]) > 0
