@@ -134,6 +134,113 @@ def bench_bam(args, log) -> dict:
     }
 
 
+def bench_multihost_cpu(args, log) -> dict:
+    """2-host scaling-efficiency proxy on ONE machine: N coordinated
+    `jax.distributed` CLI processes, each pinned to a disjoint set of CPU
+    cores (a 'host' = cores/N cores), vs one process pinned to one host's
+    cores.  Efficiency = T1 / (N * TN) for the same total work.  This is the
+    only measurable form of the BASELINE 2-host target without second-host
+    hardware; the TPU align step is per-host and would scale the same way.
+    """
+    import os
+    import socket
+    import subprocess
+    import tempfile
+
+    n_hosts = args.multihost_cpu
+    total_cores = os.cpu_count() or 2
+    per = max(1, total_cores // n_hosts)
+    core_sets = [
+        ",".join(str(c) for c in range(h * per, (h + 1) * per))
+        for h in range(n_hosts)
+    ]
+
+    from nimble_tpu.utils.dna import revcomp
+
+    rng = np.random.default_rng(0)
+    feats = ["".join(rng.choice(list("ACGT"), size=500)) for _ in range(50)]
+    td = tempfile.mkdtemp()
+    lib = f"{td}/lib.json"
+    with open(lib, "w") as f:
+        json.dump([
+            {"score_percent": 0.33, "score_filter": 25, "score_threshold": 50,
+             "num_mismatches": 1, "discard_multiple_matches": False,
+             "require_valid_pair": False, "discard_multi_hits": 0,
+             "intersect_level": 0, "max_hits_to_report": 10, "group_on": "",
+             "trim_target_length": 0, "trim_strictness": 0.5},
+            {"headers": ["sequence_name", "sequence"],
+             "columns": [[f"f{i}" for i in range(50)], feats]},
+        ], f)
+    n = args.reads
+    fastq = f"{td}/r.fastq"
+    rows = rng.integers(0, 50, n)
+    starts = rng.integers(0, 410, n)
+    with open(fastq, "w") as f:
+        for i in range(n):
+            s = feats[rows[i]][starts[i] : starts[i] + 90]
+            f.write(f"@r{i}\n{s}\n+\n{'I' * 90}\n")
+
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
+
+    seq = [0]
+
+    def run_single():
+        seq[0] += 1
+        out = f"{td}/single{seq[0]}.tsv"
+        t0 = time.time()
+        rc = subprocess.run(
+            ["taskset", "-c", core_sets[0], sys.executable, "-m",
+             "nimble_tpu.cli", "-r", lib, "-i", fastq, "-o", out],
+            env=env, capture_output=True, timeout=1200,
+        )
+        assert rc.returncode == 0, rc.stderr.decode()[-800:]
+        import shutil as _sh
+
+        _sh.copy(out, f"{td}/single.tsv")
+        return time.time() - t0
+
+    def run_multi():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = str(s.getsockname()[1])
+        seq[0] += 1
+        outs = [f"{td}/mh{seq[0]}_{h}.tsv" for h in range(n_hosts)]
+        t0 = time.time()
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", core_sets[h], sys.executable, "-m",
+                 "nimble_tpu.cli", "-r", lib, "-i", fastq, "-o", outs[h],
+                 "--num-processes", str(n_hosts), "--process-id", str(h),
+                 "--coordinator", f"127.0.0.1:{port}"],
+                env=env, stdout=subprocess.DEVNULL, stderr=subprocess.PIPE,
+            )
+            for h in range(n_hosts)
+        ]
+        for p in procs:
+            _, err = p.communicate(timeout=1200)
+            assert p.returncode == 0, err.decode()[-800:]
+        dt = time.time() - t0
+        assert open(outs[0]).read() == open(f"{td}/single.tsv").read()
+        return dt
+
+    run_single()  # warm compile caches
+    t1 = min(run_single() for _ in range(2))
+    tn = min(run_multi() for _ in range(2))
+    log(f"single-host ({per} cores): {t1:.1f}s; "
+        f"{n_hosts} hosts: {tn:.1f}s")
+    eff = t1 / (n_hosts * tn)
+    return {
+        "metric": f"fastq_multihost{n_hosts}_cpu_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "vs_baseline": round(eff / 0.9, 2),  # target >=0.9
+        "t_single_s": round(t1, 1),
+        "t_multi_s": round(tn, 1),
+    }
+
+
 def bench_multilib(args, log) -> dict:
     """N-library single-pass dispatch (MultiLibraryDispatcher): the N-library
     run should cost ~the cost of one library, vs the reference's sequential
@@ -232,6 +339,9 @@ def main(argv=None) -> int:
                         "(single-chip-degenerate mesh on 1 device)")
     p.add_argument("--paired", action="store_true",
                    help="paired-end FASTQ workload (R2 = revcomp fragments)")
+    p.add_argument("--multihost-cpu", type=int, default=0,
+                   help="N>0: measure N-process scaling efficiency on CPU "
+                        "(disjoint pinned cores per simulated host)")
     p.add_argument("--libraries", type=int, default=0,
                    help="N>0: benchmark the N-library single-pass dispatcher")
     # 3-in-flight pipelining measured marginally best on the tunnel (the
@@ -277,6 +387,9 @@ def main(argv=None) -> int:
         return 0
     if args.libraries:
         print(json.dumps(bench_multilib(args, log)))
+        return 0
+    if args.multihost_cpu:
+        print(json.dumps(bench_multihost_cpu(args, log)))
         return 0
     index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
     mate_mat = mate_lens = None

@@ -92,6 +92,24 @@ def _stack_owned(mats: List[np.ndarray], lens_list: List[np.ndarray]):
     return out, out_lens
 
 
+def _pack2bit(mat: np.ndarray) -> np.ndarray:
+    """(n, L) int8 codes -> (n, ceil(L/4)) uint8 (wire format: 4x smaller
+    collectives; code matrices are zero-padded beyond the read length)."""
+    n, L = mat.shape
+    nb = (max(L, 1) + 3) // 4
+    m = np.zeros((n, nb * 4), dtype=np.uint8)
+    m[:, :L] = mat.astype(np.uint8, copy=False)
+    m = m.reshape(n, nb, 4)
+    return (m[:, :, 0] | (m[:, :, 1] << 2) | (m[:, :, 2] << 4)
+            | (m[:, :, 3] << 6)).astype(np.uint8)
+
+
+def _unpack2bit(packed: np.ndarray) -> np.ndarray:
+    n, nb = packed.shape
+    j = np.arange(nb * 4)
+    return ((packed[:, j >> 2] >> ((j & 3) * 2)) & 3).astype(np.int8)
+
+
 def exchange_reads_by_content(
     mat: np.ndarray,
     lens: np.ndarray,
@@ -100,6 +118,7 @@ def exchange_reads_by_content(
     allgather=None,
     mate_mat: Optional[np.ndarray] = None,
     mate_lens: Optional[np.ndarray] = None,
+    local_seen=None,
 ):
     """Route reads to content-hash owners; returns this host's owned reads
     — ``(mat, lens)`` single-end, ``(mat, lens, mate_mat, mate_lens)``
@@ -108,6 +127,10 @@ def exchange_reads_by_content(
     ``allgather(list_of_arrays) -> list over hosts`` defaults to
     `multihost_utils.process_allgather` with padding to a common shape; a
     test shim can inject a local implementation.
+
+    Wire discipline: reads are LOCALLY deduped first (``local_seen``, a
+    native dedupe set — dropping a host-local duplicate cannot change the
+    global score map) and travel 2-bit packed (4x smaller collectives).
     """
     paired = mate_mat is not None
     if n_hosts <= 1:
@@ -115,19 +138,28 @@ def exchange_reads_by_content(
     if allgather is None:
         allgather = _process_allgather_padded
 
+    if local_seen is not None:
+        from nimble_tpu.core.fast_count import dedupe_admit
+
+        mat, lens, mate_mat, mate_lens, _ = dedupe_admit(
+            local_seen, mat, lens, mate_mat, mate_lens
+        )
+
     owner = _read_owner_hash(mat, lens, n_hosts, mate_mat, mate_lens)
     if paired:
-        gathered = allgather([mat, lens, mate_mat, mate_lens, owner])
+        payload = [_pack2bit(mat), lens, _pack2bit(mate_mat), mate_lens,
+                   owner]
     else:
-        gathered = allgather([mat, lens, owner])
+        payload = [_pack2bit(mat), lens, owner]
+    gathered = allgather(payload)
     picks = [g[-1] == host_id for g in gathered]
     out, out_lens = _stack_owned(
-        [g[0][p] for g, p in zip(gathered, picks)],
+        [_unpack2bit(g[0][p]) for g, p in zip(gathered, picks)],
         [g[1][p] for g, p in zip(gathered, picks)],
     )
     if paired:
         out2, out2_lens = _stack_owned(
-            [g[2][p] for g, p in zip(gathered, picks)],
+            [_unpack2bit(g[2][p]) for g, p in zip(gathered, picks)],
             [g[3][p] for g, p in zip(gathered, picks)],
         )
         return out, out_lens, out2, out2_lens
@@ -384,6 +416,9 @@ def process_fastq_multihost(
     if host_id is None:
         host_id = jax.process_index()
 
+    from nimble_tpu import native
+
+    local_seen = native.make_dedupe_set()
     mat, lens = read_fastq_matrix(input_path)
     lo, hi = host_record_range(mat.shape[0], n_hosts, host_id)
     if mate_path is not None:
@@ -396,10 +431,12 @@ def process_fastq_multihost(
         own_mat, own_lens, own_m2, own_l2 = exchange_reads_by_content(
             mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather,
             mate_mat=mate_mat[lo:hi], mate_lens=mate_lens[lo:hi],
+            local_seen=local_seen,
         )
     else:
         own_mat, own_lens = exchange_reads_by_content(
-            mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather
+            mat[lo:hi], lens[lo:hi], n_hosts, host_id, allgather=allgather,
+            local_seen=local_seen,
         )
         own_m2 = own_l2 = None
 

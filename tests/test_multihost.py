@@ -59,7 +59,8 @@ def test_simulated_two_host_merge_equals_single():
         )
     ]
     payloads = [
-        (m, l, multihost._read_owner_hash(m, l, n_hosts)) for m, l in shards
+        (multihost._pack2bit(m), l, multihost._read_owner_hash(m, l, n_hosts))
+        for m, l in shards
     ]
     allgather = _local_allgather_factory(payloads)
 
@@ -196,7 +197,8 @@ def test_simulated_two_host_paired_merge_equals_single():
               for h in range(n_hosts)]
     payloads = [
         (
-            m1[lo:hi], l1[lo:hi], m2[lo:hi], l2[lo:hi],
+            multihost._pack2bit(m1[lo:hi]), l1[lo:hi],
+            multihost._pack2bit(m2[lo:hi]), l2[lo:hi],
             multihost._read_owner_hash(
                 m1[lo:hi], l1[lo:hi], n_hosts, m2[lo:hi], l2[lo:hi]
             ),
