@@ -13,13 +13,17 @@
 // Build: g++ -O3 -march=native -shared -fPIC nimble_host.cpp -o libnimble_host.so
 
 #include <algorithm>
+#include <atomic>
 #include <cstdint>
 #include <cstring>
 #include <string>
+#include <thread>
 #include <unordered_map>
 #include <unordered_set>
 #include <utility>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 // open-addressing exact-key set: keys live in an append-only arena,
@@ -1169,6 +1173,146 @@ int32_t nimble_bam_rows(
     }
     *out_len = out.pos;
     return out.overflow ? -1 : 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// BGZF: parallel block inflater.  Fills the role of htslib's multi-threaded
+// BGZF decompression (`src/parse/sorted_bam_reader.rs:1` inherits it from C
+// htslib): BGZF members are independent gzip blocks <=64KB, so a chunk of
+// raw file bytes splits into blocks that inflate concurrently.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BgzfBlock {
+    int64_t comp_off;   // offset of the DEFLATE payload
+    int64_t comp_len;   // payload length (excludes CRC32+ISIZE trailer)
+    int64_t out_off;    // offset in the decompressed output
+    uint32_t isize;     // expected decompressed size
+    uint32_t crc;       // expected CRC32 of the decompressed bytes
+};
+
+inline uint16_t le16(const uint8_t* p) {
+    return (uint16_t)(p[0] | ((uint16_t)p[1] << 8));
+}
+inline uint32_t le32(const uint8_t* p) {
+    uint32_t v;
+    std::memcpy(&v, p, 4);
+    return v;
+}
+
+// Parse complete BGZF members from data[0..n).  Returns 0 and the parsed
+// blocks on success; 1 when the stream is gzip-but-not-BGZF at offset 0
+// (caller falls back to a plain gzip reader); 2 on a malformed/corrupt
+// header past offset 0.  A member extending past `n` is left unconsumed.
+int bgzf_parse(const uint8_t* data, int64_t n, std::vector<BgzfBlock>* blocks,
+               int64_t* consumed, int64_t* total_isize) {
+    int64_t p = 0, out = 0;
+    while (n - p >= 28) {  // minimum BGZF block size
+        if (!(data[p] == 0x1f && data[p + 1] == 0x8b && data[p + 2] == 8 &&
+              (data[p + 3] & 0x04))) {
+            if (p == 0) return 1;
+            return 2;
+        }
+        int64_t xlen = le16(data + p + 10);
+        if (p + 12 + xlen + 8 > n) break;  // header tail not in buffer yet
+        int64_t bsize = -1;
+        for (int64_t q = p + 12; q + 4 <= p + 12 + xlen;) {
+            uint16_t slen = le16(data + q + 2);
+            if (data[q] == 'B' && data[q + 1] == 'C' && slen == 2) {
+                bsize = (int64_t)le16(data + q + 4) + 1;
+                break;
+            }
+            q += 4 + slen;
+        }
+        if (bsize < 0) return p == 0 ? 1 : 2;
+        if (bsize < 12 + xlen + 8) return 2;
+        if (p + bsize > n) break;  // partial block: wait for more bytes
+        BgzfBlock b;
+        b.comp_off = p + 12 + xlen;
+        b.comp_len = bsize - 12 - xlen - 8;
+        b.out_off = out;
+        b.crc = le32(data + p + bsize - 8);
+        b.isize = le32(data + p + bsize - 4);
+        out += b.isize;
+        blocks->push_back(b);
+        p += bsize;
+    }
+    *consumed = p;
+    *total_isize = out;
+    return 0;
+}
+
+// Inflate a contiguous range of blocks; returns 0 ok, 3 inflate error,
+// 4 CRC mismatch, 5 ISIZE mismatch.
+int bgzf_inflate_range(const uint8_t* data, const BgzfBlock* blocks,
+                       int64_t lo, int64_t hi, uint8_t* out) {
+    z_stream zs;
+    std::memset(&zs, 0, sizeof(zs));
+    if (inflateInit2(&zs, -15) != Z_OK) return 3;
+    int err = 0;
+    for (int64_t i = lo; i < hi && !err; ++i) {
+        const BgzfBlock& b = blocks[i];
+        if (b.isize == 0) continue;  // EOF-marker block
+        zs.next_in = (Bytef*)(data + b.comp_off);
+        zs.avail_in = (uInt)b.comp_len;
+        zs.next_out = out + b.out_off;
+        zs.avail_out = b.isize;
+        int rc = inflate(&zs, Z_FINISH);
+        if (rc != Z_STREAM_END || zs.avail_out != 0)
+            err = (rc == Z_STREAM_END) ? 5 : 3;
+        else if (crc32(crc32(0, Z_NULL, 0), out + b.out_off, b.isize) != b.crc)
+            err = 4;
+        if (!err && inflateReset2(&zs, -15) != Z_OK) err = 3;
+    }
+    inflateEnd(&zs);
+    return err;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan+inflate one raw chunk.  Writes the decompressed bytes of every
+// COMPLETE member into `out` (caller sizes it via nimble_bgzf_sizes).
+// Returns 0 ok, 1 not-BGZF-at-0, 2 malformed header, 3 inflate error,
+// 4 CRC mismatch, 5 ISIZE mismatch.
+int32_t nimble_bgzf_sizes(const uint8_t* data, int64_t n,
+                          int64_t* consumed, int64_t* total_isize) {
+    std::vector<BgzfBlock> blocks;
+    return bgzf_parse(data, n, &blocks, consumed, total_isize);
+}
+
+int32_t nimble_bgzf_inflate(const uint8_t* data, int64_t n,
+                            uint8_t* out, int64_t out_cap,
+                            int32_t n_threads) {
+    std::vector<BgzfBlock> blocks;
+    int64_t consumed = 0, total = 0;
+    int rc = bgzf_parse(data, n, &blocks, &consumed, &total);
+    if (rc) return rc;
+    if (total > out_cap) return 5;
+    int64_t nb = (int64_t)blocks.size();
+    if (nb == 0) return 0;
+    int64_t nt = std::min<int64_t>(
+        std::max<int32_t>(n_threads, 1),
+        std::max<int64_t>(1, (int64_t)std::thread::hardware_concurrency()));
+    if (nt <= 1 || total < (1 << 20) || nb < 2)
+        return bgzf_inflate_range(data, blocks.data(), 0, nb, out);
+    nt = std::min(nt, nb);
+    std::atomic<int> err{0};
+    std::vector<std::thread> workers;
+    workers.reserve((size_t)nt);
+    for (int64_t t = 0; t < nt; ++t) {
+        int64_t lo = nb * t / nt, hi = nb * (t + 1) / nt;
+        workers.emplace_back([&, lo, hi] {
+            int e = bgzf_inflate_range(data, blocks.data(), lo, hi, out);
+            if (e) err.store(e, std::memory_order_relaxed);
+        });
+    }
+    for (auto& w : workers) w.join();
+    return err.load(std::memory_order_relaxed);
 }
 
 }  // extern "C"

@@ -254,6 +254,103 @@ def _warn_missing_eof(path: str) -> None:
         print(f"[W::bam] EOF marker is absent. The input {path} is probably truncated")
 
 
+class BgzfFile:
+    """File-like BGZF reader over the native parallel inflater.
+
+    Fills htslib's multi-threaded BGZF decompression role: BGZF members are
+    independent gzip blocks, so each raw chunk splits into blocks that
+    inflate concurrently in C++ (GIL released).  Error behavior mirrors the
+    gzip module the fallback path uses: per-block CRC32/ISIZE are validated
+    (``gzip.BadGzipFile`` on mismatch) and a stream ending inside a block
+    raises ``EOFError`` like gzip's end-of-stream truncation error.
+    """
+
+    _RAW_CHUNK = 4 << 20
+
+    def __init__(self, path: str, native, n_threads: int = 0):
+        import os
+
+        self._raw = open(path, "rb")
+        self._native = native
+        self._nt = n_threads or min(4, os.cpu_count() or 1)
+        self._carry = b""
+        self._pieces: list = []
+        self._avail = 0
+        self._pos = 0  # consumed prefix of _pieces[0]
+        self._raw_eof = False
+
+    def _ingest(self) -> None:
+        chunk = b"" if self._raw_eof else self._raw.read(self._RAW_CHUNK)
+        if len(chunk) < self._RAW_CHUNK:
+            self._raw_eof = True
+        data = self._carry + chunk
+        if not data:
+            return
+        status, consumed, out = self._native.bgzf_inflate_chunk(
+            data, self._nt)
+        if status:
+            raise gzip.BadGzipFile(
+                f"corrupt BGZF stream (native inflate code {status})")
+        self._carry = data[consumed:]
+        if out:
+            self._pieces.append(out)
+            self._avail += len(out)
+        if self._raw_eof and consumed == 0 and self._carry:
+            raise EOFError("Compressed file ended before the "
+                           "end-of-stream marker was reached")
+
+    def read(self, n: int = -1) -> bytes:
+        while (n < 0 or self._avail < n) and not (
+                self._raw_eof and not self._carry):
+            self._ingest()
+        if n < 0 or n > self._avail:
+            n = self._avail
+        got: list = []
+        need = n
+        while need > 0:
+            head = self._pieces[0]
+            take = min(need, len(head) - self._pos)
+            got.append(head[self._pos : self._pos + take])
+            self._pos += take
+            need -= take
+            if self._pos == len(self._pieces[0]):
+                self._pieces.pop(0)
+                self._pos = 0
+        self._avail -= n
+        return got[0] if len(got) == 1 else b"".join(got)
+
+    def close(self) -> None:
+        self._raw.close()
+
+
+def _sniff_bgzf(path: str) -> bool:
+    """True iff the file starts with a BGZF member (gzip + FEXTRA 'BC')."""
+    with open(path, "rb") as f:
+        head = f.read(256)
+    if len(head) < 18 or head[:3] != b"\x1f\x8b\x08" or not head[3] & 0x04:
+        return False
+    xlen = head[10] | (head[11] << 8)
+    extra = head[12 : 12 + xlen]
+    q = 0
+    while q + 4 <= len(extra):
+        slen = extra[q + 2] | (extra[q + 3] << 8)
+        if extra[q : q + 2] == b"BC" and slen == 2:
+            return True
+        q += 4 + slen
+    return False
+
+
+def open_bgzf(path: str):
+    """Open a BAM's BGZF stream: native parallel inflater when available
+    and the file really is BGZF; otherwise Python's gzip (which handles
+    concatenated members, the degenerate non-BGZF-gzip case included)."""
+    from nimble_tpu import native
+
+    if native.available() and _sniff_bgzf(path):
+        return BgzfFile(path, native)
+    return gzip.open(path, "rb")
+
+
 class BamReader:
     """Streaming BAM reader (BGZF via gzip's concatenated-member support).
 
@@ -271,7 +368,7 @@ class BamReader:
 
     def __init__(self, path: str, use_native: bool = True):
         _warn_missing_eof(path)
-        self._f = gzip.open(path, "rb")
+        self._f = open_bgzf(path) if use_native else gzip.open(path, "rb")
         magic = _read_exact(self._f, 4)
         if magic != b"BAM\x01":
             raise ValueError(f"{path}: not a BAM file")
@@ -387,7 +484,9 @@ _BGZF_EOF = bytes.fromhex(
 def _bgzf_block(payload: bytes) -> bytes:
     comp = zlib.compressobj(6, zlib.DEFLATED, -15)
     cdata = comp.compress(payload) + comp.flush()
-    bsize = len(cdata) + 25 + 1  # header(12) + extra(6) + cdata + crc(4) + isize(4) - 1
+    # BC subfield stores total block size MINUS 1 (SAM spec 4.1; the EOF
+    # marker encodes 0x1b = 27 for its 28-byte block)
+    bsize = len(cdata) + 25  # header(12) + extra(6) + crc(4) + isize(4) - 1
     header = (
         b"\x1f\x8b\x08\x04" + b"\x00" * 6 + b"\x06\x00"
         + b"BC\x02\x00" + struct.pack("<H", bsize)

@@ -239,13 +239,13 @@ class ColumnarGroupStream:
 
     def __init__(self, path: str, force_bam_paired: bool):
         from nimble_tpu import native
-        from nimble_tpu.io.bam import _warn_missing_eof
+        from nimble_tpu.io.bam import _warn_missing_eof, open_bgzf
 
         if not native.available():
             raise RuntimeError("columnar BAM stream requires the native library")
         self._native = native
         _warn_missing_eof(path)
-        self._f = gzip.open(path, "rb")
+        self._f = open_bgzf(path)
         read_bam_header(self._f)
         self.force_bam_paired = force_bam_paired
         self.read_counter = 0

@@ -33,7 +33,8 @@ def _load():
             if (not os.path.exists(_LIB_PATH)
                     or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
                 subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH],
+                    ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB_PATH,
+                     "-lz", "-pthread"],
                     check=True, capture_output=True, timeout=120,
                 )
             lib = ctypes.CDLL(_LIB_PATH)
@@ -99,6 +100,14 @@ def _load():
                 + [ctypes.c_void_p] * 2                   # reasons
                 + [ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p]
             )
+            lib.nimble_bgzf_sizes.restype = ctypes.c_int32
+            lib.nimble_bgzf_sizes.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p]
+            lib.nimble_bgzf_inflate.restype = ctypes.c_int32
+            lib.nimble_bgzf_inflate.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32]
             lib.nimble_dedupe_new.restype = ctypes.c_void_p
             lib.nimble_dedupe_free.argtypes = [ctypes.c_void_p]
             lib.nimble_dedupe_size.restype = ctypes.c_int64
@@ -211,6 +220,35 @@ def extract_kmer_keys(codes: np.ndarray, k: int) -> np.ndarray | None:
     out = np.empty(n - k + 1, dtype=np.uint64)
     lib.nimble_extract_kmer_keys(codes.ctypes.data, n, k, out.ctypes.data)
     return out
+
+
+def bgzf_inflate_chunk(buf: bytes, n_threads: int = 4):
+    """Inflate the complete BGZF members in ``buf`` with a thread pool.
+
+    Fills htslib's multi-threaded BGZF decompression role (the reference
+    inherits it via rust-htslib, `src/parse/sorted_bam_reader.rs:1`).
+
+    Returns ``(status, consumed_bytes, out_bytes)`` — status 0 ok, 1 not
+    BGZF at offset 0 (caller falls back to plain gzip), 2 malformed header,
+    3 inflate error, 4 CRC mismatch, 5 ISIZE mismatch.  ``None`` when the
+    native library is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    arr = np.frombuffer(buf, dtype=np.uint8)
+    consumed = np.zeros(1, dtype=np.int64)
+    total = np.zeros(1, dtype=np.int64)
+    rc = lib.nimble_bgzf_sizes(arr.ctypes.data, len(arr),
+                               consumed.ctypes.data, total.ctypes.data)
+    if rc:
+        return int(rc), 0, b""
+    out = np.empty(int(total[0]), dtype=np.uint8)
+    rc = lib.nimble_bgzf_inflate(arr.ctypes.data, len(arr),
+                                 out.ctypes.data, len(out), n_threads)
+    if rc:
+        return int(rc), 0, b""
+    return 0, int(consumed[0]), out.tobytes()
 
 
 def bam_scan(buf: bytes, max_records: int):

@@ -406,10 +406,16 @@ def process_fastq_multihost(
     Returns the merged results (every host); only process 0 (or the caller)
     should write ``output_path``.
     """
+    import os
+
     import jax
 
     from nimble_tpu.core.fast_count import FastCounter
-    from nimble_tpu.io.fastq import read_fastq_matrix
+    from nimble_tpu.io.fastq import (
+        is_gzip,
+        read_fastq_matrix,
+        read_fastq_matrix_byterange,
+    )
 
     if n_hosts is None:
         n_hosts = jax.process_count()
@@ -419,8 +425,21 @@ def process_fastq_multihost(
     from nimble_tpu import native
 
     local_seen = native.make_dedupe_set()
-    mat, lens = read_fastq_matrix(input_path)
-    lo, hi = host_record_range(mat.shape[0], n_hosts, host_id)
+    if mate_path is None and not is_gzip(input_path):
+        # scaling feed: each host READS AND PARSES only ~1/n of the file
+        # (byte range snapped to record boundaries); content-hash routing
+        # makes the final counts partition-independent
+        size = os.path.getsize(input_path)
+        mat, lens = read_fastq_matrix_byterange(
+            input_path, size * host_id // n_hosts,
+            size * (host_id + 1) // n_hosts,
+        )
+        lo, hi = 0, mat.shape[0]
+    else:
+        # gzip streams aren't seekable and mates pair by record index:
+        # fall back to a full parse sliced by record range
+        mat, lens = read_fastq_matrix(input_path)
+        lo, hi = host_record_range(mat.shape[0], n_hosts, host_id)
     if mate_path is not None:
         mate_mat, mate_lens = read_fastq_matrix(mate_path)
         if mate_mat.shape[0] < mat.shape[0]:
