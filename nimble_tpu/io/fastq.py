@@ -223,19 +223,31 @@ def read_fastq_matrix_byterange(path: str, byte_lo: int, byte_hi: int):
     file (gzip streams are not seekable — callers fall back to record-range
     slicing of a full parse)."""
     import os
+    import sys
+    import time as _time
 
     from nimble_tpu import native
 
+    _timing = bool(os.environ.get("NIMBLE_TIMING"))
+    _t0 = _time.time()
     with open(path, "rb") as f:
         size = os.fstat(f.fileno()).st_size
         blo = _fastq_boundary(f, byte_lo, size)
         bhi = _fastq_boundary(f, byte_hi, size)
+        _t1 = _time.time()
         f.seek(blo)
         buf = f.read(bhi - blo)
+    _t2 = _time.time()
 
     if native.available():
         offsets, lens = native.fastq_scan(buf, max_records=len(buf) // 5 + 1)
-        return _matrix_from_scan(buf, offsets, lens)
+        _t3 = _time.time()
+        out = _matrix_from_scan(buf, offsets, lens)
+        if _timing:
+            print(f"[byterange] boundary {_t1-_t0:.2f}s read {_t2-_t1:.2f}s "
+                  f"scan {_t3-_t2:.2f}s encode+fill {_time.time()-_t3:.2f}s",
+                  file=sys.stderr)
+        return out
 
     from nimble_tpu.core.fast_count import pack_matrix
 

@@ -55,24 +55,32 @@ def host_record_range(n_records: int, n_hosts: int, host_id: int) -> Tuple[int, 
 def _read_owner_hash(mat: np.ndarray, lens: np.ndarray, n_hosts: int,
                      mate_mat: Optional[np.ndarray] = None,
                      mate_lens: Optional[np.ndarray] = None) -> np.ndarray:
-    """Owner host per read(-pair) from its exact content bytes (vectorized
-    FNV-1a over the padded row(s) with the lengths mixed in — padding is
-    zeros, so two reads with equal bytes+length always hash identically).
+    """Owner host per read(-pair) from its exact content bytes (FNV-1a over
+    each row's lens[i] bytes — NEVER the padded tail, so hosts holding the
+    same read at different pad widths agree — with the length mixed in).
     Paired reads hash BOTH mates: the score-map key is the pair
     (`src/align.rs:574-579`), so all copies of a pair must share an owner.
+    Native C++ (threaded) with a masked-NumPy fallback.
     """
+    from nimble_tpu import native
+
+    got = native.owner_hash(mat, lens, n_hosts, mate_mat, mate_lens)
+    if got is not None:
+        return got
+
+    def mix(h, m, ls):
+        ls = np.asarray(ls, dtype=np.uint64)
+        for j in range(m.shape[1]):
+            live = np.uint64(j) < ls
+            hx = (h ^ m[:, j].astype(np.uint8).astype(np.uint64)) * np.uint64(
+                0x100000001B3)
+            h = np.where(live, hx, h)
+        return (h ^ ls) * np.uint64(0x100000001B3)
+
     h = np.full(mat.shape[0], 0x811C9DC5, dtype=np.uint64)
-    for j in range(mat.shape[1]):
-        h = (h ^ mat[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
-        h &= np.uint64(0xFFFFFFFFFFFFFFFF)
-    h ^= lens.astype(np.uint64)
-    h *= np.uint64(0x100000001B3)
+    h = mix(h, mat, lens)
     if mate_mat is not None:
-        for j in range(mate_mat.shape[1]):
-            h = (h ^ mate_mat[:, j].astype(np.uint64)) * np.uint64(0x100000001B3)
-            h &= np.uint64(0xFFFFFFFFFFFFFFFF)
-        h ^= mate_lens.astype(np.uint64)
-        h *= np.uint64(0x100000001B3)
+        h = mix(h, mate_mat, mate_lens)
     return (h % np.uint64(n_hosts)).astype(np.int64)
 
 
@@ -94,20 +102,27 @@ def _stack_owned(mats: List[np.ndarray], lens_list: List[np.ndarray]):
 
 def _pack2bit(mat: np.ndarray) -> np.ndarray:
     """(n, L) int8 codes -> (n, ceil(L/4)) uint8 (wire format: 4x smaller
-    collectives; code matrices are zero-padded beyond the read length)."""
+    collectives; code matrices are zero-padded beyond the read length).
+
+    Strided slice ops only — fancy-index variants promote to int64 and run
+    ~100x slower on multi-million-read shards."""
     n, L = mat.shape
     nb = (max(L, 1) + 3) // 4
     m = np.zeros((n, nb * 4), dtype=np.uint8)
     m[:, :L] = mat.astype(np.uint8, copy=False)
-    m = m.reshape(n, nb, 4)
-    return (m[:, :, 0] | (m[:, :, 1] << 2) | (m[:, :, 2] << 4)
-            | (m[:, :, 3] << 6)).astype(np.uint8)
+    m3 = m.reshape(n, nb, 4)
+    return (m3[:, :, 0] | (m3[:, :, 1] << 2) | (m3[:, :, 2] << 4)
+            | (m3[:, :, 3] << 6))
 
 
 def _unpack2bit(packed: np.ndarray) -> np.ndarray:
     n, nb = packed.shape
-    j = np.arange(nb * 4)
-    return ((packed[:, j >> 2] >> ((j & 3) * 2)) & 3).astype(np.int8)
+    out = np.empty((n, nb * 4), dtype=np.uint8)
+    out[:, 0::4] = packed & 3
+    out[:, 1::4] = (packed >> 2) & 3
+    out[:, 2::4] = (packed >> 4) & 3
+    out[:, 3::4] = packed >> 6
+    return out.view(np.int8)
 
 
 def exchange_reads_by_content(
@@ -297,6 +312,12 @@ def process_bam_multihost(
         n_hosts = jax.process_count()
     if host_id is None:
         host_id = jax.process_index()
+    if allgather_bytes is None and n_hosts > 1:
+        if jax.process_count() != n_hosts:
+            raise RuntimeError(
+                f"--num-processes={n_hosts} but this jax job has "
+                f"{jax.process_count()} process(es); jax.distributed is not "
+                "initialized across the hosts")
 
     # pass 1: count groups (scan only — no device work)
     total_groups = 0
@@ -421,8 +442,23 @@ def process_fastq_multihost(
         n_hosts = jax.process_count()
     if host_id is None:
         host_id = jax.process_index()
+    if allgather is None and allgather_bytes is None and n_hosts > 1:
+        # running on the REAL collectives: the jax job must actually span
+        # the claimed hosts, else every allgather silently returns only the
+        # local shard and ~owned/n_hosts of the counts vanish
+        if jax.process_count() != n_hosts:
+            raise RuntimeError(
+                f"--num-processes={n_hosts} but this jax job has "
+                f"{jax.process_count()} process(es); jax.distributed is not "
+                "initialized across the hosts")
+
+    import sys
+    import time as _time
 
     from nimble_tpu import native
+
+    _timing = bool(os.environ.get("NIMBLE_TIMING"))
+    _t0 = _time.time()
 
     local_seen = native.make_dedupe_set()
     if mate_path is None and not is_gzip(input_path):
@@ -440,6 +476,8 @@ def process_fastq_multihost(
         # fall back to a full parse sliced by record range
         mat, lens = read_fastq_matrix(input_path)
         lo, hi = host_record_range(mat.shape[0], n_hosts, host_id)
+    _t_parse = _time.time() - _t0
+    _t0 = _time.time()
     if mate_path is not None:
         mate_mat, mate_lens = read_fastq_matrix(mate_path)
         if mate_mat.shape[0] < mat.shape[0]:
@@ -458,6 +496,8 @@ def process_fastq_multihost(
             local_seen=local_seen,
         )
         own_m2 = own_l2 = None
+    _t_exch = _time.time() - _t0
+    _t0 = _time.time()
 
     counter = FastCounter(engine, reference, config)
     pending = None
@@ -474,8 +514,18 @@ def process_fastq_multihost(
     if pending is not None:
         counter.process(pending)
     local = counter.finalize()
+    _t_align = _time.time() - _t0
+    _t0 = _time.time()
 
     merged = merge_host_results(local, allgather_bytes=allgather_bytes)
+    if _timing:
+        print(
+            f"[multihost host {host_id}] parse {_t_parse:.2f}s "
+            f"exchange {_t_exch:.2f}s align {_t_align:.2f}s "
+            f"merge {_time.time() - _t0:.2f}s "
+            f"({own_mat.shape[0]} owned reads)",
+            file=sys.stderr,
+        )
     if output_path is not None and host_id == 0:
         from nimble_tpu.io.writers import write_to_tsv
 
