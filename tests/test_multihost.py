@@ -514,3 +514,46 @@ def test_simulated_two_host_bam_empty_output(tmp_path):
         t.join(timeout=180)
     assert not errors, errors
     assert gzip.open(mh_out, "rb").read() == expected
+
+
+def test_owner_hash_native_matches_fallback_and_pad_invariant():
+    """Ownership must depend only on read CONTENT: the native hash, the
+    NumPy fallback, and any pad width must all agree (a pad-width-dependent
+    hash would route two copies of one read to different owners and defeat
+    the global dedupe)."""
+    import unittest.mock as um
+
+    from nimble_tpu import native
+
+    if not native.available():
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(7)
+    n = 2000
+    mat = rng.integers(0, 4, (n, 90)).astype(np.int8)
+    lens = rng.integers(40, 91, n).astype(np.int32)
+    mat[np.arange(90)[None, :] >= lens[:, None]] = 0
+    m2 = rng.integers(0, 4, (n, 77)).astype(np.int8)
+    l2 = rng.integers(40, 78, n).astype(np.int32)
+    m2[np.arange(77)[None, :] >= l2[:, None]] = 0
+
+    nat = multihost._read_owner_hash(mat, lens, 5, m2, l2)
+    with um.patch.object(native, "owner_hash", lambda *a, **k: None):
+        fb = multihost._read_owner_hash(mat, lens, 5, m2, l2)
+    assert (nat == fb).all()
+
+    wide = np.zeros((n, 128), dtype=np.int8)
+    wide[:, :90] = mat
+    assert (multihost._read_owner_hash(wide, lens, 5, m2, l2) == nat).all()
+
+    single_end = multihost._read_owner_hash(mat, lens, 3)
+    with um.patch.object(native, "owner_hash", lambda *a, **k: None):
+        assert (multihost._read_owner_hash(mat, lens, 3) == single_end).all()
+
+
+def test_pack_unpack_roundtrip():
+    rng = np.random.default_rng(8)
+    for L in (1, 3, 40, 90, 91):
+        mat = rng.integers(0, 4, (37, L)).astype(np.int8)
+        u = multihost._unpack2bit(multihost._pack2bit(mat))
+        assert u.shape[1] >= L and (u[:, :L] == mat).all()
+        assert (u[:, L:] == 0).all()
