@@ -158,6 +158,10 @@ def bench_multihost_cpu(args, log) -> dict:
         ",".join(str(c) for c in range(h * per, (h + 1) * per))
         for h in range(n_hosts)
     ]
+    # pin the single-process reference to the SAME cores the multihost run
+    # uses in total, so the comparison stays "same total hardware" even
+    # when total_cores isn't divisible by n_hosts
+    single_cores = ",".join(str(c) for c in range(n_hosts * per))
 
     from nimble_tpu.utils.dna import revcomp
 
@@ -214,7 +218,7 @@ def bench_multihost_cpu(args, log) -> dict:
         out = f"{td}/single{seq[0]}.tsv"
         t0 = time.time()
         rc = subprocess.run(
-            [sys.executable, "-m",  # ALL cores: the same-total-hardware ref
+            ["taskset", "-c", single_cores, sys.executable, "-m",
              "nimble_tpu.cli", "-r", lib, "-i", fastq, "-o", out],
             env=env, capture_output=True, timeout=1200,
         )
@@ -251,7 +255,7 @@ def bench_multihost_cpu(args, log) -> dict:
     run_single()  # warm compile caches
     t1 = min(run_single() for _ in range(2))
     tn = min(run_multi() for _ in range(2))
-    log(f"single ({total_cores} cores): {t1:.1f}s; "
+    log(f"single ({n_hosts * per} cores): {t1:.1f}s; "
         f"{n_hosts} hosts x {per} cores: {tn:.1f}s")
     eff = t1 / tn
     return {
@@ -381,7 +385,11 @@ def main(argv=None) -> int:
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-    if args.cpu:
+    # --multihost-cpu is a host-only orchestration bench (its CLI children
+    # force cpu themselves): never touch the TPU backend for it, both for
+    # speed and because a transiently unreachable tunnel would abort a
+    # bench that doesn't need it
+    if args.cpu or args.multihost_cpu:
         os.environ["JAX_PLATFORMS"] = "cpu"
         import jax
 

@@ -204,8 +204,11 @@ def _fastq_boundary(f, offset: int, size: int) -> int:
                     if not at_eof:
                         break
                     e2 = len(buf) - 1
-                nxt = buf[e2 + 1 : e2 + 2]
-                if nxt == b"+" or (nxt == b"" and at_eof):
+                # a record start is an '@' line whose line-after-next is the
+                # '+' separator; EOF there instead means this '@' line is a
+                # quality line of the final record (quality bytes can be
+                # '@' = Phred Q31), NOT a record start
+                if buf[e2 + 1 : e2 + 2] == b"+":
                     return start + s
             pos = nl + 1
         if at_eof:

@@ -182,10 +182,14 @@ def fill_matrix(codes: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
         out = np.zeros((n, max(W, 1)), dtype=np.int8)
         row0 = 0
     dst = out[row0 : row0 + n]
+    # bind converted arrays to locals: an inline `.ctypes.data` temporary
+    # would be freed before the C call runs whenever a dtype/contiguity
+    # conversion makes a copy
+    codes_c = np.ascontiguousarray(codes, dtype=np.int8)
+    offsets_c = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens_c = np.ascontiguousarray(lens, dtype=np.int64)
     lib.nimble_fill_matrix(
-        np.ascontiguousarray(codes, dtype=np.int8).ctypes.data,
-        np.ascontiguousarray(offsets, dtype=np.int64).ctypes.data,
-        np.ascontiguousarray(lens, dtype=np.int64).ctypes.data,
+        codes_c.ctypes.data, offsets_c.ctypes.data, lens_c.ctypes.data,
         n, out.shape[1], dst.ctypes.data,
     )
     return out

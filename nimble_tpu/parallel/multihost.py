@@ -339,8 +339,14 @@ def process_bam_multihost(
 
     # part files open lazily on the first row block (the single-host logger
     # writes nothing at all — not even the header — for a library with no
-    # rows, `src/process/bam.rs:90-101`; no part file = no content)
+    # rows, `src/process/bam.rs:90-101`; no part file = no content).  Each
+    # host clears ITS OWN part files first: a crashed previous run can leave
+    # stale parts behind, and lazy creation would otherwise let the merge
+    # concatenate them into this run's output.
     parts = [f"{p}.part{host_id}" for p in output_paths]
+    for p in parts:
+        if os.path.exists(p):
+            os.remove(p)
     files: list = [None] * len(parts)
     header = (log_header() + "\n").encode()
 
@@ -349,6 +355,8 @@ def process_bam_multihost(
             files[i] = _gzip.open(parts[i], "wb", compresslevel=6)
         files[i].write(blob)
 
+    ag = allgather_bytes if allgather_bytes is not None else _allgather_bytes
+    ok = False
     try:
         # pass 2: align + package only this host's groups (dispatch N+1's
         # device work before packaging N, like the threaded consumer)
@@ -377,10 +385,26 @@ def process_bam_multihost(
         for f in files:
             if f is not None:
                 f.close()
+        ok = True
     finally:
         # reach the rendezvous even on failure so peer hosts don't block
-        # forever in the collective; the exception then propagates
-        barrier(allgather_bytes)
+        # forever in the collective — and carry this host's status so
+        # surviving peers ABORT instead of merging an output that silently
+        # misses the failed host's group range (and then deadlocking at the
+        # post-merge rendezvous this host would never reach)
+        if ok:
+            statuses = ag(b"\x01")
+        else:
+            try:
+                ag(b"\x00")
+            except Exception:
+                pass  # keep the original exception propagating
+    if any(s != b"\x01" for s in statuses):
+        failed = [h for h, s in enumerate(statuses) if s != b"\x01"]
+        raise RuntimeError(
+            f"multi-host BAM run aborted: host(s) {failed} failed during "
+            "alignment; no merged output was written"
+        )
     if host_id == 0:
         for out in output_paths:
             # header member iff any host produced rows (single-host parity:

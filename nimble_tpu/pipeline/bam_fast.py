@@ -679,6 +679,15 @@ def process_fast(
             while next_seq in buffered:
                 write_blocks(buffered.pop(next_seq))
                 next_seq += 1
+        if buffered:
+            # a sequence gap at shutdown means a consumer died mid-batch:
+            # completed later batches must NOT be silently dropped
+            for f in files:
+                f.close()
+            raise RuntimeError(
+                f"output truncated at batch {next_seq}: "
+                f"{len(buffered)} completed batch(es) follow a failed one"
+            )
         for i, f in enumerate(files):
             f.close()
             print(f"Successfully flushed and closed file {i}")
@@ -775,15 +784,39 @@ def process_fast(
                 file=sys.stderr,
             )
 
-    log_thread = threading.Thread(target=logger)
+    # worker exceptions are captured and re-raised from the main thread —
+    # a dying thread must fail the run, not silently truncate the output
+    errors: list = []
+
+    def guarded(fn, *fn_args):
+        try:
+            fn(*fn_args)
+        except BaseException as e:  # noqa: BLE001 — re-raised in main
+            errors.append(e)
+
+    def consumer_guarded(tn: int) -> None:
+        try:
+            consumer(tn)
+        except BaseException as e:  # noqa: BLE001 — re-raised in main
+            errors.append(e)
+            # keep the shutdown protocol alive: drain work (unblocking the
+            # bounded-queue producer) until the main thread's None sentinel,
+            # which is re-put for sibling consumers
+            while True:
+                msg = work_queue.get()
+                if msg is None:
+                    work_queue.put(None)
+                    break
+
+    log_thread = threading.Thread(target=guarded, args=(logger,))
     log_thread.start()
-    producer_thread = threading.Thread(target=producer)
+    producer_thread = threading.Thread(target=guarded, args=(producer,))
     producer_thread.start()
 
     consumer_threads = []
     for tn in range(n_consumers):
         print(f"Spawning consumer thread {tn}")
-        t = threading.Thread(target=consumer, args=(tn,))
+        t = threading.Thread(target=consumer_guarded, args=(tn,))
         t.start()
         consumer_threads.append(t)
 
@@ -795,6 +828,10 @@ def process_fast(
     print("Joined on consumer.")
     log_queue.put(None)
     log_thread.join()
+    if errors:
+        raise RuntimeError(
+            "BAM fast pipeline failed in a worker thread"
+        ) from errors[0]
     from nimble_tpu.utils.metrics import METRICS
 
     meter = METRICS.meter("bam_align")

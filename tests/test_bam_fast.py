@@ -397,3 +397,37 @@ def test_fast_multiple_consumers_deterministic(tmp_path):
         outs.append(gzip.open(out, "rb").read())
     assert outs[0] == outs[1]
     assert len(outs[0]) > 0
+
+
+def test_consumer_failure_fails_the_run(tmp_path, monkeypatch):
+    """A consumer thread dying mid-run must raise from process_fast (and
+    never report success with silently truncated output)."""
+    import nimble_tpu.pipeline.bam_fast as bf
+
+    if not native.available():
+        pytest.skip("native library required")
+    feats, reference, index = _workload(seed=45)
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(bam, feats, n_groups=40, pairs_per_group=3,
+                       read_len=80, seed=45)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    real = bf._prepare_batch
+    calls = []
+
+    def flaky(batch, workers, multi=None):
+        calls.append(1)
+        if len(calls) == 2:
+            raise ValueError("injected device failure")
+        return real(batch, workers, multi)
+
+    monkeypatch.setattr(bf, "_prepare_batch", flaky)
+    out = str(tmp_path / "out.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(RuntimeError, match="worker thread"):
+            process_fast(
+                [bam], [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+                [out], 3, False, batch_records=32,
+            )

@@ -88,6 +88,34 @@ def test_boundary_not_fooled_by_at_sign_quality(tmp_path):
     assert n0 + n1 == full_mat.shape[0] == 2
 
 
+def test_boundary_final_record_at_sign_quality(tmp_path):
+    """A shard boundary inside the FINAL record must snap to EOF even when
+    that record's quality line starts with '@' (Phred Q31): two lines after
+    a true record start is always the '+' separator, so hitting EOF there
+    instead proves the '@' line was quality, not a header."""
+    fq = tmp_path / "r.fastq"
+    seqs = ["ACGTACGTACGTACGTACGTACGTACGTACGTACGTACGT"] * 2
+    quals = ["I" * 40, "@" + "I" * 39]
+    _write_fastq(str(fq), seqs, quals)
+    data = fq.read_bytes()
+    size = len(data)
+    rec1 = data.index(b"@r1")
+    with open(str(fq), "rb") as f:
+        # every offset inside the final record snaps to EOF, never to the
+        # '@...' quality line
+        for off in range(rec1 + 1, size + 1):
+            assert _fastq_boundary(f, off, size) == size, off
+    # partitions with the boundary inside the final record parse cleanly
+    # and cover both records exactly once
+    full_mat, full_lens = read_fastq_matrix(str(fq))
+    for split in (rec1 + 1, size - 3, size - 1):
+        parts = [read_fastq_matrix_byterange(str(fq), 0, split),
+                 read_fastq_matrix_byterange(str(fq), split, size)]
+        assert sum(p[0].shape[0] for p in parts) == full_mat.shape[0]
+        got = np.concatenate([p[1] for p in parts])
+        assert got.tolist() == full_lens.tolist()
+
+
 def test_is_gzip(tmp_path):
     import gzip
 

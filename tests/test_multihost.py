@@ -557,3 +557,142 @@ def test_pack_unpack_roundtrip():
         u = multihost._unpack2bit(multihost._pack2bit(mat))
         assert u.shape[1] >= L and (u[:, :L] == mat).all()
         assert (u[:, L:] == 0).all()
+
+
+def _exchanging_allgather(n):
+    """Simulated allgather that actually exchanges per-host payloads."""
+    import threading
+
+    cond = threading.Condition()
+    state = {"items": [], "result": None, "gen": 0}
+
+    def ag(payload):
+        with cond:
+            gen = state["gen"]
+            state["items"].append(payload)
+            if len(state["items"]) == n:
+                state["result"] = list(state["items"])
+                state["items"] = []
+                state["gen"] += 1
+                cond.notify_all()
+                return list(state["result"])
+            while state["gen"] == gen:
+                if not cond.wait(timeout=120):
+                    raise RuntimeError("simulated allgather timed out")
+            return list(state["result"])
+
+    return ag
+
+
+def test_two_host_bam_ignores_stale_part_files(tmp_path):
+    """Part files left behind by a crashed previous run must not leak into
+    the merged output (each host clears its own parts before writing)."""
+    import contextlib
+    import gzip
+    import io
+    import threading
+
+    from nimble_tpu import native
+    from nimble_tpu.pipeline.bam_fast import process_fast
+
+    if not native.available():
+        pytest.skip("native library required")
+    bam, reference, index, cfg = _bam_workload(tmp_path)
+
+    single_out = str(tmp_path / "single.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        process_fast(
+            [bam], [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+            [single_out], 2, False,
+        )
+    expected = gzip.open(single_out, "rb").read()
+
+    mh_out = str(tmp_path / "mh.tsv.gz")
+    # stale parts from a hypothetical earlier crashed run
+    for h in (0, 1):
+        with gzip.open(f"{mh_out}.part{h}", "wb") as f:
+            f.write(b"STALE ROWS FROM A PREVIOUS RUN\n")
+
+    ag = _exchanging_allgather(2)
+    errors = []
+
+    def run_host(hid):
+        try:
+            multihost.process_bam_multihost(
+                bam, [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+                [mh_out], False, n_hosts=2, host_id=hid,
+                batch_records=64, allgather_bytes=ag,
+            )
+        except Exception as e:
+            errors.append(e)
+
+    threads = [threading.Thread(target=run_host, args=(h,)) for h in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=180)
+    assert not errors, errors
+    got = gzip.open(mh_out, "rb").read()
+    assert b"STALE" not in got
+    assert got == expected
+
+
+def test_two_host_bam_peer_failure_aborts_merge(tmp_path):
+    """If one host fails during alignment, the surviving host must abort
+    (no plausible-but-incomplete merged output) instead of deadlocking at
+    the post-merge rendezvous."""
+    import contextlib
+    import io
+    import threading
+
+    from nimble_tpu import native
+
+    if not native.available():
+        pytest.skip("native library required")
+    bam, reference, index, cfg = _bam_workload(tmp_path)
+    mh_out = str(tmp_path / "mh.tsv.gz")
+
+    import nimble_tpu.pipeline.bam_fast as bf
+
+    real = bf._finish_batch
+    fail_thread = {}
+
+    def flaky(ctx, workers, collected=None):
+        if threading.current_thread().name == fail_thread.get("name"):
+            raise ValueError("injected device failure on host 1")
+        return real(ctx, workers, collected)
+
+    ag = _exchanging_allgather(2)
+    results = {}
+
+    def run_host(hid):
+        try:
+            with contextlib.redirect_stdout(io.StringIO()):
+                multihost.process_bam_multihost(
+                    bam, [DeviceAlignEngine(index, cfg)], [reference], [cfg],
+                    [mh_out], False, n_hosts=2, host_id=hid,
+                    batch_records=64, allgather_bytes=ag,
+                )
+            results[hid] = None
+        except Exception as e:
+            results[hid] = e
+
+    bf._finish_batch = flaky
+    try:
+        threads = [
+            threading.Thread(target=run_host, args=(h,), name=f"mh-host-{h}")
+            for h in (0, 1)
+        ]
+        fail_thread["name"] = "mh-host-1"
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=180)
+            assert not t.is_alive(), "multihost run deadlocked"
+    finally:
+        bf._finish_batch = real
+
+    assert isinstance(results.get(1), ValueError)           # its own error
+    assert isinstance(results.get(0), RuntimeError)          # peer-abort
+    assert "failed" in str(results[0])
+    assert not os.path.exists(mh_out)                        # nothing merged
