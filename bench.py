@@ -203,13 +203,13 @@ def bench_multihost_cpu(args, log) -> dict:
 
     env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
     env["JAX_PLATFORMS"] = "cpu"
-    # PREPEND the repo (the image injects the axon plugin via PYTHONPATH;
-    # overwriting it would unregister the TPU backend for any child that
-    # doesn't force cpu)
-    env["PYTHONPATH"] = os.pathsep.join(
-        [os.path.dirname(os.path.abspath(__file__))]
-        + ([env["PYTHONPATH"]] if env.get("PYTHONPATH") else [])
-    )
+    # belt AND braces: the image's preloaded accelerator plugin pins
+    # jax_platforms programmatically (JAX_PLATFORMS alone is ignored), and a
+    # child that reaches the remote-TPU tunnel serializes against every other
+    # child — so ALSO force cpu through the CLI's jax.config override and
+    # drop the plugin injection by overwriting PYTHONPATH with just the repo
+    env["NIMBLE_PLATFORM"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.abspath(__file__))
 
     seq = [0]
 

@@ -16,6 +16,7 @@ batched device engine by default, ``--engine host`` for the NumPy oracle.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 from typing import List
 
@@ -73,6 +74,14 @@ def main(argv: List[str] | None = None) -> int:
     # jax.config (env vars are captured at jax import, which images may
     # preload before main() runs)
     import jax
+
+    # Platform override: images may pre-register accelerator plugins and pin
+    # jax_platforms programmatically, which silently ignores the standard
+    # JAX_PLATFORMS env var.  NIMBLE_PLATFORM wins over both — host-only runs
+    # (e.g. per-host CPU processes of a multi-host job) set it to "cpu".
+    platform = os.environ.get("NIMBLE_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
 
     if not jax.config.jax_compilation_cache_dir:
         jax.config.update("jax_compilation_cache_dir",
