@@ -284,6 +284,40 @@ int32_t nimble_build_hash_table(
     return max_probe;
 }
 
+// Bucketized variant (ops/device_index.py BucketedDeviceIndex): WIDTH slots
+// per bucket row, linear probing over BUCKETS when a bucket is full.  The
+// bucket index uses the same fmix32 mixing as the flat table; starts/counts
+// arrive as int64 (CSR spans) and are narrowed on store.  Returns max_probe
+// in bucket hops.  Caller pre-fills bkey_lo/hi with the 0xFFFFFFFF sentinel.
+int32_t nimble_build_bucket_table(
+    const uint64_t* keys, const int64_t* starts, const int64_t* counts,
+    int64_t n_keys,
+    uint32_t* bkey_lo, uint32_t* bkey_hi,
+    int32_t* bstart, int32_t* bcount,
+    int64_t n_buckets, int32_t width) {
+    const int64_t mask = n_buckets - 1;
+    std::vector<int32_t> fill((size_t)n_buckets, 0);
+    int32_t max_probe = 1;
+    for (int64_t i = 0; i < n_keys; ++i) {
+        uint32_t lo = (uint32_t)(keys[i] & 0x3FFFFFFFULL);
+        uint32_t hi = (uint32_t)((keys[i] >> 30) & 0x3FFFFFFFULL);
+        int64_t b = (int64_t)(fmix32(lo ^ fmix32(hi))) & mask;
+        int32_t probe = 1;
+        while (fill[(size_t)b] >= width) {
+            b = (b + 1) & mask;
+            ++probe;
+        }
+        int64_t at = b * width + fill[(size_t)b];
+        bkey_lo[at] = lo;
+        bkey_hi[at] = hi;
+        bstart[at] = (int32_t)starts[i];
+        bcount[at] = (int32_t)counts[i];
+        ++fill[(size_t)b];
+        if (probe > max_probe) max_probe = probe;
+    }
+    return max_probe;
+}
+
 // ---------------------------------------------------------------------------
 // global read-pair dedupe set (the score map is keyed by read strings,
 // `src/align.rs:574-579`; duplicates count once).  Keys are exact-length

@@ -25,7 +25,7 @@ views of them.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Tuple
+from typing import List
 
 import numpy as np
 
@@ -56,23 +56,73 @@ def pack_kmer_keys(codes: np.ndarray, k: int = KMER_SIZE) -> np.ndarray:
 
 @dataclass
 class KmerIndex:
-    """Host k-mer index: packed rows + postings map.
+    """Host k-mer index: packed rows + columnar (CSR) postings.
 
     Attributes:
-      k:            k-mer size (30)
-      row_codes:    per-row int8 base codes of the doubled library
-      row_lengths:  np.ndarray of row lengths
-      kmer_map:     key(uint64) -> np.ndarray[(n,2) int32] of (row, offset)
+      k:             k-mer size (30)
+      row_codes:     per-row int8 base codes of the doubled library
+      row_lengths:   np.ndarray of row lengths
+      keys_sorted:   (n_distinct,) uint64 distinct keys, ascending
+      post_starts:   (n_distinct+1,) int64 CSR spans into the postings arrays
+      postings_rows: (num_kmers,) int32 — key-grouped (row, offset) postings,
+      postings_offs: (num_kmers,) int32    row-major then offset-ascending
+                     within each key (matching the extraction order)
+
+    The columnar layout is what the device-table builders consume (zero-copy
+    spans); `kmer_map`/`lookup` provide the dict-shaped view the pinned host
+    oracle (`core/walk.py`) reads, materialized per key on demand.
     """
 
     k: int
     row_codes: List[np.ndarray]
     row_lengths: np.ndarray
-    kmer_map: Dict[int, np.ndarray]
+    keys_sorted: np.ndarray
+    post_starts: np.ndarray
+    postings_rows: np.ndarray
+    postings_offs: np.ndarray
     num_kmers: int = 0
 
     def lookup(self, key: int) -> np.ndarray | None:
-        return self.kmer_map.get(int(key))
+        i = int(np.searchsorted(self.keys_sorted, np.uint64(key)))
+        if i >= len(self.keys_sorted) or int(self.keys_sorted[i]) != int(key):
+            return None
+        s, e = int(self.post_starts[i]), int(self.post_starts[i + 1])
+        return np.stack(
+            [self.postings_rows[s:e], self.postings_offs[s:e]], axis=1
+        )
+
+    @property
+    def kmer_map(self) -> "_KmerMapView":
+        return _KmerMapView(self)
+
+
+class _KmerMapView:
+    """Read-only dict-shaped view over the columnar postings (lazy)."""
+
+    def __init__(self, index: KmerIndex):
+        self._index = index
+
+    def get(self, key: int, default=None):
+        got = self._index.lookup(key)
+        return default if got is None else got
+
+    def __getitem__(self, key: int) -> np.ndarray:
+        got = self._index.lookup(key)
+        if got is None:
+            raise KeyError(key)
+        return got
+
+    def __contains__(self, key: int) -> bool:
+        return self._index.lookup(key) is not None
+
+    def __len__(self) -> int:
+        return len(self._index.keys_sorted)
+
+    def __iter__(self):
+        return iter(self._index.keys_sorted)
+
+    def keys(self) -> np.ndarray:
+        return self._index.keys_sorted
 
 
 def _row_keys(codes: np.ndarray, k: int) -> np.ndarray:
@@ -115,27 +165,36 @@ def build_index(
         rows_per_row.append(np.full(len(keys), row_id, dtype=np.int32))
         offs_per_row.append(np.arange(len(keys), dtype=np.int32))
 
-    kmer_map: Dict[int, np.ndarray] = {}
-    total = 0
     if keys_per_row:
         all_keys = np.concatenate(keys_per_row)
         all_rows = np.concatenate(rows_per_row)
         all_offs = np.concatenate(offs_per_row)
         total = len(all_keys)
+        # stable sort groups identical keys while keeping each key's postings
+        # in extraction order (row-major, offset-ascending)
         order = np.argsort(all_keys, kind="stable")
-        sk, sr, so = all_keys[order], all_rows[order], all_offs[order]
-        # group identical keys into postings arrays
+        sk = all_keys[order]
+        postings_rows = np.ascontiguousarray(all_rows[order], dtype=np.int32)
+        postings_offs = np.ascontiguousarray(all_offs[order], dtype=np.int32)
         boundaries = np.flatnonzero(np.diff(sk)) + 1
-        starts = np.concatenate(([0], boundaries))
-        ends = np.concatenate((boundaries, [len(sk)]))
-        for s, e in zip(starts, ends):
-            postings = np.stack([sr[s:e], so[s:e]], axis=1).astype(np.int32)
-            kmer_map[int(sk[s])] = postings
+        keys_sorted = sk[np.concatenate(([0], boundaries))]
+        post_starts = np.concatenate(
+            ([0], boundaries, [total])
+        ).astype(np.int64)
+    else:
+        total = 0
+        keys_sorted = np.empty(0, dtype=np.uint64)
+        post_starts = np.zeros(1, dtype=np.int64)
+        postings_rows = np.empty(0, dtype=np.int32)
+        postings_offs = np.empty(0, dtype=np.int32)
 
     return KmerIndex(
         k=k,
         row_codes=row_codes,
         row_lengths=row_lengths,
-        kmer_map=kmer_map,
+        keys_sorted=keys_sorted,
+        post_starts=post_starts,
+        postings_rows=postings_rows,
+        postings_offs=postings_offs,
         num_kmers=total,
     )

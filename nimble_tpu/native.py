@@ -59,6 +59,11 @@ def _load():
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64]
+            lib.nimble_build_bucket_table.restype = ctypes.c_int32
+            lib.nimble_build_bucket_table.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int32]
             lib.nimble_bam_scan.restype = ctypes.c_int64
             lib.nimble_bam_scan.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
@@ -577,6 +582,31 @@ class DedupeSet:
 def make_dedupe_set() -> DedupeSet | None:
     lib = _load()
     return DedupeSet(lib) if lib is not None else None
+
+
+def build_bucket_table(keys, starts, counts, bkey_lo, bkey_hi,
+                       bstart, bcount, width: int) -> int | None:
+    """Native bucketized-table insertion; returns max_probe (bucket hops)
+    or None when the library is unavailable.  ``bkey_lo``/``bkey_hi`` must
+    be pre-filled with the empty sentinel; all four table arrays must be
+    C-contiguous (n_buckets, width)."""
+    lib = _load()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    starts = np.ascontiguousarray(starts, dtype=np.int64)
+    counts = np.ascontiguousarray(counts, dtype=np.int64)
+    for t in (bkey_lo, bkey_hi, bstart, bcount):
+        assert t.flags.c_contiguous
+    return int(
+        lib.nimble_build_bucket_table(
+            keys.ctypes.data, starts.ctypes.data, counts.ctypes.data,
+            len(keys),
+            bkey_lo.ctypes.data, bkey_hi.ctypes.data,
+            bstart.ctypes.data, bcount.ctypes.data,
+            bkey_lo.shape[0], int(width),
+        )
+    )
 
 
 def build_hash_table(keys, starts, counts, table_key_lo, table_key_hi,

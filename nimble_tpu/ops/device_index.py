@@ -97,45 +97,32 @@ class BucketedDeviceIndex:
     max_postings: int
 
 
-def build_bucketed_index(
-    index: KmerIndex, width: int = 8, load_factor: float = 0.25,
-    ref_pad: int = 1024 + 32, min_buckets: int = 16,
-) -> BucketedDeviceIndex:
-    """Bucketized table at load 0.25: the probe loop's table gathers are the
-    kernel's dominant cost, and a quarter-full 8-wide layout keeps the
-    measured max_probe at 1 for virtually any key set (2x HBM for the
-    table, which is megabytes)."""
-    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64, count=len(index.kmer_map))
+def insert_bucket_table(
+    keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    bkey_lo: np.ndarray, bkey_hi: np.ndarray,
+    bstart: np.ndarray, bcount: np.ndarray, width: int,
+) -> int:
+    """Insert ``keys`` (with postings spans ``starts``/``counts``) into a
+    bucketized table; returns the measured max_probe in bucket hops.
+    Native C++ loop when available, NumPy/Python fallback otherwise.
+    ``bkey_lo``/``bkey_hi`` must be pre-filled with EMPTY_SLOT."""
     n_keys = len(keys)
+    if n_keys == 0:
+        return 1
+    from nimble_tpu import native
 
-    counts = np.array(
-        [len(index.kmer_map[int(kk)]) for kk in keys], dtype=np.int64
-    ) if n_keys else np.empty(0, dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1] if n_keys else np.empty(0, dtype=np.int64)
-    total_postings = int(counts.sum()) if n_keys else 0
-    postings_row = np.zeros(max(total_postings, 1), dtype=np.int32)
-    postings_off = np.zeros(max(total_postings, 1), dtype=np.int32)
-    for i, kk in enumerate(keys):
-        p = index.kmer_map[int(kk)]
-        s = int(starts[i])
-        postings_row[s : s + len(p)] = p[:, 0]
-        postings_off[s : s + len(p)] = p[:, 1]
+    got = native.build_bucket_table(
+        keys, starts, counts, bkey_lo, bkey_hi, bstart, bcount, width
+    )
+    if got is not None:
+        return max(int(got), 1)
 
-    n_buckets = max(16, int(min_buckets))
-    while n_buckets * width * load_factor < max(n_keys, 1):
-        n_buckets *= 2
+    n_buckets = bkey_lo.shape[0]
     mask = n_buckets - 1
-
-    bkey_lo = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
-    bkey_hi = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
-    bstart = np.zeros((n_buckets, width), dtype=np.int32)
-    bcount = np.zeros((n_buckets, width), dtype=np.int32)
-    fill = np.zeros(n_buckets, dtype=np.int64)
-
     key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
     key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
     h = hash_kmer(key_lo, key_hi).astype(np.int64) & mask
-
+    fill = np.zeros(n_buckets, dtype=np.int64)
     max_probe = 1
     for i in range(n_keys):
         b = int(h[i])
@@ -150,6 +137,96 @@ def build_bucketed_index(
         bcount[b, lane] = counts[i]
         fill[b] += 1
         max_probe = max(max_probe, probe)
+    return max_probe
+
+
+def insert_hash_table(
+    keys: np.ndarray, starts: np.ndarray, counts: np.ndarray,
+    table_key_lo: np.ndarray, table_key_hi: np.ndarray,
+    table_start: np.ndarray, table_count: np.ndarray,
+) -> int:
+    """Insert into a flat open-addressed table (element-wise linear probe);
+    returns max_probe.  Native fast path with Python fallback."""
+    n_keys = len(keys)
+    if n_keys == 0:
+        return 1
+    from nimble_tpu import native
+
+    got = native.build_hash_table(
+        keys, np.asarray(starts, dtype=np.int32),
+        np.asarray(counts, dtype=np.int32),
+        table_key_lo, table_key_hi, table_start, table_count,
+    )
+    if got is not None:
+        return max(int(got), 1)
+
+    table_size = len(table_key_lo)
+    mask = table_size - 1
+    key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
+    h = hash_kmer(key_lo, key_hi).astype(np.int64) & mask
+    occupied = np.zeros(table_size, dtype=bool)
+    max_probe = 1
+    for i in range(n_keys):
+        slot = int(h[i])
+        probe = 1
+        while occupied[slot]:
+            slot = (slot + 1) & mask
+            probe += 1
+        occupied[slot] = True
+        table_key_lo[slot] = key_lo[i]
+        table_key_hi[slot] = key_hi[i]
+        table_start[slot] = starts[i]
+        table_count[slot] = counts[i]
+        max_probe = max(max_probe, probe)
+    return max_probe
+
+
+def span_gather_indices(starts: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Flat indices covering [starts[i], starts[i]+counts[i]) for every i,
+    concatenated in order — the vectorized multi-span gather."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    local = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    return np.repeat(np.asarray(starts, dtype=np.int64) - local, counts) + np.arange(total)
+
+
+def build_bucketed_index(
+    index: KmerIndex, width: int = 8, load_factor: float = 0.25,
+    ref_pad: int = 1024 + 32, min_buckets: int = 16,
+) -> BucketedDeviceIndex:
+    """Bucketized table at load 0.25: the probe loop's table gathers are the
+    kernel's dominant cost, and a quarter-full 8-wide layout keeps the
+    measured max_probe at 1 for virtually any key set (2x HBM for the
+    table, which is megabytes)."""
+    keys = index.keys_sorted
+    n_keys = len(keys)
+
+    # zero-copy views of the host index's columnar CSR postings
+    counts = np.diff(index.post_starts)
+    starts = index.post_starts[:-1]
+    total_postings = index.num_kmers
+    if total_postings:
+        postings_row = index.postings_rows
+        postings_off = index.postings_offs
+    else:
+        postings_row = np.zeros(1, dtype=np.int32)
+        postings_off = np.zeros(1, dtype=np.int32)
+
+    n_buckets = max(16, int(min_buckets))
+    while n_buckets * width * load_factor < max(n_keys, 1):
+        n_buckets *= 2
+
+    bkey_lo = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+    bkey_hi = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+    bstart = np.zeros((n_buckets, width), dtype=np.int32)
+    bcount = np.zeros((n_buckets, width), dtype=np.int32)
+
+    max_probe = insert_bucket_table(
+        keys, starts, counts, bkey_lo, bkey_hi, bstart, bcount, width
+    )
 
     row_lengths = index.row_lengths.astype(np.int32)
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)
@@ -190,66 +267,34 @@ def build_bucketed_index(
 def build_device_index(index: KmerIndex, load_factor: float = 0.4) -> DeviceIndex:
     """Lay the host KmerIndex out as flat device-ready arrays."""
     k = index.k
-    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64, count=len(index.kmer_map))
+    keys = index.keys_sorted
     n_keys = len(keys)
 
-    # postings flattening, ordered to match table insertion below
-    counts = np.array(
-        [len(index.kmer_map[int(kk)]) for kk in keys], dtype=np.int64
-    ) if n_keys else np.empty(0, dtype=np.int64)
-    starts = np.concatenate(([0], np.cumsum(counts)))[:-1] if n_keys else np.empty(0, dtype=np.int64)
-    total_postings = int(counts.sum()) if n_keys else 0
-    postings_row = np.zeros(max(total_postings, 1), dtype=np.int32)
-    postings_off = np.zeros(max(total_postings, 1), dtype=np.int32)
-    for i, kk in enumerate(keys):
-        p = index.kmer_map[int(kk)]
-        s = int(starts[i])
-        postings_row[s : s + len(p)] = p[:, 0]
-        postings_off[s : s + len(p)] = p[:, 1]
+    # zero-copy views of the host index's columnar CSR postings
+    counts = np.diff(index.post_starts)
+    starts = index.post_starts[:-1]
+    total_postings = index.num_kmers
+    if total_postings:
+        postings_row = index.postings_rows
+        postings_off = index.postings_offs
+    else:
+        postings_row = np.zeros(1, dtype=np.int32)
+        postings_off = np.zeros(1, dtype=np.int32)
 
     table_size = 64
     while table_size * load_factor < max(n_keys, 1):
         table_size *= 2
-    mask = table_size - 1
-
-    key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
-    key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
-    h = hash_kmer(key_lo, key_hi).astype(np.int64) & mask
 
     table_key_lo = np.full(table_size, EMPTY_SLOT, dtype=np.uint32)
     table_key_hi = np.full(table_size, EMPTY_SLOT, dtype=np.uint32)
     table_start = np.zeros(table_size, dtype=np.int32)
     table_count = np.zeros(table_size, dtype=np.int32)
 
-    # Linear-probe insertion (host-side, one-time at library load):
-    # native C++ loop when available, Python fallback otherwise.
-    from nimble_tpu import native
-
-    native_probe = (
-        native.build_hash_table(
-            keys, starts.astype(np.int32), counts.astype(np.int32),
-            table_key_lo, table_key_hi, table_start, table_count,
-        )
-        if n_keys
-        else 1
+    # Linear-probe insertion (host-side, one-time at library load)
+    max_probe = insert_hash_table(
+        keys, starts, counts,
+        table_key_lo, table_key_hi, table_start, table_count,
     )
-    if native_probe is not None:
-        max_probe = max(int(native_probe), 1)
-    else:
-        max_probe = 1
-        occupied = np.zeros(table_size, dtype=bool)
-        for i in range(n_keys):
-            slot = int(h[i])
-            probe = 1
-            while occupied[slot]:
-                slot = (slot + 1) & mask
-                probe += 1
-            occupied[slot] = True
-            table_key_lo[slot] = key_lo[i]
-            table_key_hi[slot] = key_hi[i]
-            table_start[slot] = starts[i]
-            table_count[slot] = counts[i]
-            max_probe = max(max_probe, probe)
 
     # concatenated reference rows
     row_lengths = index.row_lengths.astype(np.int32)

@@ -37,7 +37,12 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from nimble_tpu.index.build import KmerIndex
-from nimble_tpu.ops.device_index import EMPTY_SLOT, hash_kmer
+from nimble_tpu.ops.device_index import (
+    EMPTY_SLOT,
+    hash_kmer,
+    insert_hash_table,
+    span_gather_indices,
+)
 from nimble_tpu.ops.engine_xla import (
     gather_candidates,
     probe_positions,
@@ -72,7 +77,7 @@ def build_sharded_index(
     assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0, "n_shards must be pow2"
     k = index.k
 
-    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64, count=len(index.kmer_map))
+    keys = index.keys_sorted
     key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
     key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
     h_full = hash_kmer(key_lo, key_hi)
@@ -84,41 +89,38 @@ def build_sharded_index(
     table_size = 64
     while table_size * load_factor < max_keys:
         table_size *= 2
-    mask = table_size - 1
 
     tkl = np.full((n_shards, table_size), EMPTY_SLOT, dtype=np.uint32)
     tkh = np.full((n_shards, table_size), EMPTY_SLOT, dtype=np.uint32)
     tst = np.zeros((n_shards, table_size), dtype=np.int32)
     tcn = np.zeros((n_shards, table_size), dtype=np.int32)
 
-    postings_per_shard = [[] for _ in range(n_shards)]
+    # per shard: keys keep the global (sorted) order; postings spans re-base
+    # to shard-local starts and gather vectorized from the columnar CSR
+    g_counts = np.diff(index.post_starts)
+    g_starts = index.post_starts[:-1]
     max_probe = 1
-    occupied = np.zeros((n_shards, table_size), dtype=bool)
-    slots_h = (h_full.astype(np.int64)) & mask
-    for i in range(len(keys)):
-        s = int(shard_of[i])
-        slot = int(slots_h[i])
-        probe = 1
-        while occupied[s, slot]:
-            slot = (slot + 1) & mask
-            probe += 1
-        p = index.kmer_map[int(keys[i])]
-        occupied[s, slot] = True
-        tkl[s, slot] = key_lo[i]
-        tkh[s, slot] = key_hi[i]
-        tst[s, slot] = len(postings_per_shard[s])
-        tcn[s, slot] = len(p)
-        postings_per_shard[s].extend((int(r), int(o)) for r, o in p)
-        max_probe = max(max_probe, probe)
-
-    pmax = max(max(len(pp) for pp in postings_per_shard), 1)
+    shard_sel = [np.flatnonzero(shard_of == s) for s in range(n_shards)]
+    pmax = max(
+        (int(g_counts[sel].sum()) for sel in shard_sel if len(sel)),
+        default=1,
+    )
+    pmax = max(pmax, 1)
     prow = np.zeros((n_shards, pmax), dtype=np.int32)
     poff = np.zeros((n_shards, pmax), dtype=np.int32)
-    for s, pp in enumerate(postings_per_shard):
-        if pp:
-            arr = np.array(pp, dtype=np.int32)
-            prow[s, : len(arr)] = arr[:, 0]
-            poff[s, : len(arr)] = arr[:, 1]
+    for s, sel in enumerate(shard_sel):
+        if not len(sel):
+            continue
+        counts_s = g_counts[sel]
+        local_starts = np.concatenate(([0], np.cumsum(counts_s)[:-1]))
+        probe = insert_hash_table(
+            keys[sel], local_starts, counts_s,
+            tkl[s], tkh[s], tst[s], tcn[s],
+        )
+        max_probe = max(max_probe, probe)
+        gidx = span_gather_indices(g_starts[sel], counts_s)
+        prow[s, : len(gidx)] = index.postings_rows[gidx]
+        poff[s, : len(gidx)] = index.postings_offs[gidx]
 
     row_lengths = index.row_lengths.astype(np.int32)
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)

@@ -32,7 +32,12 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from nimble_tpu.index.build import KmerIndex
-from nimble_tpu.ops.device_index import EMPTY_SLOT, hash_kmer
+from nimble_tpu.ops.device_index import (
+    EMPTY_SLOT,
+    hash_kmer,
+    insert_bucket_table,
+    span_gather_indices,
+)
 from nimble_tpu.ops.engine_fast import (
     _probe_bucketed,
     _span_walk,
@@ -70,8 +75,7 @@ def build_sharded_bucketed_index(
     """Partition the k-mer map by key-hash high bits into per-shard
     bucketized tables (same geometry on every shard)."""
     assert n_shards >= 1 and (n_shards & (n_shards - 1)) == 0
-    keys = np.fromiter(index.kmer_map.keys(), dtype=np.uint64,
-                       count=len(index.kmer_map))
+    keys = index.keys_sorted
     n_keys = len(keys)
     key_lo = (keys & np.uint64(0x3FFFFFFF)).astype(np.uint32)
     key_hi = ((keys >> np.uint64(30)) & np.uint64(0x3FFFFFFF)).astype(np.uint32)
@@ -85,44 +89,40 @@ def build_sharded_bucketed_index(
     n_buckets = 16
     while n_buckets * width * load_factor < max(max_keys, 1):
         n_buckets *= 2
-    mask = n_buckets - 1
 
     bkl = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
     bkh = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
     bst = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
     bcn = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
-    fill = np.zeros((n_shards, n_buckets), dtype=np.int64)
-    postings: list = [[] for _ in range(n_shards)]
 
-    h_bucket = (h_full.astype(np.int64)) & mask
+    # per shard: key subset keeps the global (sorted) key order; postings
+    # spans are re-based to shard-local starts and gathered vectorized from
+    # the host index's columnar CSR arrays
+    g_counts = np.diff(index.post_starts)
+    g_starts = index.post_starts[:-1]
     max_probe = 1
-    max_postings = 0
-    for i in range(n_keys):
-        s = int(shard_of[i])
-        b = int(h_bucket[i])
-        probe = 1
-        while fill[s, b] >= width:
-            b = (b + 1) & mask
-            probe += 1
-        lane = fill[s, b]
-        p = index.kmer_map[int(keys[i])]
-        bkl[s, b, lane] = key_lo[i]
-        bkh[s, b, lane] = key_hi[i]
-        bst[s, b, lane] = len(postings[s])
-        bcn[s, b, lane] = len(p)
-        postings[s].extend((int(r), int(o)) for r, o in p)
-        fill[s, b] += 1
-        max_probe = max(max_probe, probe)
-        max_postings = max(max_postings, len(p))
-
-    pmax = max(max(len(pp) for pp in postings), 1)
+    max_postings = int(g_counts.max()) if n_keys else 0
+    shard_sel = [np.flatnonzero(shard_of == s) for s in range(n_shards)]
+    pmax = max(
+        (int(g_counts[sel].sum()) for sel in shard_sel if len(sel)),
+        default=1,
+    )
+    pmax = max(pmax, 1)
     prow = np.zeros((n_shards, pmax), dtype=np.int32)
     poff = np.zeros((n_shards, pmax), dtype=np.int32)
-    for s, pp in enumerate(postings):
-        if pp:
-            arr = np.array(pp, dtype=np.int32)
-            prow[s, : len(arr)] = arr[:, 0]
-            poff[s, : len(arr)] = arr[:, 1]
+    for s, sel in enumerate(shard_sel):
+        if not len(sel):
+            continue
+        counts_s = g_counts[sel]
+        local_starts = np.concatenate(([0], np.cumsum(counts_s)[:-1]))
+        probe = insert_bucket_table(
+            keys[sel], local_starts, counts_s,
+            bkl[s], bkh[s], bst[s], bcn[s], width,
+        )
+        max_probe = max(max_probe, probe)
+        gidx = span_gather_indices(g_starts[sel], counts_s)
+        prow[s, : len(gidx)] = index.postings_rows[gidx]
+        poff[s, : len(gidx)] = index.postings_offs[gidx]
 
     row_lengths = index.row_lengths.astype(np.int32)
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)
