@@ -99,6 +99,33 @@ def test_fast_matches_slow_across_configs(tmp_path, variant):
     assert fast == slow
 
 
+def test_fast_matches_slow_strandedness_library(tmp_path):
+    """The reference's BAM smoke test runs `strandedness.json` through the
+    threaded pipeline (`tests/bam_pipeline_run.rs:11-48` — smoke-only since
+    its sample.bam is an unavailable LFS object).  Run the real fixture
+    library over a synthetic 10x BAM: its feature is AT-rich, so every
+    sampled read fails the 1.75-bit Shannon-entropy gate
+    (`src/align.rs:954-962`), and a UMI group with zero scored callsets
+    logs nothing — not even zero-rows (`src/process/bam.rs:332-353`).
+    Both pipelines must agree on that end-to-end: empty output content."""
+    from nimble_tpu.library import load_reference_library
+    from nimble_tpu.utils import shannon_entropy
+
+    cfg, reference = load_reference_library(
+        "tests/data/libraries/strandedness.json", LibraryChemistry.UNSTRANDED
+    )
+    feats = reference.columns[reference.sequence_idx][0::2]
+    assert shannon_entropy(feats[0][:80]) < 1.75  # the premise of the test
+    index = build_index(reference.columns[reference.sequence_idx])
+    bam = str(tmp_path / "in.bam")
+    make_synthetic_bam(
+        bam, feats, n_groups=8, pairs_per_group=3, read_len=80,
+        unpaired_per_group=1, seed=7, mutate_every=4,
+    )
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
+    assert fast == slow == b""
+
+
 @pytest.mark.parametrize("quirks", [True, False])
 def test_fast_matches_slow_quirk_modes(tmp_path, quirks):
     feats, reference, index = _workload(seed=42)
