@@ -76,8 +76,9 @@ def map_read_with_mismatch(
     keys = pack_kmer_keys(codes, k)
     anchor = -1
     postings = None
+    lookup = index.lookup
     for i, key in enumerate(keys):
-        p = index.kmer_map.get(int(key))
+        p = lookup(int(key))
         if p is not None:
             anchor, postings = i, p
             break

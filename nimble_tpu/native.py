@@ -597,7 +597,8 @@ def build_bucket_table(keys, starts, counts, bkey_lo, bkey_hi,
     starts = np.ascontiguousarray(starts, dtype=np.int64)
     counts = np.ascontiguousarray(counts, dtype=np.int64)
     for t in (bkey_lo, bkey_hi, bstart, bcount):
-        assert t.flags.c_contiguous
+        if not t.flags.c_contiguous:  # in-place write contract
+            raise ValueError("bucket table arrays must be C-contiguous")
     return int(
         lib.nimble_build_bucket_table(
             keys.ctypes.data, starts.ctypes.data, counts.ctypes.data,

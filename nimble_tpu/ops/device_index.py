@@ -109,6 +109,11 @@ def insert_bucket_table(
     n_keys = len(keys)
     if n_keys == 0:
         return 1
+    if n_keys > bkey_lo.shape[0] * width:
+        raise ValueError(
+            f"{n_keys} keys exceed bucket table capacity "
+            f"{bkey_lo.shape[0]}x{width}"
+        )
     from nimble_tpu import native
 
     got = native.build_bucket_table(
@@ -150,6 +155,10 @@ def insert_hash_table(
     n_keys = len(keys)
     if n_keys == 0:
         return 1
+    if n_keys > len(table_key_lo):
+        raise ValueError(
+            f"{n_keys} keys exceed table capacity {len(table_key_lo)}"
+        )
     from nimble_tpu import native
 
     got = native.build_hash_table(

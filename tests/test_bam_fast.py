@@ -110,9 +110,10 @@ def test_fast_matches_slow_strandedness_library(tmp_path):
     Both pipelines must agree on that end-to-end: empty output content."""
     from nimble_tpu.library import load_reference_library
     from nimble_tpu.utils import shannon_entropy
+    from conftest import library_path
 
     cfg, reference = load_reference_library(
-        "tests/data/libraries/strandedness.json", LibraryChemistry.UNSTRANDED
+        library_path("strandedness.json"), LibraryChemistry.UNSTRANDED
     )
     feats = reference.columns[reference.sequence_idx][0::2]
     assert shannon_entropy(feats[0][:80]) < 1.75  # the premise of the test
