@@ -411,13 +411,35 @@ def main(argv=None) -> int:
         if args.verbose:
             print(*a, file=sys.stderr)
 
+    backend_note = {}
+    if not (args.cpu or args.multihost_cpu):
+        # Probe the accelerator in a SUBPROCESS with a hard timeout: a
+        # down/unreachable remote-TPU tunnel otherwise blocks backend init
+        # for ~30 minutes before raising, which would eat the whole bench
+        # window.  On probe failure fall back to CPU and say so in the
+        # output — a lower honest number beats no number.
+        import subprocess
+
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=300,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc != 0:
+            print("WARNING: accelerator backend unavailable; benching on "
+                  "the CPU backend instead", file=sys.stderr)
+            jax.config.update("jax_platforms", "cpu")
+            backend_note = {"backend": "cpu_fallback"}
+
     log("devices:", jax.devices())
 
     if args.bam:
-        print(json.dumps(bench_bam(args, log)))
+        print(json.dumps({**bench_bam(args, log), **backend_note}))
         return 0
     if args.libraries:
-        print(json.dumps(bench_multilib(args, log)))
+        print(json.dumps({**bench_multilib(args, log), **backend_note}))
         return 0
     if args.multihost_cpu:
         print(json.dumps(bench_multihost_cpu(args, log)))
@@ -532,6 +554,7 @@ def main(argv=None) -> int:
                     "device_wait_and_fetch": round(t_collect, 3),
                     "host_tail": round(t_host, 3),
                 },
+                **backend_note,
             }
         )
     )
