@@ -73,67 +73,64 @@ def map_read_with_mismatch(
     if L < k:
         return None
 
-    keys = pack_kmer_keys(codes, k)
-    anchor = -1
-    postings = None
-    lookup = index.lookup
-    for i, key in enumerate(keys):
-        p = lookup(int(key))
-        if p is not None:
-            anchor, postings = i, p
-            break
-    if anchor < 0:
+    ks = index.keys_sorted
+    if len(ks) == 0:
         return None
+    # ANCHOR: one vectorized membership test over every k-mer position
+    # (semantically identical to the left-to-right first-hit scan)
+    keys = pack_kmer_keys(codes, k)
+    pos = np.searchsorted(ks, keys)
+    found = (pos < len(ks)) & (ks[np.minimum(pos, len(ks) - 1)] == keys)
+    if not found.any():
+        return None
+    anchor = int(np.argmax(found))
+    s0 = int(index.post_starts[pos[anchor]])
+    e0 = int(index.post_starts[pos[anchor] + 1])
 
-    rows = postings[:, 0].astype(np.int64)
-    offs = postings[:, 1].astype(np.int64)
-    row_lens = index.row_lengths[rows].astype(np.int64)
-    n_cand = len(rows)
+    # small candidate sets: plain-Python index lists beat numpy's per-op
+    # overhead by ~20x here, and the set logic stays byte-readable
+    rows = index.postings_rows[s0:e0].tolist()
+    offs = index.postings_offs[s0:e0].tolist()
+    row_codes = [index.row_codes[r] for r in rows]
+    row_lens = [len(c) for c in row_codes]
+    read = codes.tolist()
 
-    live = np.ones(n_cand, dtype=bool)
+    live = list(range(len(rows)))
     score = k
     mismatches = 0
 
     # Forward walk: read position anchor+k+t vs row position off+k+t.
-    t = 0
-    while anchor + k + t < L:
-        read_base = codes[anchor + k + t]
-        has_base = live & (offs + k + t < row_lens)
-        if not has_base.any():
+    for t in range(L - anchor - k):
+        read_base = read[anchor + k + t]
+        has_base = [ci for ci in live if offs[ci] + k + t < row_lens[ci]]
+        if not has_base:
             break
-        match = np.zeros(n_cand, dtype=bool)
-        cand_idx = np.flatnonzero(has_base)
-        for ci in cand_idx:
-            row = index.row_codes[rows[ci]]
-            if row[offs[ci] + k + t] == read_base:
-                match[ci] = True
-        if match.any():
+        match = [
+            ci for ci in has_base
+            if row_codes[ci][offs[ci] + k + t] == read_base
+        ]
+        if match:
             live = match
             score += 1
         else:
             live = has_base
             mismatches += 1
-        t += 1
 
     # Left walk: read position anchor-j vs row position off-j (j>=1).
-    j = 1
-    while anchor - j >= 0:
-        read_base = codes[anchor - j]
-        has_base = live & (offs - j >= 0)
-        if not has_base.any():
+    for j in range(1, anchor + 1):
+        read_base = read[anchor - j]
+        has_base = [ci for ci in live if offs[ci] - j >= 0]
+        if not has_base:
             break
-        match = np.zeros(n_cand, dtype=bool)
-        for ci in np.flatnonzero(has_base):
-            row = index.row_codes[rows[ci]]
-            if row[offs[ci] - j] == read_base:
-                match[ci] = True
-        if match.any():
+        match = [
+            ci for ci in has_base if row_codes[ci][offs[ci] - j] == read_base
+        ]
+        if match:
             live = match
             score += 1
         else:
             live = has_base
             mismatches += 1
-        j += 1
 
-    eq_class = sorted(set(int(r) for r in rows[live]))
+    eq_class = sorted(set(rows[ci] for ci in live))
     return eq_class, score, mismatches
