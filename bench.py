@@ -63,9 +63,8 @@ def build_workload(n_features=50, feat_len=500, read_len=90, n_reads=1 << 16, se
     rows = rng.integers(0, len(doubled), n_reads)
     starts = rng.integers(0, feat_len - read_len, n_reads)
     base_codes = np.stack([encode_bases(s) for s in doubled])
-    mat = np.zeros((n_reads, read_len), dtype=np.int8)
-    for i in range(n_reads):
-        mat[i] = base_codes[rows[i], starts[i] : starts[i] + read_len]
+    mat = base_codes[rows[:, None], starts[:, None] + np.arange(read_len)]
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
     mutate = rng.random(n_reads) < 0.2
     pos = rng.integers(0, read_len, n_reads)
     delta = rng.integers(1, 4, n_reads).astype(np.int8)
