@@ -105,7 +105,29 @@ def test_tail_only_anchor():
     _assert_engines_agree(doubled, reads, _cfg())
 
 
-def test_shared_kmer_block_ties():
+def test_candidate_overflow_rescue():
+    """Anchor k-mer with MORE postings than the device's candidate cap
+    (c_max=8): the kernel must flag needs_host and the host-oracle rescue
+    must make the end results identical to the pure host engine."""
+    rng = np.random.default_rng(11)
+    shared = _rand_seq(rng, 44)  # 15 k-mer positions shared by every row
+    feats = [
+        _rand_seq(rng, 60) + shared + _rand_seq(rng, 60) for _ in range(12)
+    ]
+    doubled = [x for f in feats for x in (f, revcomp(f))]
+    index = build_index(doubled)
+    # the shared block's k-mers really do exceed the candidate cap
+    first_key = None
+    from nimble_tpu.index.build import pack_kmer_keys
+
+    first_key = int(pack_kmer_keys(encode_bases(shared), K)[0])
+    assert len(index.kmer_map[first_key]) == 12 > 8
+    reads = []
+    for i in range(12):
+        # anchor in the shared block, flanks discriminate row i
+        reads.append(encode_bases(feats[i][40 : 40 + 80]))
+    reads.append(encode_bases(shared + _rand_seq(rng, 20)))  # stays ambiguous
+    _assert_engines_agree(doubled, reads, _cfg())
     """Features sharing an exact k-mer block: anchor hits multiple rows,
     walk must discriminate by the divergent flanks."""
     rng = np.random.default_rng(3)
