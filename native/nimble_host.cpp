@@ -801,13 +801,23 @@ int32_t nimble_bam_runs(
     auto qn = [&](int64_t i) {
         return BytesView{qn_flat + qn_off[i], qn_off[i + 1] - qn_off[i]};
     };
-    // group key: umi + cb minus its last two bytes
+    // group key: the CONCATENATED string umi + cb[:-2] — the reference
+    // compares `read_umi + current_cell_barcode` as one string
+    // (`src/parse/bam.rs:178`), so umi/cb boundary shifts that leave the
+    // concatenation equal (e.g. "AAAB"+"CD" vs "AAA"+"BCD") are the SAME
+    // group; a component-wise compare would split them
     auto key_eq = [&](int64_t a, int64_t b) {
-        if (!(umi(a) == umi(b))) return false;
+        BytesView ua = umi(a), ub = umi(b);
         BytesView ca = cbv(a), cb2 = cbv(b);
         ca.len = ca.len >= 2 ? ca.len - 2 : 0;
         cb2.len = cb2.len >= 2 ? cb2.len - 2 : 0;
-        return ca == cb2;
+        if (ua.len + ca.len != ub.len + cb2.len) return false;
+        for (int64_t i = 0; i < ua.len + ca.len; ++i) {
+            uint8_t x = i < ua.len ? ua.p[i] : ca.p[i - ua.len];
+            uint8_t y = i < ub.len ? ub.p[i] : cb2.p[i - ub.len];
+            if (x != y) return false;
+        }
+        return true;
     };
 
     std::vector<int64_t> order;

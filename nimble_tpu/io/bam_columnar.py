@@ -246,7 +246,11 @@ class ColumnarGroupStream:
         self._native = native
         _warn_missing_eof(path)
         self._f = open_bgzf(path)
-        read_bam_header(self._f)
+        try:
+            read_bam_header(self._f)
+        except Exception:
+            self._f.close()
+            raise
         self.force_bam_paired = force_bam_paired
         self.read_counter = 0
         self._tail = b""
@@ -452,15 +456,20 @@ class ColumnarGroupStream:
             if k:
                 codes = np.asarray(emit_skip, dtype=np.int8)
                 if (codes == 2).all():
+                    # force_bam_paired path: the sk column holds the BAM's
+                    # own SK:Z: aux value verbatim — the skip test is exact
+                    # string equality with "TRUE" (`src/align.rs:527-531`,
+                    # slow path: m[37] == "TRUE"), not a length heuristic
                     skipb = c.cols["sk"].take(idx)
                     sl = skipb.lens()
-                    # value is b"TRUE" or b"FALSE" (C++-derived); length
-                    # identifies it, first byte double-checks
                     skip_true = np.zeros(k, dtype=bool)
                     four = np.flatnonzero(sl == 4)
-                    skip_true[four] = (
-                        skipb.flat[skipb.offs[:-1][four]] == ord("T")
-                    )
+                    if len(four):
+                        o = skipb.offs[:-1][four]
+                        eq = np.ones(len(four), dtype=bool)
+                        for j, ch in enumerate(b"TRUE"):
+                            eq &= skipb.flat[o + j] == ch
+                        skip_true[four] = eq
                 else:
                     skip_true = codes == 1
                     skipb = _skip_words(skip_true)
@@ -490,6 +499,7 @@ class ColumnarGroupStream:
                 if self._error is not None:
                     drop_open_group()
                     yield from emit_ready(final=True)
+                    self._f.close()
                     raise self._error
                 yield from emit_ready(final=True)
                 self._f.close()
@@ -557,6 +567,7 @@ class ColumnarGroupStream:
                 if self._error is not None:
                     drop_open_group()
                     yield from emit_ready(final=True)
+                    self._f.close()
                     raise self._error
                 yield from emit_ready(final=True)
                 self._f.close()

@@ -36,17 +36,21 @@ class MultiLibraryDispatcher:
     """One vmapped launch per chunk serving every library's engine."""
 
     def __init__(self, engines: Sequence[DeviceAlignEngine]):
-        assert len(engines) >= 1
+        if not engines:
+            raise ValueError("MultiLibraryDispatcher needs >=1 engine")
         for e in engines:
-            assert isinstance(e, DeviceAlignEngine)
+            if not isinstance(e, DeviceAlignEngine):
+                raise ValueError("MultiLibraryDispatcher requires "
+                                 "DeviceAlignEngine instances")
         self.engines = list(engines)
         e0 = engines[0]
         self.c_max = e0.c_max
         self.buckets = e0.buckets
         self.min_batch = e0.min_batch
         self.launch_batch = e0.launch_batch
-        assert all(e.buckets == self.buckets and e.c_max == self.c_max
-                   for e in engines)
+        if not all(e.buckets == self.buckets and e.c_max == self.c_max
+                   for e in engines):
+            raise ValueError("engines disagree on bucket/c_max geometry")
 
         # rebuild every library's bucketized table at COMMON geometry
         rebuilt = [
@@ -63,14 +67,18 @@ class MultiLibraryDispatcher:
         self.max_probe = max(b.max_probe for b in rebuilt)
         self.k = rebuilt[0].k
         self.ref_pad = rebuilt[0].ref_pad
-        assert all(b.k == self.k and b.ref_pad == self.ref_pad
-                   for b in rebuilt)
+        if not all(b.k == self.k and b.ref_pad == self.ref_pad
+                   for b in rebuilt):
+            raise ValueError("rebuilt tables disagree on k/ref_pad")
         self.bidxs = rebuilt
         # the per-library combo ids (astart) must decode through each
         # engine's own postings arrays — the postings flattening is
         # independent of the bucket-count override, asserted here
         for e, b in zip(engines, rebuilt):
-            assert np.array_equal(e.bidx.postings_row, b.postings_row)
+            if not np.array_equal(e.bidx.postings_row, b.postings_row):
+                raise ValueError(
+                    "postings flattening changed under the bucket-count "
+                    "override; combo ids would not decode")
 
         def stack(attr, pad_value=0):
             arrs = [getattr(b, attr) for b in rebuilt]
@@ -194,7 +202,8 @@ class MultiLibraryDispatcher:
         """One stacked full-output launch serving every library (the BAM
         consumer's per-batch alignment).  Requires :attr:`uniform_trim`.
         Returns opaque state for :meth:`full_collect`."""
-        assert self.uniform_trim
+        if not self.uniform_trim:
+            raise ValueError("full_dispatch requires uniform trim settings")
         e0 = self.engines[0]
         n = mat.shape[0]
         lens = np.asarray(lens, dtype=np.int32)

@@ -241,6 +241,17 @@ def _prepare_batch(batch, workers: List[_LibraryWorker], multi=None):
     if n_rec == 0:
         return None
 
+    # paired interleaving invariant: every group must de-interleave into
+    # equal R1/R2 lists; an odd group means a mate went missing and the
+    # slow path raises the reference's error (`src/align.rs:540`,
+    # bam_pipeline.py:188-193) — never silently floor-pair
+    go = np.asarray(batch.group_off, dtype=np.int64)
+    if ((go[1:] - go[:-1]) % 2 != 0).any():
+        raise ValueError(
+            "Error -- read and reverse read files do not have matching "
+            "lengths: "
+        )
+
     rev = _parse_rev_flags(batch.rev2)
     lens = batch.seq.lens().astype(np.int32)
     W = max(int(lens.max()), 1)
@@ -306,14 +317,20 @@ class _SliceFuture:
 
 
 _FETCHER = None
+_FETCHER_LOCK = threading.Lock()
 
 
 def _fetcher():
+    """Single-worker executor serializing device collects (wire transfers).
+    Locked lazy init: concurrent first calls from multiple consumers must
+    not create two executors, which would defeat the serialization."""
     global _FETCHER
     if _FETCHER is None:
-        from concurrent.futures import ThreadPoolExecutor
+        with _FETCHER_LOCK:
+            if _FETCHER is None:
+                from concurrent.futures import ThreadPoolExecutor
 
-        _FETCHER = ThreadPoolExecutor(max_workers=1)
+                _FETCHER = ThreadPoolExecutor(max_workers=1)
     return _FETCHER
 
 
@@ -640,7 +657,8 @@ def process_fast(
                 cand = MultiLibraryDispatcher(engines)
                 if cand.uniform_trim:
                     multi = cand
-        except AssertionError:
+        except (AssertionError, ValueError):
+            # incompatible geometry -> safe per-engine launches
             multi = None
 
     # the reference runs num_cores-1 consumers (`src/process/bam.rs:183`);
@@ -705,6 +723,7 @@ def process_fast(
         total_groups = 0
         t_read = 0.0
         seq = 0
+        clean_eof = False
         try:
             it = stream.batches(batch_records)
             while True:
@@ -712,6 +731,7 @@ def process_fast(
                 b = next(it, None)
                 t_read += _time.time() - ts
                 if b is None:
+                    clean_eof = True
                     break
                 total_groups += b.n_groups
                 if prev is not None:
@@ -724,9 +744,12 @@ def process_fast(
         finally:
             # final-group quirk (`src/process/bam.rs:163-179`): the producer
             # drops the last group of a multi-group BAM; a single-group BAM
-            # still sends its group
+            # still sends its group.  The quirk applies ONLY on clean
+            # exhaustion — on a fatal stream error the slow path logs every
+            # complete group it surfaced before dying, so the fast path must
+            # flush the buffered batch un-dropped
             if prev is not None:
-                if parity_quirks and total_groups > 1:
+                if clean_eof and parity_quirks and total_groups > 1:
                     prev = prev.drop_last_group()
                 if len(prev):
                     work_queue.put((seq, prev))
@@ -829,9 +852,8 @@ def process_fast(
     log_queue.put(None)
     log_thread.join()
     if errors:
-        raise RuntimeError(
-            "BAM fast pipeline failed in a worker thread"
-        ) from errors[0]
+        # surface the ORIGINAL exception (the reference panics with it)
+        raise errors[0]
     from nimble_tpu.utils.metrics import METRICS
 
     meter = METRICS.meter("bam_align")

@@ -349,17 +349,40 @@ def process(
                     for score in library_scores:
                         log_queue.put((score, i))
 
-    log_thread = threading.Thread(target=logger)
+    # worker exceptions are captured and re-raised from the main thread —
+    # a dying thread must fail the run (the reference panics), not silently
+    # truncate the output
+    errors: list = []
+
+    def guarded(fn, *fn_args):
+        try:
+            fn(*fn_args)
+        except BaseException as e:  # noqa: BLE001 — re-raised in main
+            errors.append(e)
+
+    def consumer_guarded(tn: int) -> None:
+        try:
+            consumer(tn)
+        except BaseException as e:  # noqa: BLE001 — re-raised in main
+            errors.append(e)
+            # keep the shutdown protocol alive: drain work until this
+            # consumer's own None sentinel (main puts one per consumer)
+            while True:
+                msg = work_queue.get()
+                if msg is None:
+                    break
+
+    log_thread = threading.Thread(target=guarded, args=(logger,))
     log_thread.start()
 
-    producer_thread = threading.Thread(target=producer)
+    producer_thread = threading.Thread(target=guarded, args=(producer,))
     producer_thread.start()
 
     num_consumers = num_cores - 1 if num_cores > 1 else num_cores
     consumers = []
     for t in range(num_consumers):
         print(f"Spawning consumer thread {t}")
-        th = threading.Thread(target=consumer, args=(t,))
+        th = threading.Thread(target=consumer_guarded, args=(t,))
         th.start()
         consumers.append(th)
 
@@ -374,6 +397,8 @@ def process(
         print("Joined on consumer.")
     log_queue.put(None)
     log_thread.join()
+    if errors:
+        raise errors[0]
     meter = METRICS.meter("bam_align")
     if meter.items:
         print(meter.summary())

@@ -79,7 +79,8 @@ def process(
 
                 if all(isinstance(e, DeviceAlignEngine) for e in engines):
                     multi = MultiLibraryDispatcher(engines)
-            except AssertionError:
+            except (AssertionError, ValueError):
+                # incompatible geometry -> safe per-engine launches
                 multi = None
             if multi is not None:
                 from concurrent.futures import ThreadPoolExecutor

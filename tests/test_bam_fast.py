@@ -222,6 +222,168 @@ def test_fast_matches_slow_irregular_qnames(tmp_path):
     assert fast == slow
 
 
+def test_fast_matches_slow_umi_cb_boundary_shift(tmp_path):
+    """The reference's group key is the CONCATENATED string
+    ``umi + cb[:-2]`` (`src/parse/bam.rs:178`): different (UMI, CB) splits
+    with equal concatenation are the SAME group.  Pins the native
+    `nimble_bam_runs` key comparison against a component-wise regression."""
+    from nimble_tpu.io.bam import BamHeader, BamRecord, write_bam
+
+    feats, reference, index = _workload(seed=33)
+    header = BamHeader(text="@HD\tVN:1.6\n", references=[("chr1", 100000)])
+    rng = np.random.default_rng(8)
+
+    def rec(qname, flag, seq, cb, ub):
+        r = BamRecord(qname=qname, flag=flag, tid=0, pos=1, mtid=0, mpos=1,
+                      seq=seq, qual=bytes([35] * len(seq)))
+        r.tags["CB"] = ("Z", cb)
+        r.tags["UB"] = ("Z", ub)
+        return r
+
+    def frag():
+        f = feats[int(rng.integers(0, len(feats)))]
+        s = int(rng.integers(0, len(f) - 60))
+        return f[s : s + 60]
+
+    recs = []
+    # pair 1: UMI "AAAATTTTGB" + CB[:-2] "CC"  -> key "AAAATTTTGBCC"
+    recs.append(rec("p0", 0x1 | 0x40, frag(), "CC-1", "AAAATTTTGB"))
+    recs.append(rec("p0", 0x1 | 0x80 | 0x10, frag(), "CC-1", "AAAATTTTGB"))
+    # pair 2: UMI "AAAATTTTG" + CB[:-2] "BCC" -> SAME concatenated key,
+    # different components (and a different UMI run)
+    recs.append(rec("p1", 0x1 | 0x40, frag(), "BCC-1", "AAAATTTTG"))
+    recs.append(rec("p1", 0x1 | 0x80 | 0x10, frag(), "BCC-1", "AAAATTTTG"))
+    # a second, distinct group so the quirk-drop still leaves output
+    recs.append(rec("z0", 0x1 | 0x40, frag(), "DD-1", "GGGGGGGGGG"))
+    recs.append(rec("z0", 0x1 | 0x80 | 0x10, frag(), "DD-1", "GGGGGGGGGG"))
+    bam = str(tmp_path / "in.bam")
+    write_bam(bam, header, recs)
+
+    # the merged group is the point of the test: UMIReader must see 2 groups
+    from nimble_tpu.io.umi import UMIReader
+
+    r = UMIReader(bam, False, False)
+    n_groups = 0
+    while not r.next():
+        n_groups += 1
+    n_groups += 1  # final buffered group
+    assert n_groups == 2
+
+    from nimble_tpu.io.bam_columnar import ColumnarGroupStream
+
+    got = sum(b.n_groups for b in ColumnarGroupStream(bam, False).batches(64))
+    assert got == 2
+
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    slow, fast = _run_both(tmp_path, bam, reference, index, cfg)
+    assert fast == slow
+
+
+def test_odd_group_raises_like_slow_path(tmp_path):
+    """Mates carrying DIFFERENT CB tags split a pair across a group
+    boundary -> odd groups.  The reference panics de-interleaving them
+    (`src/align.rs:540`); both pipelines must raise, never floor-pair."""
+    from nimble_tpu.io.bam import BamHeader, BamRecord, write_bam
+
+    feats, reference, index = _workload(seed=55)
+    header = BamHeader(text="@HD\tVN:1.6\n", references=[("chr1", 100000)])
+
+    def rec(qname, flag, seq, cb):
+        r = BamRecord(qname=qname, flag=flag, tid=0, pos=1, mtid=0, mpos=1,
+                      seq=seq, qual=bytes([35] * len(seq)))
+        r.tags["CB"] = ("Z", cb)
+        r.tags["UB"] = ("Z", "CCCCCCCCCC")
+        return r
+
+    frag = feats[0][10:70]
+    recs = [
+        rec("p0", 0x1 | 0x40, frag, "AA-1"),
+        rec("p0", 0x1 | 0x80 | 0x10, frag, "BB-1"),  # mate: different CB
+        rec("z0", 0x1 | 0x40, frag, "DD-1"),
+        rec("z0", 0x1 | 0x80 | 0x10, frag, "DD-1"),
+    ]
+    bam = str(tmp_path / "in.bam")
+    write_bam(bam, header, recs)
+    cfg = AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    host_engine = HostAlignEngine(index, cfg)
+    dev_engine = DeviceAlignEngine(index, cfg)
+    with contextlib.redirect_stdout(io.StringIO()):
+        with pytest.raises(ValueError, match="matching lengths"):
+            bam_pipeline.process(
+                [bam], [host_engine], [reference], [cfg],
+                [str(tmp_path / "s.tsv.gz")], 2, False,
+            )
+        with pytest.raises(ValueError, match="matching lengths"):
+            process_fast(
+                [bam], [dev_engine], [reference], [cfg],
+                [str(tmp_path / "f.tsv.gz")], 2, False,
+            )
+
+
+def test_fast_matches_slow_sk_tag_not_true(tmp_path):
+    """force_bam_paired path: the skip test is EXACT equality of the SK:Z:
+    aux value with "TRUE" (`src/align.rs:527-531`).  A 4-byte value that
+    merely starts with 'T' (here "Trio") must still align."""
+    from nimble_tpu.io.bam import BamHeader, BamRecord, write_bam
+
+    feats, reference, index = _workload(seed=44)
+    header = BamHeader(text="@HD\tVN:1.6\n", references=[("chr1", 100000)])
+    rng = np.random.default_rng(12)
+
+    def rec(qname, flag, seq, sk=None):
+        r = BamRecord(qname=qname, flag=flag, tid=0, pos=1, mtid=0, mpos=1,
+                      seq=seq, qual=bytes([35] * len(seq)))
+        r.tags["CB"] = ("Z", "CBX00001-1")
+        r.tags["UB"] = ("Z", "CCCCCCCCCC")
+        if sk is not None:
+            r.tags["SK"] = ("Z", sk)
+        return r
+
+    def frag():
+        f = feats[int(rng.integers(0, len(feats)))]
+        s = int(rng.integers(0, len(f) - 60))
+        return f[s : s + 60]
+
+    recs = [
+        rec("p0", 0x1 | 0x40, frag(), sk="Trio"),
+        rec("p0", 0x1 | 0x80 | 0x10, frag(), sk="TRUE"),
+        rec("p1", 0x1 | 0x40, frag()),
+        rec("p1", 0x1 | 0x80 | 0x10, frag()),
+    ]
+    for i in range(2):  # second group so the quirk-drop leaves output
+        a = rec(f"z{i}", 0x1 | 0x40, frag())
+        b = rec(f"z{i}", 0x1 | 0x80 | 0x10, frag())
+        a.tags["UB"] = b.tags["UB"] = ("Z", "GGGGGGGGGG")
+        recs += [a, b]
+    bam = str(tmp_path / "in.bam")
+    write_bam(bam, header, recs)
+
+    host_engine = HostAlignEngine(index, _sk_cfg := AlignFilterConfig(
+        reference_genome_size=16, score_percent=0.2, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    ))
+    dev_engine = DeviceAlignEngine(index, _sk_cfg)
+    slow_out = str(tmp_path / "slow.tsv.gz")
+    fast_out = str(tmp_path / "fast.tsv.gz")
+    with contextlib.redirect_stdout(io.StringIO()):
+        bam_pipeline.process([bam], [host_engine], [reference], [_sk_cfg],
+                             [slow_out], 2, True)
+        process_fast([bam], [dev_engine], [reference], [_sk_cfg],
+                     [fast_out], 2, True)
+    with gzip.open(slow_out, "rb") as f:
+        slow = f.read()
+    with gzip.open(fast_out, "rb") as f:
+        fast = f.read()
+    assert fast == slow
+    assert b"Trio" in slow  # the SK value rides the forensic metadata
+
+
 def test_fast_matches_slow_force_paired(tmp_path):
     feats, reference, index = _workload(seed=9)
     bam = str(tmp_path / "in.bam")
@@ -454,7 +616,7 @@ def test_consumer_failure_fails_the_run(tmp_path, monkeypatch):
     monkeypatch.setattr(bf, "_prepare_batch", flaky)
     out = str(tmp_path / "out.tsv.gz")
     with contextlib.redirect_stdout(io.StringIO()):
-        with pytest.raises(RuntimeError, match="worker thread"):
+        with pytest.raises(ValueError, match="injected device failure"):
             process_fast(
                 [bam], [DeviceAlignEngine(index, cfg)], [reference], [cfg],
                 [out], 3, False, batch_records=32,
