@@ -941,20 +941,18 @@ int64_t nimble_dedupe_insert(
     int64_t n, uint8_t* out_is_new) {
     auto* set = static_cast<DedupSet*>(handle);
     int64_t n_new = 0;
-    std::vector<uint8_t> tmp;
     for (int64_t i = 0; i < n; ++i) {
         const uint8_t* a = reinterpret_cast<const uint8_t*>(r1) + off1[i];
         size_t la = (size_t)(off1[i + 1] - off1[i]);
         bool inserted;
         if (r2 != nullptr) {
-            // separator byte keeps (r1, r2) splits unambiguous
+            // the reference's score-map key is the PLAIN concatenation
+            // r1_str + r2_str (`src/align.rs:576-579`): different (r1, r2)
+            // splits with an equal concatenation are the SAME key — no
+            // separator byte
+            const uint8_t* b = reinterpret_cast<const uint8_t*>(r2) + off2[i];
             size_t lb = (size_t)(off2[i + 1] - off2[i]);
-            tmp.clear();
-            tmp.push_back(0xFF);
-            tmp.insert(tmp.end(),
-                       reinterpret_cast<const uint8_t*>(r2) + off2[i],
-                       reinterpret_cast<const uint8_t*>(r2) + off2[i] + lb);
-            inserted = set->insert2(a, la, tmp.data(), tmp.size());
+            inserted = set->insert2(a, la, b, lb);
         } else {
             inserted = set->insert2(a, la, nullptr, 0);
         }

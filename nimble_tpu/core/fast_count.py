@@ -56,6 +56,14 @@ def dedupe_admit(seen, mat, lens, mate_mat=None, mate_lens=None):
 
     Returns (mat, lens, mate_mat, mate_lens, prededuped).  ``seen`` is a
     native dedupe set (or None -> no-op with prededuped False).
+
+    The key is the PLAIN r1+r2 concatenation, exactly like the reference's
+    score map.  One deliberate divergence: on a key collision the reference
+    keeps the LAST pair's alignment (HashMap insert replaces) while this
+    path keeps the FIRST (later duplicates are dropped before alignment).
+    The two differ only when differently-split pairs share a concatenation
+    AND align differently — re-aligning duplicates to honor last-write-wins
+    would forfeit the entire pre-upload dedupe.
     """
     if seen is None or not mat.shape[0]:
         return mat, lens, mate_mat, mate_lens, False
@@ -152,22 +160,8 @@ class FastCounter:
                     )
                     rows[idx, : len(eq)] = eq
             return rows
-        prow = self.engine.bidx.postings_row
-        valid = cids >= 0
-        astart = np.where(valid, cids >> c_max, 0).astype(np.int64)
-        mask = np.where(valid, cids & ((1 << c_max) - 1), 0).astype(np.int64)
-        lanes = np.arange(c_max, dtype=np.int64)
-        rows = prow[
-            np.clip(astart[:, None] + lanes[None, :], 0, len(prow) - 1)
-        ].astype(np.int64)
-        bit = ((mask[:, None] >> lanes[None, :]) & 1).astype(bool)
-        rows = np.where(bit & valid[:, None], rows, self._EQ_BIG)
-        rows.sort(axis=1)
-        dup = np.zeros_like(rows, dtype=bool)
-        dup[:, 1:] = rows[:, 1:] == rows[:, :-1]
-        rows = np.where(dup, self._EQ_BIG, rows)
-        rows.sort(axis=1)
-        return rows
+        # one decode algorithm: the engine's (EQ_ROW_PAD == _EQ_BIG == 2**62)
+        return self.engine.decode_rows_padded(np.asarray(cids, dtype=np.int64))
 
     @staticmethod
     def _flatten_rows(m, ls):
@@ -196,6 +190,7 @@ class FastCounter:
         PCR duplicates).  The global seen-set admission happens here, so
         counting in :meth:`process` treats every surviving read as new.
         """
+        mate_mat, mate_lens = self._clip_mates(mat, mate_mat, mate_lens)
         if hasattr(self.engine, "compact_dispatch"):
             mat, lens, mate_mat, mate_lens, prededuped = dedupe_admit(
                 self._native_seen, mat, lens, mate_mat, mate_lens
@@ -233,7 +228,25 @@ class FastCounter:
         self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
                            prededuped=prededuped)
 
+    @staticmethod
+    def _clip_mates(mat, mate_mat, mate_lens):
+        """Extra R2 rows are ignored, like the slow path: `score_sequences`
+        zips mates by R1 index and never consumes the surplus
+        (`src/align.rs:537-558`)."""
+        if mate_mat is not None and mate_mat.shape[0] > mat.shape[0]:
+            mate_mat = mate_mat[: mat.shape[0]]
+            mate_lens = mate_lens[: mat.shape[0]]
+        return mate_mat, mate_lens
+
+    def close(self) -> None:
+        """Release the background fetch executor (idempotent).  After
+        close, dispatch/process still work — collects run synchronously."""
+        if self._fetcher is not None:
+            self._fetcher.shutdown(wait=True)
+            self._fetcher = None
+
     def add(self, mat, lens, mate_mat=None, mate_lens=None) -> None:
+        mate_mat, mate_lens = self._clip_mates(mat, mate_mat, mate_lens)
         self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
 
     def _add_with_raw(self, mat, lens, mate_mat, mate_lens, raw1, raw2,
@@ -336,17 +349,9 @@ class FastCounter:
 
             # vectorized key extraction + native hash-set insert
             def flatten(m, ls):
-                kl = (ls if all_kept else ls[kept]).astype(np.int64)
-                offs = np.zeros(len(kl) + 1, dtype=np.int64)
-                np.cumsum(kl, out=offs[1:])
-                if len(kl) and kl.min() == m.shape[1]:
-                    # uniform full-width reads: rows are already contiguous
-                    km = m if all_kept else m[kept]
-                    return np.ascontiguousarray(km).reshape(-1), offs
-                km = m if all_kept else m[kept]
-                valid = np.arange(m.shape[1])[None, :] < kl[:, None]
-                flat = km[valid]  # row-major -> concatenated exact rows
-                return flat, offs
+                if not all_kept:
+                    m, ls = m[kept], ls[kept]
+                return self._flatten_rows(m, ls)
 
             flat1, off1 = flatten(mat, lens)
             if mate_mat is not None:
@@ -362,9 +367,12 @@ class FastCounter:
         else:
             for j in range(len(kept)):
                 i = kept[j]
+                # the reference's score-map key is the PLAIN concatenation
+                # r1_str + r2_str (`src/align.rs:576-579`): different
+                # (r1, r2) splits with an equal concatenation are ONE key
                 if mate_mat is not None:
-                    key = (mat[i, : lens[i]].tobytes(),
-                           mate_mat[i, : mate_lens[i]].tobytes())
+                    key = (mat[i, : lens[i]].tobytes()
+                           + mate_mat[i, : mate_lens[i]].tobytes())
                 else:
                     key = mat[i, : lens[i]].tobytes()
                 if key in self._seen:
@@ -398,6 +406,7 @@ class FastCounter:
         ret = [
             (list(callset), (count, [], [])) for callset, count in results.items()
         ]
+        self.close()  # streaming is over: release the fetch worker thread
         return sort_score_vector(ret)
 
 

@@ -320,6 +320,12 @@ class DeviceAlignEngine:
         compute is ~0.1 ms per 256k reads — per-launch latency dominates, so
         fewer, fuller launches win).  jax dispatch is asynchronous; the
         caller overlaps host work before :meth:`compact_collect`.
+
+        PRECONDITION: ``mat`` must be zero (code A) beyond each row's
+        ``lens`` — the packed entropy gate reconstructs the true base-0
+        count as ``count0 - (padded - len)``.  FASTQ matrices are built
+        zero-padded; a caller slicing lens below row content (like the BAM
+        trim path) must zero the tail first (``full_dispatch`` does).
         """
         n, width = mat.shape
         lens = np.asarray(lens, dtype=np.int32)
@@ -358,24 +364,6 @@ class DeviceAlignEngine:
                 launches.append((bucket, sel, m, outs, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
-
-    @staticmethod
-    def _fetch_all(launch_outputs):
-        """ONE device->host fetch for any number of launch results.
-
-        Each tunnel fetch costs ~45 ms of latency regardless of size, so the
-        per-launch outputs (same trailing dims) are concatenated on device
-        and downloaded as a single array; returns per-launch views.
-        """
-        if len(launch_outputs) == 1:
-            return [np.asarray(launch_outputs[0])]
-        big = np.asarray(jnp.concatenate(launch_outputs, axis=0))
-        views = []
-        at = 0
-        for o in launch_outputs:
-            views.append(big[at : at + o.shape[0]])
-            at += o.shape[0]
-        return views
 
     def compact_collect(self, state, defer_unresolved: bool = False):
         """Fetch results and assemble the flat result dict (see
@@ -417,10 +405,6 @@ class DeviceAlignEngine:
         if defer_unresolved:
             result["unresolved"] = np.zeros(n, dtype=bool)
         return result
-
-    def align_raw_compact_full_probe(self, mat: np.ndarray, lens: np.ndarray):
-        """Compact alignment probing ALL k-mer positions (the default)."""
-        return self.compact_collect(self.compact_dispatch(mat, lens))
 
     # --- columnar full-output interface (BAM/forensic fast path) ----------
 
@@ -644,14 +628,6 @@ class DeviceAlignEngine:
         """Distinct eq-row count per device combo key (vectorized)."""
         rows = self.decode_rows_padded(keys, valid)
         return (rows != self.EQ_ROW_PAD).sum(axis=1).astype(np.int32)
-
-    def decode_rows(self, keys: np.ndarray) -> "list":
-        """Sorted distinct eq rows per non-negative combo key."""
-        out = []
-        for k in keys:
-            out.append(self.decode_combo(int(k) >> self.c_max,
-                                         int(k) & ((1 << self.c_max) - 1)))
-        return out
 
     def align_raw_compact_from_matrix(self, mat: np.ndarray, lens: np.ndarray):
         """Minimum-download batch alignment: the whole filter chain runs on

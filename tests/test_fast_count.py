@@ -117,3 +117,76 @@ def test_fast_count_matches_general_paired_randomized(
     dev = DeviceAlignEngine(index, cfg)
     fast = strip_meta(fast_count_calls(reads, mates, dev, ref, cfg))
     assert fast == general_path(reads, mates, index, ref, cfg)
+
+
+def test_paired_key_is_plain_concatenation():
+    """The reference's score-map key is the plain string concatenation
+    r1 + r2 (`src/align.rs:576-579`): two pairs whose (r1, r2) SPLITS
+    differ but whose concatenations are equal are ONE map entry and count
+    once.  Pins the dedupe-set key against a separator regression, and a
+    longer R2 list is tolerated like the slow path (extras ignored)."""
+    rng = np.random.default_rng(17)
+    feat = "".join(rng.choice(list("ACGT"), size=200))
+    cfg = AlignFilterConfig(
+        reference_genome_size=2, score_percent=0.1, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    doubled = [feat, revcomp(feat)]
+    ref_obj = __import__("nimble_tpu.library", fromlist=["Reference"]).Reference(
+        group_on=0, headers=["sequence_name", "sequence"],
+        columns=[["f0", "f0§rev"], doubled],
+        sequence_name_idx=0, sequence_idx=1,
+    )
+    index = build_index(doubled)
+
+    frag = feat[0:96]
+    # same concatenation, different splits
+    r1s = [encode_bases(frag[:48]), encode_bases(frag[:47])]
+    r2s = [encode_bases(frag[48:]), encode_bases(frag[47:])]
+
+    expected = general_path(list(r1s), list(r2s), index, ref_obj, cfg)
+    got = strip_meta(fast_count_calls(
+        r1s, r2s, DeviceAlignEngine(index, cfg), ref_obj, cfg))
+    assert got == expected
+    # the point of the fixture: the general path collapses them to 1 count
+    assert all(count == 1 for _, count in expected)
+
+    # extra R2 rows are ignored (slow path zips by R1 index)
+    got2 = strip_meta(fast_count_calls(
+        r1s, r2s + [encode_bases(frag[:40])],
+        DeviceAlignEngine(index, cfg), ref_obj, cfg))
+    assert got2 == expected
+
+
+def test_dispatch_tolerates_longer_mate_matrix():
+    """FastCounter.dispatch/add with MORE mate rows than reads must ignore
+    the extras (slow-path zip semantics), not crash on a broadcast."""
+    from nimble_tpu.core.fast_count import FastCounter, pack_matrix
+
+    rng = np.random.default_rng(18)
+    feat = "".join(rng.choice(list("ACGT"), size=200))
+    cfg = AlignFilterConfig(
+        reference_genome_size=2, score_percent=0.1, score_threshold=40,
+        num_mismatches=1, max_hits_to_report=8,
+    )
+    doubled = [feat, revcomp(feat)]
+    ref_obj = __import__("nimble_tpu.library", fromlist=["Reference"]).Reference(
+        group_on=0, headers=["sequence_name", "sequence"],
+        columns=[["f0", "f0§rev"], doubled],
+        sequence_name_idx=0, sequence_idx=1,
+    )
+    index = build_index(doubled)
+    r1s = [encode_bases(feat[0:60]), encode_bases(feat[50:110])]
+    r2s = [encode_bases(feat[60:120]), encode_bases(feat[110:170]),
+           encode_bases(feat[10:52])]  # one extra mate row
+
+    expected = general_path(list(r1s), list(r2s), index, ref_obj, cfg)
+    engine = DeviceAlignEngine(index, cfg)
+    mat, lens = pack_matrix(r1s)
+    mmat, mlens = pack_matrix(r2s)
+    c = FastCounter(engine, ref_obj, cfg)
+    c.process(c.dispatch(mat, lens, mmat, mlens))
+    assert strip_meta(c.finalize()) == expected
+    c2 = FastCounter(engine, ref_obj, cfg)
+    c2.add(mat, lens, mmat, mlens)
+    assert strip_meta(c2.finalize()) == expected
