@@ -670,6 +670,8 @@ def process_fast(
     work_queue: "queue.Queue" = queue.Queue(maxsize=8)  # batches in flight
 
     def logger() -> None:
+        import time as _time
+
         print("Spawning logging thread.")
         # compresslevel 6 = flate2 default (`src/process/bam.rs:73`)
         files = [gzip.open(p, "wb", compresslevel=6) for p in output_paths]
@@ -677,8 +679,12 @@ def process_fast(
         first_write = [True] * len(files)
         buffered: Dict[int, list] = {}
         next_seq = 0
+        t_gzip = 0.0
+        n_bytes = 0
 
         def write_blocks(per_lib: list) -> None:
+            nonlocal t_gzip, n_bytes
+            ts = _time.time()
             for index, block in enumerate(per_lib):
                 if not block:
                     continue
@@ -687,6 +693,8 @@ def process_fast(
                     files[index].write(header)
                     first_write[index] = False
                 files[index].write(block)
+                n_bytes += len(block)
+            t_gzip += _time.time() - ts
 
         while True:
             msg = log_queue.get()
@@ -706,9 +714,14 @@ def process_fast(
                 f"output truncated at batch {next_seq}: "
                 f"{len(buffered)} completed batch(es) follow a failed one"
             )
+        ts = _time.time()
         for i, f in enumerate(files):
             f.close()
             print(f"Successfully flushed and closed file {i}")
+        t_gzip += _time.time() - ts
+        if os.environ.get("NIMBLE_TIMING"):
+            print(f"[bam_fast logger] gzip-write {t_gzip:.2f}s "
+                  f"({n_bytes/1e6:.1f} MB raw)", file=sys.stderr)
         for p in output_paths:
             print(f"Validating GZIP file: {p}")
             validate_gzip(p)
