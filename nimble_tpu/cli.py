@@ -144,7 +144,16 @@ def main(argv: List[str] | None = None) -> int:
         if args.engine == "device":
             from nimble_tpu.models.aligner import DeviceAlignEngine
 
-            engines.append(DeviceAlignEngine(index, aligner_config))
+            # NIMBLE_PALLAS selects the walk kernel without changing the
+            # reference-parity flag surface: "fused" = fused Pallas
+            # span+walk (ops/pallas_fused.py), "walk" = Pallas double-walk,
+            # unset/empty = XLA scan (default)
+            pallas_env = os.environ.get("NIMBLE_PALLAS", "")
+            use_pallas = {"": False, "walk": True, "fused": "fused"}.get(
+                pallas_env, False
+            )
+            engines.append(DeviceAlignEngine(
+                index, aligner_config, use_pallas_walk=use_pallas))
         elif args.engine == "mesh":
             from nimble_tpu.models.mesh_aligner import MeshAlignEngine
 

@@ -218,8 +218,18 @@ def _span_walk_abs(
 def _span_walk(
     reads_i32, read_lens, anchor, rows, offs, live0,
     ref_codes_packed, row_starts, row_lengths,
-    *, k: int, ref_pad: int, l_steps: int, use_pallas: bool = False,
+    *, k: int, ref_pad: int, l_steps: int, use_pallas=False,
 ):
+    """``use_pallas`` is a static mode: False = XLA absolute-coordinate walk
+    (default), "fused" = single fused Pallas span+walk kernel
+    (ops/pallas_fused.py), True = relative-coordinate spans with the Pallas
+    double-walk kernel (ops/pallas_walk.py; the r2 A/B keeps it available)."""
+    if use_pallas == "fused":
+        return _span_walk_abs_fused(
+            reads_i32, read_lens, anchor, rows, offs, live0,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad,
+        )
     if not use_pallas:
         return _span_walk_abs(
             reads_i32, read_lens, anchor, rows, offs, live0,
@@ -230,6 +240,43 @@ def _span_walk(
         reads_i32, read_lens, anchor, rows, offs, live0,
         ref_codes_packed, row_starts, row_lengths,
         k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas,
+    )
+
+
+def _span_walk_abs_fused(
+    reads_i32, read_lens, anchor, rows, offs, live0,
+    ref_codes_packed, row_starts, row_lengths,
+    *, k: int, ref_pad: int,
+):
+    """_span_walk_abs with the span unpack + match + double walk fused into
+    one Pallas kernel: XLA only performs the word-row gather (the part that
+    needs random HBM access); no (B, C, Lmax) intermediate ever exists."""
+    from nimble_tpu.ops.pallas_fused import pallas_fused_span_walk
+
+    B, Lmax = reads_i32.shape
+    C = rows.shape[1]
+    r_start = row_starts[rows]
+    starts = (r_start + offs - anchor[:, None] + ref_pad)        # (B, C)
+    NW = (Lmax + 15) // 16 + 1
+    w0 = (starts >> 4).reshape(-1)
+    phase = (starts & 15).astype(jnp.uint32)
+    n_words = ref_codes_packed.shape[0]
+    win = jnp.stack(
+        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
+        axis=1,
+    )
+    words = jnp.take(win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0)
+    words = words.reshape(B, C, NW)
+    base_off = offs - anchor[:, None]
+    r_len = row_lengths[rows]
+
+    tile_b = 512 if B % 512 == 0 else (256 if B % 256 == 0 else 128)
+    import jax as _jax
+
+    interpret = _jax.default_backend() == "cpu"
+    return pallas_fused_span_walk(
+        reads_i32, read_lens, anchor, base_off, r_len, live0, words, phase,
+        k=k, tile_b=tile_b, interpret=interpret,
     )
 
 
