@@ -353,6 +353,13 @@ def main(argv=None) -> int:
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--reads", type=int, default=1 << 19)
     p.add_argument("--chunk", type=int, default=1 << 17)
+    # library scale knobs: the default mirrors nimble's KIR-style custom
+    # libraries; --features 2000 --feat-len 1500 is a transcriptome-scale
+    # stress (several million k-mers; the device table auto-sizes)
+    p.add_argument("--features", type=int, default=50,
+                   help="reference features in the synthetic library")
+    p.add_argument("--feat-len", type=int, default=500,
+                   help="length (bp) of each synthetic feature")
     # best-of-N: the remote-TPU tunnel has ±30% run-to-run variance
     p.add_argument("--timed-rounds", type=int, default=6)
     p.add_argument("--bam", action="store_true",
@@ -443,7 +450,8 @@ def main(argv=None) -> int:
     if args.multihost_cpu:
         print(json.dumps(bench_multihost_cpu(args, log)))
         return 0
-    index, reference, cfg, mat, lens = build_workload(n_reads=args.reads)
+    index, reference, cfg, mat, lens = build_workload(
+        n_features=args.features, feat_len=args.feat_len, n_reads=args.reads)
     mate_mat = mate_lens = None
     if args.paired:
         # R2 mates: revcomp of the R1 fragments (hit the §rev library rows)
@@ -553,6 +561,10 @@ def main(argv=None) -> int:
                     "device_wait_and_fetch": round(t_collect, 3),
                     "host_tail": round(t_host, 3),
                 },
+                **(
+                    {"features": args.features, "feat_len": args.feat_len}
+                    if (args.features, args.feat_len) != (50, 500) else {}
+                ),
                 **backend_note,
             }
         )
