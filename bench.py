@@ -507,6 +507,13 @@ def main(argv=None) -> int:
             ts = time.time()
             raw1 = handle[4].result() if handle[4] is not None else None
             raw2 = handle[5].result() if handle[5] is not None else None
+            if raw1 is not None and handle[8]:
+                # stacked R1+R2 transaction: split rows back per mate
+                n = handle[0].shape[0]
+                raw1, raw2 = (
+                    {k: v[:n] for k, v in raw1.items()},
+                    {k: v[n:] for k, v in raw1.items()},
+                )
             t_collect += time.time() - ts
             ts = time.time()
             if raw1 is not None:

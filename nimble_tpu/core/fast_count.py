@@ -82,6 +82,23 @@ def dedupe_admit(seen, mat, lens, mate_mat=None, mate_lens=None):
     return mat, lens, mate_mat, mate_lens, True
 
 
+def _stack_pair(mat, lens, mate_mat, mate_lens):
+    """Stack R1 and R2 matrices into one (2N, Wmax) batch for a single
+    device transaction.  Rows stay zero-padded beyond their lengths (the
+    packed entropy gate's precondition)."""
+    w = max(mat.shape[1], mate_mat.shape[1])
+
+    def _widen(m):
+        if m.shape[1] == w:
+            return m
+        out = np.zeros((m.shape[0], w), dtype=np.int8)
+        out[:, : m.shape[1]] = m
+        return out
+
+    stacked = np.concatenate([_widen(mat), _widen(mate_mat)], axis=0)
+    return stacked, np.concatenate([lens, mate_lens])
+
+
 def _combo_ids(mat, lens, engine, which_label, raw=None):
     """Run the compact device path + host rescue for one mate side.
 
@@ -198,21 +215,31 @@ class FastCounter:
         else:
             prededuped = False
         st1 = st2 = None
+        paired_stacked = False
         if hasattr(self.engine, "compact_dispatch") and mat.shape[0]:
-            st1 = self.engine.compact_dispatch(mat, lens)
             if mate_mat is not None:
-                st2 = self.engine.compact_dispatch(mate_mat, mate_lens)
+                # ONE device transaction for both mates: R1 rows then R2
+                # rows in a single stacked batch.  Per-transaction tunnel
+                # latency (~30-45 ms for each upload/launch/fetch) dominates
+                # the paired path, so halving the transaction count is a
+                # near-2x wall win; results split back by row in process().
+                st1 = self.engine.compact_dispatch(
+                    *_stack_pair(mat, lens, mate_mat, mate_lens)
+                )
+                paired_stacked = True
+            else:
+                st1 = self.engine.compact_dispatch(mat, lens)
         if st1 is not None and self._fetcher is not None:
             st1 = self._fetcher.submit(self.engine.compact_collect, st1)
-            if st2 is not None:
-                st2 = self._fetcher.submit(self.engine.compact_collect, st2)
-            return (mat, lens, mate_mat, mate_lens, st1, st2, True, prededuped)
-        return (mat, lens, mate_mat, mate_lens, st1, st2, False, prededuped)
+            return (mat, lens, mate_mat, mate_lens, st1, st2, True,
+                    prededuped, paired_stacked)
+        return (mat, lens, mate_mat, mate_lens, st1, st2, False, prededuped,
+                paired_stacked)
 
     def process(self, handle) -> None:
         """Collect + count one dispatched chunk."""
         (mat, lens, mate_mat, mate_lens, st1, st2, async_fetch,
-         prededuped) = handle
+         prededuped, paired_stacked) = handle
         if st1 is None:
             if not prededuped:
                 self._add_with_raw(mat, lens, mate_mat, mate_lens, None, None)
@@ -224,6 +251,12 @@ class FastCounter:
             raw1 = self.engine.compact_collect(st1)
             raw2 = (
                 self.engine.compact_collect(st2) if st2 is not None else None
+            )
+        if paired_stacked:
+            n = mat.shape[0]
+            raw1, raw2 = (
+                {k: v[:n] for k, v in raw1.items()},
+                {k: v[n:] for k, v in raw1.items()},
             )
         self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
                            prededuped=prededuped)

@@ -11,7 +11,7 @@ from typing import List, Optional, Sequence
 
 from nimble_tpu.config import AlignFilterConfig
 from nimble_tpu.core.calls import AlignEngine, call
-from nimble_tpu.core.fast_count import FastCounter
+from nimble_tpu.core.fast_count import FastCounter, _stack_pair
 from nimble_tpu.io.fastq import (
     iter_fastq_matrix_chunks,
     read_fastq_codes,
@@ -34,14 +34,19 @@ def _drain_pending(pending, multi) -> None:
         return
     if not pending:
         return
-    mat, lens, mate_mat, mate_lens, st1, st2, prededuped = pending[0][1]
+    mat, lens, mate_mat, mate_lens, st1, prededuped = pending[0][1]
     if not mat.shape[0]:
         return
     raws1 = st1.result() if hasattr(st1, "result") else multi.collect(st1)
-    if st2 is None:
+    if mate_mat is None:
         raws2 = [None] * len(pending)
     else:
-        raws2 = st2.result() if hasattr(st2, "result") else multi.collect(st2)
+        # stacked R1+R2 launch: each library's raw splits by row
+        n = mat.shape[0]
+        raws1, raws2 = (
+            [{k: v[:n] for k, v in raw.items()} for raw in raws1],
+            [{k: v[n:] for k, v in raw.items()} for raw in raws1],
+        )
     for (counter, _), raw1, raw2 in zip(pending, raws1, raws2):
         counter._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
                               prededuped=prededuped)
@@ -153,19 +158,20 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher, meter,
                     multi.dedupe(mat, lens, mate_mat, mate_lens)
                 )
                 if mat.shape[0]:
-                    st1 = multi.dispatch(mat, lens)
-                    st2 = (
-                        multi.dispatch(mate_mat, mate_lens)
-                        if mate_mat is not None else None
-                    )
+                    if mate_mat is not None:
+                        # one stacked R1+R2 transaction (see
+                        # FastCounter.dispatch); split back in drain
+                        st1 = multi.dispatch(
+                            *_stack_pair(mat, lens, mate_mat, mate_lens)
+                        )
+                    else:
+                        st1 = multi.dispatch(mat, lens)
                     if fetcher is not None:
                         st1 = fetcher.submit(multi.collect, st1)
-                        if st2 is not None:
-                            st2 = fetcher.submit(multi.collect, st2)
                 else:
-                    st1 = st2 = None
+                    st1 = None
                 handles = [
-                    (mat, lens, mate_mat, mate_lens, st1, st2, prededuped)
+                    (mat, lens, mate_mat, mate_lens, st1, prededuped)
                 ] * len(counters)
             else:
                 handles = [
