@@ -48,3 +48,24 @@ def test_mesh_fast_count_matches_general():
     )
     fast = strip_meta(fast_count_calls(reads, None, mesh, ref, cfg))
     assert fast == general
+
+
+def test_mesh_paired_stacked_dispatch_matches_general():
+    """Paired reads through FastCounter.dispatch (ONE stacked R1+R2 device
+    transaction) on the sharded mesh engine must equal the general path."""
+    from nimble_tpu.core.fast_count import FastCounter, pack_matrix
+    from nimble_tpu.utils.dna import revcomp_codes
+
+    cfg, ref, index = _setup("basic.json")
+    reads = read_fastq_codes(reads_path("basic.fastq")) * 3
+    mates = [revcomp_codes(r) for r in reads]
+    host = HostAlignEngine(index, cfg)
+    mesh = MeshAlignEngine(index, cfg)
+    general = strip_meta(
+        sort_score_vector(get_calls(reads, mates, [], host, ref, cfg)[0])
+    )
+    mat, lens = pack_matrix(reads)
+    mmat, mlens = pack_matrix(mates)
+    counter = FastCounter(mesh, ref, cfg)
+    counter.process(counter.dispatch(mat, lens, mmat, mlens))
+    assert strip_meta(counter.finalize()) == general
