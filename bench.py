@@ -362,6 +362,10 @@ def main(argv=None) -> int:
                    help="length (bp) of each synthetic feature")
     # best-of-N: the remote-TPU tunnel has ±30% run-to-run variance
     p.add_argument("--timed-rounds", type=int, default=6)
+    p.add_argument("--walk", choices=["scan", "pallas", "fused"],
+                   default="scan",
+                   help="walk kernel: XLA scan (default), Pallas double-walk"
+                        ", or the fused Pallas span+walk")
     p.add_argument("--bam", action="store_true",
                    help="benchmark the threaded BAM pipeline instead")
     p.add_argument("--bam-groups", type=int, default=16384)
@@ -470,7 +474,11 @@ def main(argv=None) -> int:
         engine = MeshAlignEngine(index, cfg, mesh=mesh)
         log(f"mesh: {dict(mesh.shape)}")
     else:
-        engine = DeviceAlignEngine(index, cfg)
+        engine = DeviceAlignEngine(
+            index, cfg,
+            use_pallas_walk={"scan": False, "pallas": True,
+                             "fused": "fused"}[args.walk],
+        )
 
     n_chunks = max(1, args.reads // args.chunk)
     chunk_bounds = [
@@ -509,11 +517,7 @@ def main(argv=None) -> int:
             raw2 = handle[5].result() if handle[5] is not None else None
             if raw1 is not None and handle[8]:
                 # stacked R1+R2 transaction: split rows back per mate
-                n = handle[0].shape[0]
-                raw1, raw2 = (
-                    {k: v[:n] for k, v in raw1.items()},
-                    {k: v[n:] for k, v in raw1.items()},
-                )
+                raw1, raw2 = split_stacked(raw1, handle[0].shape[0])
             t_collect += time.time() - ts
             ts = time.time()
             if raw1 is not None:

@@ -149,9 +149,15 @@ def main(argv: List[str] | None = None) -> int:
             # span+walk (ops/pallas_fused.py), "walk" = Pallas double-walk,
             # unset/empty = XLA scan (default)
             pallas_env = os.environ.get("NIMBLE_PALLAS", "")
-            use_pallas = {"": False, "walk": True, "fused": "fused"}.get(
-                pallas_env, False
-            )
+            try:
+                use_pallas = {"": False, "walk": True, "fused": "fused"}[
+                    pallas_env
+                ]
+            except KeyError:
+                raise SystemExit(
+                    f"NIMBLE_PALLAS={pallas_env!r} is not recognized "
+                    "(expected 'walk', 'fused', or unset)"
+                )
             engines.append(DeviceAlignEngine(
                 index, aligner_config, use_pallas_walk=use_pallas))
         elif args.engine == "mesh":

@@ -82,7 +82,7 @@ def dedupe_admit(seen, mat, lens, mate_mat=None, mate_lens=None):
     return mat, lens, mate_mat, mate_lens, True
 
 
-def _stack_pair(mat, lens, mate_mat, mate_lens):
+def stack_pair(mat, lens, mate_mat, mate_lens):
     """Stack R1 and R2 matrices into one (2N, Wmax) batch for a single
     device transaction.  Rows stay zero-padded beyond their lengths (the
     packed entropy gate's precondition)."""
@@ -91,12 +91,23 @@ def _stack_pair(mat, lens, mate_mat, mate_lens):
     def _widen(m):
         if m.shape[1] == w:
             return m
-        out = np.zeros((m.shape[0], w), dtype=np.int8)
+        out = np.zeros((m.shape[0], w), dtype=m.dtype)
         out[:, : m.shape[1]] = m
         return out
 
     stacked = np.concatenate([_widen(mat), _widen(mate_mat)], axis=0)
     return stacked, np.concatenate([lens, mate_lens])
+
+
+def split_stacked(raw: dict, n: int) -> Tuple[dict, dict]:
+    """Split a stacked R1+R2 compact result back into per-mate dicts.
+
+    Every value in a compact raw dict is row-indexed (compact_collect's
+    contract), so rows [0, n) are R1 and [n, ...) are R2."""
+    return (
+        {k: v[:n] for k, v in raw.items()},
+        {k: v[n:] for k, v in raw.items()},
+    )
 
 
 def _combo_ids(mat, lens, engine, which_label, raw=None):
@@ -224,7 +235,7 @@ class FastCounter:
                 # the paired path, so halving the transaction count is a
                 # near-2x wall win; results split back by row in process().
                 st1 = self.engine.compact_dispatch(
-                    *_stack_pair(mat, lens, mate_mat, mate_lens)
+                    *stack_pair(mat, lens, mate_mat, mate_lens)
                 )
                 paired_stacked = True
             else:
@@ -253,11 +264,7 @@ class FastCounter:
                 self.engine.compact_collect(st2) if st2 is not None else None
             )
         if paired_stacked:
-            n = mat.shape[0]
-            raw1, raw2 = (
-                {k: v[:n] for k, v in raw1.items()},
-                {k: v[n:] for k, v in raw1.items()},
-            )
+            raw1, raw2 = split_stacked(raw1, mat.shape[0])
         self._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
                            prededuped=prededuped)
 

@@ -127,6 +127,40 @@ def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
     return live, score, mm
 
 
+def _gather_span_words(ref_codes_packed, starts, NW):
+    """Contiguous NW-word window per span start from the packed reference.
+
+    Returns (words (M, NW) uint32, phase (M,) int32): each span's 2-bit
+    codes live at bit offsets ``2*(phase + p)`` within its word window.
+    One clipped row-gather from a sliding-window word matrix — scattered
+    element-gathers ran near one element/cycle and dominated the kernel.
+    All three walk variants (abs / rel / fused) share this exact layout;
+    keep them in lockstep through this helper.
+    """
+    w0 = starts >> 4
+    phase = (starts & 15).astype(jnp.int32)
+    n_words = ref_codes_packed.shape[0]
+    win = jnp.stack(
+        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
+        axis=1,
+    )                                                 # (n_words-NW+1, NW)
+    words = jnp.take(win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0)
+    return words, phase
+
+
+def _unpack_span(words, phase, L):
+    """Unpack (M, NW) word windows to (M, L) int32 2-bit codes."""
+    NW = words.shape[1]
+    x_idx = jnp.arange(L, dtype=jnp.int32)
+    j = phase[:, None] + x_idx[None, :]               # (M, L)
+    widx = j >> 4
+    shift = ((j & 15) * 2).astype(jnp.uint32)
+    acc = jnp.zeros(j.shape, dtype=jnp.uint32)
+    for w in range(NW):
+        acc = jnp.where(widx == w, words[:, w][:, None], acc)
+    return ((acc >> shift) & jnp.uint32(3)).astype(jnp.int32)
+
+
 def _span_walk_abs(
     reads_i32, read_lens, anchor, rows, offs, live0,
     ref_codes_packed, row_starts, row_lengths,
@@ -153,24 +187,8 @@ def _span_walk_abs(
     r_start = row_starts[rows]
     starts = (r_start + offs - anchor[:, None] + ref_pad).reshape(-1)
     NW = (Lmax + 15) // 16 + 1
-    w0 = starts >> 4
-    phase = (starts & 15).astype(jnp.int32)
-    n_words = ref_codes_packed.shape[0]
-    win = jnp.stack(
-        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
-        axis=1,
-    )
-    words = jnp.take(win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0)
-    x_idx = jnp.arange(Lmax, dtype=jnp.int32)
-    j = phase[:, None] + x_idx[None, :]
-    widx = j >> 4
-    shift = ((j & 15) * 2).astype(jnp.uint32)
-    acc = jnp.zeros(j.shape, dtype=jnp.uint32)
-    for w in range(NW):
-        acc = jnp.where(widx == w, words[:, w][:, None], acc)
-    ref_span = ((acc >> shift) & jnp.uint32(3)).astype(jnp.int32).reshape(
-        B, C, Lmax
-    )
+    words, phase = _gather_span_words(ref_codes_packed, starts, NW)
+    ref_span = _unpack_span(words, phase, Lmax).reshape(B, C, Lmax)
 
     match_full = ref_span == reads_i32[:, None, :]            # (B, C, Lmax)
     match_full = jax.lax.optimization_barrier(match_full)
@@ -256,17 +274,11 @@ def _span_walk_abs_fused(
     B, Lmax = reads_i32.shape
     C = rows.shape[1]
     r_start = row_starts[rows]
-    starts = (r_start + offs - anchor[:, None] + ref_pad)        # (B, C)
+    starts = (r_start + offs - anchor[:, None] + ref_pad).reshape(-1)
     NW = (Lmax + 15) // 16 + 1
-    w0 = (starts >> 4).reshape(-1)
-    phase = (starts & 15).astype(jnp.uint32)
-    n_words = ref_codes_packed.shape[0]
-    win = jnp.stack(
-        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
-        axis=1,
-    )
-    words = jnp.take(win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0)
+    words, phase = _gather_span_words(ref_codes_packed, starts, NW)
     words = words.reshape(B, C, NW)
+    phase = phase.reshape(B, C).astype(jnp.uint32)
     base_off = offs - anchor[:, None]
     r_len = row_lengths[rows]
 
@@ -314,24 +326,8 @@ def _span_walk_rel(
     r_start = row_starts[rows]
     starts = (r_start + offs - l_steps + ref_pad).reshape(-1)
     NW = (W + 15) // 16 + 1
-    w0 = starts >> 4
-    phase = (starts & 15).astype(jnp.int32)
-    n_words = ref_codes_packed.shape[0]
-    win = jnp.stack(
-        [ref_codes_packed[j : n_words - NW + 1 + j] for j in range(NW)],
-        axis=1,
-    )                                                         # (n_words-NW+1, NW)
-    words = jnp.take(
-        win, jnp.clip(w0, 0, win.shape[0] - 1), axis=0
-    )                                                         # (B*C, NW) uint32
-    x_idx = jnp.arange(W, dtype=jnp.int32)
-    j = phase[:, None] + x_idx[None, :]                       # (B*C, W)
-    widx = j >> 4
-    shift = ((j & 15) * 2).astype(jnp.uint32)
-    acc = jnp.zeros(j.shape, dtype=jnp.uint32)
-    for w in range(NW):
-        acc = jnp.where(widx == w, words[:, w][:, None], acc)
-    ref_span = ((acc >> shift) & jnp.uint32(3)).astype(jnp.int32).reshape(
+    words, phase = _gather_span_words(ref_codes_packed, starts, NW)
+    ref_span = _unpack_span(words, phase, W).reshape(
         rows.shape[0], rows.shape[1], W
     )
 

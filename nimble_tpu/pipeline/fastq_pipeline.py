@@ -11,7 +11,7 @@ from typing import List, Optional, Sequence
 
 from nimble_tpu.config import AlignFilterConfig
 from nimble_tpu.core.calls import AlignEngine, call
-from nimble_tpu.core.fast_count import FastCounter, _stack_pair
+from nimble_tpu.core.fast_count import FastCounter, split_stacked, stack_pair
 from nimble_tpu.io.fastq import (
     iter_fastq_matrix_chunks,
     read_fastq_codes,
@@ -42,11 +42,8 @@ def _drain_pending(pending, multi) -> None:
         raws2 = [None] * len(pending)
     else:
         # stacked R1+R2 launch: each library's raw splits by row
-        n = mat.shape[0]
-        raws1, raws2 = (
-            [{k: v[:n] for k, v in raw.items()} for raw in raws1],
-            [{k: v[n:] for k, v in raw.items()} for raw in raws1],
-        )
+        split = [split_stacked(raw, mat.shape[0]) for raw in raws1]
+        raws1, raws2 = [a for a, _ in split], [b for _, b in split]
     for (counter, _), raw1, raw2 in zip(pending, raws1, raws2):
         counter._add_with_raw(mat, lens, mate_mat, mate_lens, raw1, raw2,
                               prededuped=prededuped)
@@ -162,7 +159,7 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher, meter,
                         # one stacked R1+R2 transaction (see
                         # FastCounter.dispatch); split back in drain
                         st1 = multi.dispatch(
-                            *_stack_pair(mat, lens, mate_mat, mate_lens)
+                            *stack_pair(mat, lens, mate_mat, mate_lens)
                         )
                     else:
                         st1 = multi.dispatch(mat, lens)

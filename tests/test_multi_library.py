@@ -140,6 +140,43 @@ def test_paired_end_multi_library(tmp_path):
         assert open(m_outs[i]).read() == outs_seq[i]
 
 
+def test_paired_end_multi_library_distinct_mates(tmp_path):
+    """Distinct R2 (revcomp of R1): a mate swap in the stacked R1+R2
+    split (_drain_pending / split_stacked) would change these outputs."""
+    comp = str.maketrans("ACGT", "TGCA")
+    lines = open(reads_path("basic.fastq")).read().splitlines()
+    r2 = str(tmp_path / "r2.fastq")
+    with open(r2, "w") as f:
+        for i in range(0, len(lines), 4):
+            seq = lines[i + 1].translate(comp)[::-1]
+            f.write(f"{lines[i]}\n{seq}\n+\n{lines[i + 3]}\n")
+
+    cfg, ref = load_reference_library(library_path("basic.json"), LibraryChemistry.NONE)
+    cfg2, ref2 = load_reference_library(library_path("basic-rev.json"), LibraryChemistry.NONE)
+    idx = build_index(get_reference_sequence_data(ref)[0])
+    idx2 = build_index(get_reference_sequence_data(ref2)[0])
+
+    outs_seq = []
+    for i, (r, x, c) in enumerate(((ref, idx, cfg), (ref2, idx2, cfg2))):
+        out = str(tmp_path / f"sd{i}.tsv")
+        with contextlib.redirect_stdout(io.StringIO()):
+            fastq_pipeline.process(
+                [reads_path("basic.fastq"), r2],
+                [DeviceAlignEngine(x, c)], [r], [c], [out],
+            )
+        outs_seq.append(open(out).read())
+    assert any(len(o.splitlines()) > 1 for o in outs_seq)  # non-empty oracle
+    m_outs = [str(tmp_path / f"md{i}.tsv") for i in range(2)]
+    with contextlib.redirect_stdout(io.StringIO()):
+        fastq_pipeline.process(
+            [reads_path("basic.fastq"), r2],
+            [DeviceAlignEngine(idx, cfg), DeviceAlignEngine(idx2, cfg2)],
+            [ref, ref2], [cfg, cfg2], m_outs,
+        )
+    for i in range(2):
+        assert open(m_outs[i]).read() == outs_seq[i]
+
+
 def test_multi_library_duplicates_across_chunks(tmp_path):
     """Pre-upload shared dedupe: duplicate reads (within AND across chunks)
     contribute once per distinct pair, byte-identical to sequential runs."""
