@@ -256,6 +256,10 @@ class ColumnarGroupStream:
         self._tail = b""
         self._eof = False
         self._error: Optional[Exception] = None
+        # scan/meta output-buffer pool: every retained column is copied
+        # (take_rows/filter) before the next chunk, so reuse is safe and
+        # saves the fresh-page faults that dominated the warm producer
+        self._pool: dict = {}
 
     # -------------------------- chunk ingestion ------------------------
 
@@ -275,7 +279,8 @@ class ColumnarGroupStream:
                 data = self._tail
             if not data:
                 return None
-            res = self._native.bam_scan(data, len(data) // 36 + 1)
+            res = self._native.bam_scan(data, len(data) // 36 + 1,
+                                        pool=self._pool)
             (count, consumed, fixed, qname, seq, qual, aux, _cig) = res
             self._tail = data[consumed:]
             if count == 0:
@@ -285,7 +290,8 @@ class ColumnarGroupStream:
                     return None
                 continue
 
-            cols = self._native.bam_meta(count, fixed, qname, seq, qual, aux)
+            cols = self._native.bam_meta(count, fixed, qname, seq, qual,
+                                         aux, pool=self._pool)
             oflags = cols["oflags"]
             paired = (oflags & 1) != 0
             has_cb = (oflags & 4) != 0

@@ -290,7 +290,25 @@ def bgzf_inflate_chunk(buf: bytes, n_threads: int = 4):
     return 0, int(consumed[0]), out.tobytes()
 
 
-def bam_scan(buf: bytes, max_records: int):
+def _pool_empty(pool, key, size, dtype):
+    """np.empty with optional reuse: a pool dict caches the largest buffer
+    seen per key, so steady-state streaming pays no fresh-page faults.
+
+    ONLY safe when the caller guarantees the previous call's outputs are no
+    longer referenced when the next call runs (ColumnarGroupStream copies
+    every retained column via take_rows/filter before the next chunk).
+    """
+    size = max(int(size), 1)
+    if pool is None:
+        return np.empty(size, dtype=dtype)
+    buf = pool.get(key)
+    if buf is None or buf.size < size or buf.dtype != dtype:
+        buf = np.empty(size, dtype=dtype)
+        pool[key] = buf
+    return buf[:size]
+
+
+def bam_scan(buf: bytes, max_records: int, pool=None):
     """Parse a decompressed BAM record stream into flat arrays; None when
     the native library is unavailable.
 
@@ -304,17 +322,18 @@ def bam_scan(buf: bytes, max_records: int):
         return None
     arr = np.frombuffer(buf, dtype=np.uint8)
     n = len(arr)
-    fixed = np.empty((max_records, 8), dtype=np.int32)
-    qname_off = np.empty(max_records + 1, dtype=np.int64)
-    qname_flat = np.empty(max(n, 1), dtype=np.uint8)
-    seq_off = np.empty(max_records + 1, dtype=np.int64)
-    seq_flat = np.empty(max(2 * n, 1), dtype=np.uint8)
-    qual_off = np.empty(max_records + 1, dtype=np.int64)
-    qual_flat = np.empty(max(n, 1), dtype=np.uint8)
-    aux_off = np.empty(max_records + 1, dtype=np.int64)
-    aux_flat = np.empty(max(2 * n, 1), dtype=np.uint8)
-    cigar_off = np.empty(max_records + 1, dtype=np.int64)
-    cigar_flat = np.empty(max(n // 4 + 1, 1), dtype=np.uint32)
+    fixed = _pool_empty(pool, "sc_fixed", max_records * 8,
+                        np.int32).reshape(max_records, 8)
+    qname_off = _pool_empty(pool, "sc_qno", max_records + 1, np.int64)
+    qname_flat = _pool_empty(pool, "sc_qnf", n, np.uint8)
+    seq_off = _pool_empty(pool, "sc_sqo", max_records + 1, np.int64)
+    seq_flat = _pool_empty(pool, "sc_sqf", 2 * n, np.uint8)
+    qual_off = _pool_empty(pool, "sc_qlo", max_records + 1, np.int64)
+    qual_flat = _pool_empty(pool, "sc_qlf", n, np.uint8)
+    aux_off = _pool_empty(pool, "sc_axo", max_records + 1, np.int64)
+    aux_flat = _pool_empty(pool, "sc_axf", 2 * n, np.uint8)
+    cigar_off = _pool_empty(pool, "sc_cgo", max_records + 1, np.int64)
+    cigar_flat = _pool_empty(pool, "sc_cgf", n // 4 + 1, np.uint32)
     consumed = np.zeros(1, dtype=np.int64)
     count = lib.nimble_bam_scan(
         arr.ctypes.data, n, max_records,
@@ -334,7 +353,7 @@ def bam_scan(buf: bytes, max_records: int):
     )
 
 
-def bam_meta(count, fixed, qname, seq, qual, aux):
+def bam_meta(count, fixed, qname, seq, qual, aux, pool=None):
     """Columnar per-record metadata derivation (see nimble_bam_meta).
 
     Inputs are bam_scan outputs (count + (off, flat) pairs).  Returns None
@@ -372,9 +391,9 @@ def bam_meta(count, fixed, qname, seq, qual, aux):
         offs = {}
         for name, cap in caps.items():
             dt = np.int8 if name == "seq2" else np.uint8
-            bufs[name] = np.empty(cap, dtype=dt)
-            offs[name] = np.empty(n + 1, dtype=np.int64)
-        oflags = np.empty(max(n, 1), dtype=np.uint8)
+            bufs[name] = _pool_empty(pool, "mt_" + name, cap, dt)
+            offs[name] = _pool_empty(pool, "mt_o_" + name, n + 1, np.int64)
+        oflags = _pool_empty(pool, "mt_oflags", n, np.uint8)
         args = [
             fixed.ctypes.data,
             qname_off.ctypes.data, qname_flat.ctypes.data,
