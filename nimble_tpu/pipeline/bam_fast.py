@@ -673,8 +673,13 @@ def process_fast(
         import time as _time
 
         print("Spawning logging thread.")
-        # compresslevel 6 = flate2 default (`src/process/bam.rs:73`)
-        files = [gzip.open(p, "wb", compresslevel=6) for p in output_paths]
+        # compresslevel 6 = flate2 default (`src/process/bam.rs:73`);
+        # NIMBLE_GZIP_LEVEL overrides for throughput (the parity contract
+        # is the DECOMPRESSED bytes — level only changes the container)
+        level = int(os.environ.get("NIMBLE_GZIP_LEVEL", "6"))
+        files = [
+            gzip.open(p, "wb", compresslevel=level) for p in output_paths
+        ]
         header = (log_header() + "\n").encode()
         first_write = [True] * len(files)
         buffered: Dict[int, list] = {}
