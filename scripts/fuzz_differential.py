@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Long-running randomized differential campaign: every device engine path
+must equal the pinned host oracle (`core/walk.py` + `core/filters.py`) on
+generated corpora far broader than the CI adversarial tests.
+
+Usage: python scripts/fuzz_differential.py [--minutes 30] [--seed 0]
+Prints one line per trial block; exits nonzero on the first divergence with
+a reproducer (seed, trial)."""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+import os  # noqa: E402
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+import numpy as np  # noqa: E402
+
+from nimble_tpu.config import AlignFilterConfig  # noqa: E402
+from nimble_tpu.core.calls import HostAlignEngine  # noqa: E402
+from nimble_tpu.index.build import build_index  # noqa: E402
+from nimble_tpu.models.aligner import DeviceAlignEngine  # noqa: E402
+from nimble_tpu.utils.dna import encode_bases, revcomp  # noqa: E402
+
+BASES = np.array(list("ACGT"))
+
+
+def rand_seq(rng, n):
+    return "".join(rng.choice(BASES, size=n))
+
+
+def make_library(rng):
+    """Random library shapes, biased toward the nasty cases."""
+    style = int(rng.integers(0, 5))
+    feats = []
+    if style == 0:  # plain random
+        for _ in range(int(rng.integers(2, 10))):
+            feats.append(rand_seq(rng, int(rng.integers(35, 400))))
+    elif style == 1:  # heavy shared k-mer blocks (anchor ties, c_max stress)
+        block = rand_seq(rng, int(rng.integers(30, 60)))
+        for _ in range(int(rng.integers(3, 14))):
+            feats.append(
+                rand_seq(rng, int(rng.integers(0, 40))) + block
+                + rand_seq(rng, int(rng.integers(0, 40)))
+            )
+    elif style == 2:  # internal repeats (same k-mer at multiple offsets)
+        unit = rand_seq(rng, int(rng.integers(31, 50)))
+        feats.append(unit * int(rng.integers(2, 4)))
+        feats.append(rand_seq(rng, 120))
+    elif style == 3:  # short features (< k -> no k-mers) mixed with normal
+        feats.append(rand_seq(rng, int(rng.integers(5, 29))))
+        feats.append(rand_seq(rng, int(rng.integers(100, 250))))
+        feats.append(rand_seq(rng, 30))  # exactly one k-mer
+    else:  # low-complexity / homopolymer-rich
+        feats.append("A" * int(rng.integers(60, 150)))
+        feats.append(("AC" * 100)[: int(rng.integers(60, 150))])
+        feats.append(rand_seq(rng, 150))
+    doubled = [x for f in feats for x in (f, revcomp(f))]
+    return feats, doubled
+
+
+def make_reads(rng, feats, n_reads):
+    reads = []
+    pool = [f for f in feats if len(f) >= 35] or feats
+    for _ in range(n_reads):
+        kind = int(rng.integers(0, 8))
+        f = pool[int(rng.integers(0, len(pool)))]
+        if kind <= 1:  # clean fragment (sometimes revcomp)
+            L = min(len(f), int(rng.integers(35, 130)))
+            s = int(rng.integers(0, max(1, len(f) - L + 1)))
+            seq = f[s : s + L]
+            if kind == 1:
+                seq = revcomp(seq)
+        elif kind == 2:  # mutated fragment
+            L = min(len(f), int(rng.integers(40, 130)))
+            s = int(rng.integers(0, max(1, len(f) - L + 1)))
+            seq = list(f[s : s + L])
+            for _ in range(int(rng.integers(1, 6))):
+                p = int(rng.integers(0, len(seq)))
+                seq[p] = "ACGT"[int(rng.integers(0, 4))]
+            seq = "".join(seq)
+        elif kind == 3:  # chimera
+            g = pool[int(rng.integers(0, len(pool)))]
+            L = int(rng.integers(40, 120))
+            seq = f[: L // 2] + g[: L - L // 2]
+        elif kind == 4:  # boundary lengths: 39/40/41 around MIN_READ_LENGTH
+            L = int(rng.choice([39, 40, 41, 30, 69, 70]))
+            s = int(rng.integers(0, max(1, len(f) - min(L, len(f)) + 1)))
+            seq = (f + rand_seq(rng, L))[s : s + L]
+        elif kind == 5:  # entropy boundary: mostly-homopolymer with salt
+            L = int(rng.integers(40, 90))
+            seq = list("A" * L)
+            for _ in range(int(rng.integers(0, 12))):
+                seq[int(rng.integers(0, L))] = "ACGT"[int(rng.integers(0, 4))]
+            seq = "".join(seq)
+        elif kind == 6:  # read longer than every feature
+            seq = f + rand_seq(rng, int(rng.integers(10, 80)))
+        else:  # junk
+            seq = rand_seq(rng, int(rng.integers(35, 130)))
+        reads.append(encode_bases(seq))
+    return reads
+
+
+def check_trial(rng, use_fused):
+    feats, doubled = make_library(rng)
+    if not any(len(f) >= 30 for f in doubled):
+        return 0  # index would be empty; loader would reject upstream
+    reads = make_reads(rng, feats, int(rng.integers(20, 80)))
+    cfg = AlignFilterConfig(
+        reference_genome_size=len(doubled),
+        score_percent=float(rng.choice([0.05, 0.1, 0.33, 0.5, 0.9])),
+        score_threshold=int(rng.choice([20, 30, 45, 60, 80])),
+        num_mismatches=int(rng.integers(0, 5)),
+        max_hits_to_report=int(rng.choice([1, 3, 10, 32])),
+        discard_multiple_matches=bool(rng.integers(0, 2)),
+    )
+    index = build_index(doubled)
+    host = HostAlignEngine(index, cfg)
+    dev = DeviceAlignEngine(
+        index, cfg, use_pallas_walk=("fused" if use_fused else False)
+    )
+    expected = host.align_batch(reads)
+    got = dev.align_batch(reads)
+    if got != expected:
+        for i, (g, e) in enumerate(zip(got, expected)):
+            if g != e:
+                raise AssertionError(
+                    f"DIVERGENCE read {i}: device={g} host={e} "
+                    f"(fused={use_fused}, cfg={cfg.__dict__})"
+                )
+    return len(reads)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--minutes", type=float, default=30.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fused-every", type=int, default=5,
+                    help="run every Nth trial with the fused Pallas walk "
+                         "(interpret mode on CPU — slower)")
+    args = ap.parse_args()
+    rng = np.random.default_rng(args.seed)
+    t_end = time.time() + args.minutes * 60
+    trials = reads_total = 0
+    while time.time() < t_end:
+        use_fused = args.fused_every and trials % args.fused_every == 4
+        # per-trial child seed so a failure is reproducible from the log
+        child = int(rng.integers(0, 2**63 - 1))
+        try:
+            reads_total += check_trial(np.random.default_rng(child), use_fused)
+        except AssertionError:
+            print(f"FAILED at trial {trials} child_seed={child} "
+                  f"fused={use_fused}", flush=True)
+            raise
+        trials += 1
+        if trials % 25 == 0:
+            print(f"{trials} trials, {reads_total} reads, all engines agree",
+                  flush=True)
+    print(f"DONE: {trials} trials, {reads_total} reads, zero divergences",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
