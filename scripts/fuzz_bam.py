@@ -195,6 +195,9 @@ def main():
             if trials % 10 == 0:
                 print(f"{trials} trials, {recs} records, byte-identical",
                       flush=True)
+                # per-trial engines compile fresh shapes; drop the
+                # in-process XLA cache so long campaigns don't OOM
+                jax.clear_caches()
     print(f"DONE: {trials} trials, {recs} records, zero divergences",
           flush=True)
 

@@ -161,6 +161,9 @@ def main():
         if trials % 25 == 0:
             print(f"{trials} trials, {reads_total} reads, all engines agree",
                   flush=True)
+            # every trial compiles fresh shapes; the in-process XLA cache
+            # grows unboundedly and eventually OOMs the box — drop it
+            jax.clear_caches()
     print(f"DONE: {trials} trials, {reads_total} reads, zero divergences",
           flush=True)
 
