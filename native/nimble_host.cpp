@@ -851,6 +851,7 @@ int32_t nimble_bam_runs(
         }
 
         int64_t m = (int64_t)buf.size();
+        int64_t run_emitted = 0;
         for (int64_t j = 0; j + 1 < m; j += 2) {
             int64_t i1 = buf[j].first, i2 = buf[j + 1].first;
             if (!(qn(i1) == qn(i2))) return -1;  // irregular: Python fallback
@@ -870,8 +871,21 @@ int32_t nimble_bam_runs(
             }
             emit_idx[ec] = b; emit_skip[ec] = sb; ++ec;
             last_emitted = b;
+            run_emitted += 2;
         }
         run_start = run_end;
+        if (run_emitted == 0) {
+            // a run that pairs down to NOTHING ends the reference's whole
+            // stream: SortedBamReader::next refills once and returns
+            // BamTruncatedRecord on an empty post-filter buffer
+            // (`src/parse/sorted_bam_reader.rs:164-185`), which UMIReader
+            // treats as end-of-input.  rc=1: outputs valid, stream over.
+            group_off[gc] = ec;
+            *emit_cnt = ec;
+            *n_groups = gc;
+            *consumed = run_start;
+            return 1;
+        }
     }
     group_off[gc] = ec;
     *emit_cnt = ec;

@@ -523,9 +523,16 @@ class ColumnarGroupStream:
                     at_eof and self._error is None,
                 )
             if res is not None:
-                emit_idx, emit_skip, group_off, consumed = res
+                emit_idx, emit_skip, group_off, consumed, truncated = res
                 add_emitted(carry, emit_idx, emit_skip, group_off[:-1])
                 carry.drop_front(consumed)
+                if truncated:
+                    # a run paired down to nothing: the reference stream
+                    # ends here (BamTruncatedRecord -> UMIReader None);
+                    # everything past the empty run is never read
+                    yield from emit_ready(final=True)
+                    self._f.close()
+                    return
             elif n:
                 # Python fallback (irregular stream: reference warnings)
                 umi = carry.cols["umi"]
@@ -550,11 +557,18 @@ class ColumnarGroupStream:
                 e_skip: List[int] = []
                 g_starts: List[int] = []
                 last_key = None
+                truncated = False
                 for lo, hi in runs:
                     is_final_run = process_final and hi == n
-                    for i, skip_val in self._run_entries_python(
+                    entries = self._run_entries_python(
                         carry, lo, hi, is_final_run
-                    ):
+                    )
+                    if not entries:
+                        # empty post-filter run ends the reference stream
+                        # (`src/parse/sorted_bam_reader.rs:164-185`)
+                        truncated = True
+                        break
+                    for i, skip_val in entries:
                         cbv = cbc.get(i)
                         key = umis[i] + cbv[: max(len(cbv) - 2, 0)]
                         if key != last_key:
@@ -567,6 +581,10 @@ class ColumnarGroupStream:
                         )
                 add_emitted(carry, e_idx,
                             np.asarray(e_skip, dtype=np.int8), g_starts)
+                if truncated:
+                    yield from emit_ready(final=True)
+                    self._f.close()
+                    return
                 carry.drop_front(keep_from)
 
             if at_eof:

@@ -425,7 +425,9 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
     ``oflags`` is the bam_meta flag byte per record.  Returns None when the
     native library is unavailable OR the stream has a qname irregularity
     (caller uses the Python path, which prints the reference's warnings);
-    else (emit_idx, emit_skip, group_off, consumed).
+    else (emit_idx, emit_skip, group_off, consumed, truncated) —
+    ``truncated`` True when a run paired down to nothing, which ends the
+    reference's stream (`src/parse/sorted_bam_reader.rs:164-185`).
     """
     lib = _load()
     if lib is None:
@@ -449,13 +451,13 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
         emit_idx.ctypes.data, emit_skip.ctypes.data, emit_cnt.ctypes.data,
         group_off.ctypes.data, n_groups.ctypes.data, consumed.ctypes.data,
     )
-    if rc != 0:
+    if rc not in (0, 1):
         return None
     ec = int(emit_cnt[0])
     ng = int(n_groups[0])
     go = group_off[: ng + 1].copy()
     go[ng] = ec
-    return emit_idx[:ec], emit_skip[:ec], go, int(consumed[0])
+    return emit_idx[:ec], emit_skip[:ec], go, int(consumed[0]), rc == 1
 
 
 def bam_rows(

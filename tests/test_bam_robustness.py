@@ -90,3 +90,92 @@ def test_undecodable_record_skipped_by_sorted_reader(tmp_path):
         except BamTruncated:
             break
     assert got == ["a", "a", "b", "b"]
+
+
+def _orphan_run_bam(path):
+    """Groups g0, g1, then a UMI run holding ONLY a paired-flag orphan
+    (mate never written), then two more groups.  The reference stream
+    TERMINATES at the orphan run: SortedBamReader::next refills once and
+    returns BamTruncatedRecord on an empty post-filter buffer
+    (`src/parse/sorted_bam_reader.rs:164-185`), so g3/g4 are never read
+    and (quirks) g1 becomes the dropped final group."""
+    from nimble_tpu.io.bam import (
+        FLAG_FIRST_IN_TEMPLATE,
+        FLAG_LAST_IN_TEMPLATE,
+        FLAG_PAIRED,
+    )
+
+    # NB not "ACGT"*n — that is its own revcomp, and a read hitting both
+    # orientations of a feature is dropped by the orientation filter
+    feats = ["TTGACCAT" * 22, "GATTACCA" * 22]
+    records = []
+    qn = 0
+
+    def pair(umi, cb, frag):
+        nonlocal qn
+        r1 = BamRecord(qname=f"q{qn}", flag=FLAG_PAIRED | FLAG_FIRST_IN_TEMPLATE,
+                       pos=100, mpos=200, tlen=150, seq=frag,
+                       qual=bytes([40] * len(frag)), tid=0, mtid=0, mapq=60)
+        r2 = BamRecord(qname=f"q{qn}", flag=FLAG_PAIRED | FLAG_LAST_IN_TEMPLATE,
+                       pos=200, mpos=100, tlen=-150, seq=frag,
+                       qual=bytes([40] * len(frag)), tid=0, mtid=0, mapq=60)
+        qn += 1
+        for r in (r1, r2):
+            r.tags["CB"] = ("Z", cb)
+            r.tags["UB"] = ("Z", umi)
+        return [r1, r2]
+
+    records += pair("CCCCCCCCCC", "CB0-1", feats[0][:60])
+    records += pair("GGGGGGGGGG", "CB0-1", feats[1][:60])
+    orphan = pair("TTTTTTTTTT", "CB0-1", feats[0][10:70])[0]  # r1 only
+    records.append(orphan)
+    records += pair("ACACACACAC", "CB0-1", feats[0][20:80])
+    records += pair("TGTGTGTGTG", "CB0-1", feats[1][30:90])
+    header = BamHeader(text="@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n",
+                       references=[("chr1", 1_000_000)])
+    write_bam(str(path), header, records)
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_all_orphan_run_terminates_stream(tmp_path, quirks):
+    """Fuzz-found (fuzz_bam.py seed 5 trial 40): the fast columnar path
+    kept reading past an all-orphan UMI run; the reference ends there."""
+    import contextlib
+    import io as _io
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.library import Reference
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.pipeline import bam_pipeline
+    from nimble_tpu.pipeline.bam_fast import process_fast
+    from nimble_tpu.utils.dna import revcomp
+
+    bam = tmp_path / "orphan_run.bam"
+    _orphan_run_bam(bam)
+    feats = ["TTGACCAT" * 22, "GATTACCA" * 22]
+    doubled = [x for f in feats for x in (f, revcomp(f))]
+    ref = Reference(group_on=0, headers=["sequence_name", "sequence"],
+                    columns=[["f0", "f0§rev", "f1", "f1§rev"], doubled],
+                    sequence_name_idx=0, sequence_idx=1)
+    cfg = AlignFilterConfig(reference_genome_size=4, score_percent=0.33,
+                            score_threshold=40, num_mismatches=1,
+                            max_hits_to_report=10)
+    engine = DeviceAlignEngine(build_index(doubled), cfg)
+    outs = []
+    for name, fn in (("fast", process_fast), ("slow", bam_pipeline.process)):
+        out = str(tmp_path / f"{name}.tsv.gz")
+        with contextlib.redirect_stdout(_io.StringIO()):
+            fn([str(bam)], [engine], [ref], [cfg], [out], 2, False,
+               parity_quirks=quirks)
+        outs.append(gzip.open(out, "rb").read())
+    assert outs[0] == outs[1]
+    qnames = {r.split(b"\t")[2] for r in outs[0].splitlines()[1:]}
+    # groups after the orphan run (q3, q4) must NOT appear; with quirks the
+    # final surfaced group before termination (q1) is dropped too
+    assert b"q3" not in qnames and b"q4" not in qnames
+    assert (b"q1" not in qnames) == quirks
+    assert b"q0" in qnames
