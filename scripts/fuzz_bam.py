@@ -90,6 +90,9 @@ def make_stream(rng, feats):
 
             missing_cb = kind == 7  # skipped by the CB rule
             ur_only = kind == 8     # UB->UR fallback
+            # rare: a kept record with NO UMI at all — both pipelines must
+            # raise the same "Could not read UMI" after identical output
+            no_umi = kind == 5 and rng.random() < 0.1
             if kind == 9:
                 # unpaired read (dummy-pair injection downstream)
                 r = BamRecord(
@@ -99,7 +102,7 @@ def make_stream(rng, feats):
                     tid=0, mtid=-1, mapq=60,
                 )
                 qn += 1
-                tag(r, missing_cb, ur_only)
+                tag(r, missing_cb, ur_only, no_umi)
                 records.append(r)
                 continue
             rev1 = bool(rng.integers(0, 2))
@@ -124,8 +127,8 @@ def make_stream(rng, feats):
                 tid=0, mtid=0, mapq=60,
             )
             qn += 1
-            tag(r1, missing_cb, ur_only)
-            tag(r2, missing_cb, ur_only)
+            tag(r1, missing_cb, ur_only, no_umi)
+            tag(r2, missing_cb, ur_only, no_umi)
             if kind == 6 and rng.random() < 0.5:
                 records.append(r1)  # orphan: mate never written
             else:
@@ -137,10 +140,18 @@ def run_both(bam, engine, ref, cfg, quirks, td, tag):
     outs = []
     for name, fn in (("fast", process_fast), ("slow", bam_pipeline.process)):
         out = f"{td}/{tag}_{name}.tsv.gz"
-        with contextlib.redirect_stdout(io.StringIO()):
-            fn([bam], [engine], [ref], [cfg], [out], 2, False,
-               parity_quirks=quirks)
-        outs.append(gzip.open(out, "rb").read())
+        err = ""
+        try:
+            with contextlib.redirect_stdout(io.StringIO()):
+                fn([bam], [engine], [ref], [cfg], [out], 2, False,
+                   parity_quirks=quirks)
+        except Exception as e:  # error parity: type+message must match
+            err = f"{type(e).__name__}: {e}"
+        try:
+            body = gzip.open(out, "rb").read()
+        except Exception:
+            body = b""
+        outs.append((err + "\n").encode() + body)
     return outs
 
 
