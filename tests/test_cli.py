@@ -82,3 +82,21 @@ def test_cli_bad_strand_filter(tmp_path):
             "-f", "bogus",
             "--engine", "host",
         ])
+
+
+def test_cli_fastq_mesh_engine(tmp_path):
+    """--engine mesh on the 8-virtual-device CPU mesh: byte-exact TSV."""
+    out = str(tmp_path / "mesh.tsv")
+    rc = main([
+        "-r", library_path("basic.json"),
+        "-i", reads_path("basic.fastq"),
+        "-o", out,
+        "--engine", "mesh",
+    ])
+    assert rc == 0
+    assert open(out).read().splitlines() == [
+        "feature\tscore",
+        "A02-0\tA02-1\tA02-2\tA02-LC\t1",
+        "A02-0\tA02-LC\t1",
+        "A02-1\t1",
+    ]
