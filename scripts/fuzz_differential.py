@@ -16,6 +16,11 @@ sys.path.insert(0, "/root/repo")
 import os  # noqa: E402
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    )
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
@@ -106,7 +111,7 @@ def make_reads(rng, feats, n_reads):
     return reads
 
 
-def check_trial(rng, use_fused):
+def check_trial(rng, use_fused, use_mesh=False):
     feats, doubled = make_library(rng)
     if not any(len(f) >= 30 for f in doubled):
         return 0  # index would be empty; loader would reject upstream
@@ -121,9 +126,14 @@ def check_trial(rng, use_fused):
     )
     index = build_index(doubled)
     host = HostAlignEngine(index, cfg)
-    dev = DeviceAlignEngine(
-        index, cfg, use_pallas_walk=("fused" if use_fused else False)
-    )
+    if use_mesh:
+        from nimble_tpu.models.mesh_aligner import MeshAlignEngine
+
+        dev = MeshAlignEngine(index, cfg)
+    else:
+        dev = DeviceAlignEngine(
+            index, cfg, use_pallas_walk=("fused" if use_fused else False)
+        )
     expected = host.align_batch(reads)
     got = dev.align_batch(reads)
     if got != expected:
@@ -131,8 +141,34 @@ def check_trial(rng, use_fused):
             if g != e:
                 raise AssertionError(
                     f"DIVERGENCE read {i}: device={g} host={e} "
-                    f"(fused={use_fused}, cfg={cfg.__dict__})"
+                    f"(fused={use_fused}, mesh={use_mesh}, "
+                    f"cfg={cfg.__dict__})"
                 )
+    # columnar full-output path (the BAM fast consumer's align), plain
+    # device engine only — mesh full-output rides the same decode
+    if not use_mesh and not use_fused:
+        n = len(reads)
+        W = max(len(r) for r in reads)
+        mat = np.zeros((n, W), dtype=np.int8)
+        lens = np.zeros(n, dtype=np.int32)
+        for i, r in enumerate(reads):
+            mat[i, : len(r)] = r
+            lens[i] = len(r)
+        res = dev.full_collect(dev.full_dispatch(mat, lens,
+                                                 np.ones(n, bool)))
+        for i, (alignment, filt) in enumerate(expected):
+            if alignment is not None:
+                eq, norm, score = alignment
+                assert res["reason"][i] == -1 and res["score"][i] == score \
+                    and res["norm"][i] == norm, f"full path read {i}"
+                key = int(res["eq_key"][i])
+                got_eq = (res["rescued"][key] if key < -1
+                          else dev.decode_combo(
+                              key >> dev.c_max,
+                              key & ((1 << dev.c_max) - 1)))
+                assert list(got_eq) == list(eq), f"full path eq read {i}"
+            else:
+                assert res["reason"][i] >= 0, f"full path filter read {i}"
     return len(reads)
 
 
@@ -149,13 +185,15 @@ def main():
     trials = reads_total = 0
     while time.time() < t_end:
         use_fused = args.fused_every and trials % args.fused_every == 4
+        use_mesh = trials % 11 == 7  # occasional 8-virtual-device mesh
         # per-trial child seed so a failure is reproducible from the log
         child = int(rng.integers(0, 2**63 - 1))
         try:
-            reads_total += check_trial(np.random.default_rng(child), use_fused)
+            reads_total += check_trial(np.random.default_rng(child),
+                                       use_fused and not use_mesh, use_mesh)
         except AssertionError:
             print(f"FAILED at trial {trials} child_seed={child} "
-                  f"fused={use_fused}", flush=True)
+                  f"fused={use_fused} mesh={use_mesh}", flush=True)
             raise
         trials += 1
         if trials % 25 == 0:
