@@ -789,9 +789,10 @@ int32_t nimble_bam_runs(
     const int64_t* qn_off, const uint8_t* qn_flat,
     const uint8_t* oflags,
     int64_t n, int32_t force_paired, int32_t is_final,
+    int32_t free_pass_used_in, int64_t groups_started_before,
     int64_t* emit_idx, int8_t* emit_skip, int64_t* emit_cnt,
     int64_t* group_off, int64_t* n_groups,
-    int64_t* consumed) {
+    int64_t* consumed, int32_t* free_pass_used_out) {
     auto umi = [&](int64_t i) {
         return BytesView{umi_flat + umi_off[i], umi_off[i + 1] - umi_off[i]};
     };
@@ -875,11 +876,22 @@ int32_t nimble_bam_runs(
         }
         run_start = run_end;
         if (run_emitted == 0) {
-            // a run that pairs down to NOTHING ends the reference's whole
-            // stream: SortedBamReader::next refills once and returns
-            // BamTruncatedRecord on an empty post-filter buffer
-            // (`src/parse/sorted_bam_reader.rs:164-185`), which UMIReader
-            // treats as end-of-input.  rc=1: outputs valid, stream over.
+            // a run that pairs down to NOTHING raises BamTruncatedRecord in
+            // the reference (`src/parse/sorted_bam_reader.rs:164-185`); the
+            // producer loop (`src/process/bam.rs:163-179`) then BREAKS iff
+            // a group was already delivered (has_aligned) — otherwise it
+            // sends the (possibly empty) current group and keeps reading:
+            // exactly one free pass, consumed on producer iteration 1.
+            bool aligned = free_pass_used_in || *free_pass_used_out ||
+                           (groups_started_before + gc) >= 2;
+            if (!aligned) {
+                *free_pass_used_out = 1;
+                last_emitted = -1;  // current group delivered; key resets
+                continue;
+            }
+            // rc=1: outputs valid through this run; stream over, the open
+            // group is the stream's final group (the producer's quirk
+            // handling drops or keeps it).
             group_off[gc] = ec;
             *emit_cnt = ec;
             *n_groups = gc;

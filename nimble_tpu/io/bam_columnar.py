@@ -260,6 +260,12 @@ class ColumnarGroupStream:
         # (take_rows/filter) before the next chunk, so reuse is safe and
         # saves the fresh-page faults that dominated the warm producer
         self._pool: dict = {}
+        # producer free-pass state (`src/process/bam.rs:163-179`): an
+        # empty post-filter run before ANY delivered group sends the
+        # (possibly empty) current group and reading continues; any later
+        # empty run ends the stream
+        self._free_pass_used = False
+        self._groups_started_total = 0
 
     # -------------------------- chunk ingestion ------------------------
 
@@ -457,6 +463,7 @@ class ColumnarGroupStream:
             base = len(pend_skip_true)
             for s in group_starts:
                 starts.append(base + int(s))
+            self._groups_started_total += len(group_starts)
             idx = np.asarray(emit_idx, dtype=np.int64)
             k = len(idx)
             if k:
@@ -521,9 +528,13 @@ class ColumnarGroupStream:
                     (qname.offs, qname.flat), carry.oflags, n,
                     self.force_bam_paired,
                     at_eof and self._error is None,
+                    free_pass_used=self._free_pass_used,
+                    groups_started_before=self._groups_started_total,
                 )
             if res is not None:
-                emit_idx, emit_skip, group_off, consumed, truncated = res
+                (emit_idx, emit_skip, group_off, consumed, truncated,
+                 free_used) = res
+                self._free_pass_used |= free_used
                 add_emitted(carry, emit_idx, emit_skip, group_off[:-1])
                 carry.drop_front(consumed)
                 if truncated:
@@ -564,8 +575,19 @@ class ColumnarGroupStream:
                         carry, lo, hi, is_final_run
                     )
                     if not entries:
-                        # empty post-filter run ends the reference stream
-                        # (`src/parse/sorted_bam_reader.rs:164-185`)
+                        # empty post-filter run: BamTruncatedRecord in the
+                        # reference — ends the stream iff a group was
+                        # already delivered, else consumes the producer's
+                        # one free pass (`src/process/bam.rs:163-179`)
+                        aligned = (
+                            self._free_pass_used
+                            or self._groups_started_total
+                            + len(g_starts) >= 2
+                        )
+                        if not aligned:
+                            self._free_pass_used = True
+                            last_key = None  # key state resets
+                            continue
                         truncated = True
                         break
                     for i, skip_val in entries:

@@ -83,8 +83,9 @@ def _load():
             lib.nimble_bam_runs.restype = ctypes.c_int32
             lib.nimble_bam_runs.argtypes = (
                 [ctypes.c_void_p] * 7
-                + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
-                + [ctypes.c_void_p] * 6
+                + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
+                   ctypes.c_int32, ctypes.c_int64]
+                + [ctypes.c_void_p] * 7
             )
             lib.nimble_take_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -418,16 +419,22 @@ def bam_meta(count, fixed, qname, seq, qual, aux, pool=None):
         caps = {k: v * 2 for k, v in caps.items()}
 
 
-def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
+def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final,
+             free_pass_used=False, groups_started_before=0):
     """Run/group emission over columnar records (see nimble_bam_runs).
 
     ``umi``/``cb``/``qn`` are (offsets int64 (n+1), flat uint8) pairs;
     ``oflags`` is the bam_meta flag byte per record.  Returns None when the
     native library is unavailable OR the stream has a qname irregularity
     (caller uses the Python path, which prints the reference's warnings);
-    else (emit_idx, emit_skip, group_off, consumed, truncated) —
-    ``truncated`` True when a run paired down to nothing, which ends the
-    reference's stream (`src/parse/sorted_bam_reader.rs:164-185`).
+    else (emit_idx, emit_skip, group_off, consumed, truncated,
+    free_pass_now_used) — ``truncated`` True when a run paired down to
+    nothing AFTER a group was already delivered, which ends the
+    reference's stream (`src/parse/sorted_bam_reader.rs:164-185` +
+    `src/process/bam.rs:163-179`); an empty run BEFORE any delivered
+    group consumes the producer's one free pass instead
+    (``free_pass_used``/``groups_started_before`` carry that state
+    across calls).
     """
     lib = _load()
     if lib is None:
@@ -442,14 +449,17 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
     group_off = np.empty(cap + 1, dtype=np.int64)
     n_groups = np.zeros(1, dtype=np.int64)
     consumed = np.zeros(1, dtype=np.int64)
+    free_used = np.zeros(1, dtype=np.int32)
     rc = lib.nimble_bam_runs(
         umi_off.ctypes.data, umi_flat.ctypes.data,
         cb_off.ctypes.data, cb_flat.ctypes.data,
         qn_off.ctypes.data, qn_flat.ctypes.data,
         oflags.ctypes.data,
         n, 1 if force_paired else 0, 1 if is_final else 0,
+        1 if free_pass_used else 0, int(groups_started_before),
         emit_idx.ctypes.data, emit_skip.ctypes.data, emit_cnt.ctypes.data,
         group_off.ctypes.data, n_groups.ctypes.data, consumed.ctypes.data,
+        free_used.ctypes.data,
     )
     if rc not in (0, 1):
         return None
@@ -457,7 +467,8 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final):
     ng = int(n_groups[0])
     go = group_off[: ng + 1].copy()
     go[ng] = ec
-    return emit_idx[:ec], emit_skip[:ec], go, int(consumed[0]), rc == 1
+    return (emit_idx[:ec], emit_skip[:ec], go, int(consumed[0]), rc == 1,
+            bool(free_used[0]))
 
 
 def bam_rows(

@@ -179,3 +179,80 @@ def test_all_orphan_run_terminates_stream(tmp_path, quirks):
     assert b"q3" not in qnames and b"q4" not in qnames
     assert (b"q1" not in qnames) == quirks
     assert b"q0" in qnames
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_leading_orphan_run_consumes_free_pass(tmp_path, quirks):
+    """An empty post-filter run BEFORE any delivered group does NOT end the
+    stream: the reference producer's has_aligned is still False on
+    iteration 1, so it sends the (empty) current group and keeps reading
+    (`src/process/bam.rs:163-179`); only a LATER empty run breaks.
+    Fuzz-found (fuzz_bam.py seed 77 trial 178)."""
+    import contextlib
+    import io as _io
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.io.bam import (
+        FLAG_FIRST_IN_TEMPLATE,
+        FLAG_LAST_IN_TEMPLATE,
+        FLAG_PAIRED,
+    )
+    from nimble_tpu.library import Reference
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.pipeline import bam_pipeline
+    from nimble_tpu.pipeline.bam_fast import process_fast
+    from nimble_tpu.utils.dna import revcomp
+
+    feats = ["TTGACCAT" * 22, "GATTACCA" * 22]
+    records, qn = [], 0
+
+    def pair(umi, frag, orphan=False):
+        nonlocal qn
+        r1 = BamRecord(qname=f"q{qn}", flag=FLAG_PAIRED | FLAG_FIRST_IN_TEMPLATE,
+                       pos=100, mpos=200, tlen=150, seq=frag,
+                       qual=bytes([40] * len(frag)), tid=0, mtid=0, mapq=60)
+        r2 = BamRecord(qname=f"q{qn}", flag=FLAG_PAIRED | FLAG_LAST_IN_TEMPLATE,
+                       pos=200, mpos=100, tlen=-150, seq=frag,
+                       qual=bytes([40] * len(frag)), tid=0, mtid=0, mapq=60)
+        qn += 1
+        out = [r1] if orphan else [r1, r2]
+        for r in out:
+            r.tags["CB"] = ("Z", "CB0-1")
+            r.tags["UB"] = ("Z", umi)
+        return out
+
+    # stream STARTS with an all-orphan run, then three normal groups
+    records += pair("TTTTTTTTTT", feats[0][10:70], orphan=True)
+    records += pair("CCCCCCCCCC", feats[0][:60])
+    records += pair("GGGGGGGGGG", feats[1][:60])
+    records += pair("ACACACACAC", feats[1][24:84])
+    header = BamHeader(text="@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n",
+                       references=[("chr1", 1_000_000)])
+    bam = tmp_path / "lead_orphan.bam"
+    write_bam(str(bam), header, records)
+
+    doubled = [x for f in feats for x in (f, revcomp(f))]
+    ref = Reference(group_on=0, headers=["sequence_name", "sequence"],
+                    columns=[["f0", "f0§rev", "f1", "f1§rev"], doubled],
+                    sequence_name_idx=0, sequence_idx=1)
+    cfg = AlignFilterConfig(reference_genome_size=4, score_percent=0.33,
+                            score_threshold=40, num_mismatches=1,
+                            max_hits_to_report=10)
+    engine = DeviceAlignEngine(build_index(doubled), cfg)
+    outs = []
+    for name, fn in (("fast", process_fast), ("slow", bam_pipeline.process)):
+        out = str(tmp_path / f"{name}.tsv.gz")
+        with contextlib.redirect_stdout(_io.StringIO()):
+            fn([str(bam)], [engine], [ref], [cfg], [out], 2, False,
+               parity_quirks=quirks)
+        outs.append(gzip.open(out, "rb").read())
+    assert outs[0] == outs[1]
+    qnames = {r.split(b"\t")[2] for r in outs[0].splitlines()[1:]}
+    # the stream continued past the leading orphan run: q1/q2 present
+    assert b"q1" in qnames and b"q2" in qnames
+    # with quirks the final group (q3) is dropped
+    assert (b"q3" not in qnames) == quirks
