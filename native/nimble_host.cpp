@@ -792,7 +792,8 @@ int32_t nimble_bam_runs(
     int32_t free_pass_used_in, int64_t groups_started_before,
     int64_t* emit_idx, int8_t* emit_skip, int64_t* emit_cnt,
     int64_t* group_off, int64_t* n_groups,
-    int64_t* consumed, int32_t* free_pass_used_out) {
+    int64_t* consumed, int32_t* free_pass_used_out,
+    int64_t* ec_at_pass) {
     auto umi = [&](int64_t i) {
         return BytesView{umi_flat + umi_off[i], umi_off[i + 1] - umi_off[i]};
     };
@@ -886,6 +887,7 @@ int32_t nimble_bam_runs(
                            (groups_started_before + gc) >= 2;
             if (!aligned) {
                 *free_pass_used_out = 1;
+                *ec_at_pass = ec;  // entries after = final ec - this
                 last_emitted = -1;  // current group delivered; key resets
                 continue;
             }

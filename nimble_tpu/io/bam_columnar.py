@@ -266,6 +266,14 @@ class ColumnarGroupStream:
         # empty run ends the stream
         self._free_pass_used = False
         self._groups_started_total = 0
+        # entries emitted since the last free pass (0 right after a pass:
+        # the then-open group counts as DELIVERED); >0 means an
+        # UNDELIVERED open group exists
+        self._entries_since_pass = 0
+        # set at stream end: True when the final emitted group is an
+        # undelivered OPEN group that the reference producer never sends
+        # (the dropped-final-group quirk applies to exactly this case)
+        self.final_open_group_pending = False
 
     # -------------------------- chunk ingestion ------------------------
 
@@ -450,6 +458,23 @@ class ColumnarGroupStream:
                 if final:
                     break
 
+        def end_stream(drop_open_on_error: bool = False):
+            """Compute the final-group verdict, flush, close (the shared
+            stream-termination epilogue for EOF / truncation / error)."""
+            open_exists = self._entries_since_pass > 0
+            delivered = self._groups_started_total - (1 if open_exists else 0)
+            # has_aligned at the final truncation: a group was delivered
+            # before (free pass counts) -> the open group is never sent
+            self.final_open_group_pending = open_exists and (
+                self._free_pass_used or delivered >= 1
+            )
+            if drop_open_on_error and open_exists:
+                # fatal error: delivered groups are logged, the partial
+                # open group was never returned by the reader
+                drop_open_group()
+            yield from emit_ready(final=True)
+            self._f.close()
+
         def drop_open_group():
             nonlocal pend_skip_true
             if starts:
@@ -510,12 +535,9 @@ class ColumnarGroupStream:
             n = len(carry)
             if n == 0 and at_eof:
                 if self._error is not None:
-                    drop_open_group()
-                    yield from emit_ready(final=True)
-                    self._f.close()
+                    yield from end_stream(drop_open_on_error=True)
                     raise self._error
-                yield from emit_ready(final=True)
-                self._f.close()
+                yield from end_stream()
                 return
 
             res = None
@@ -533,16 +555,19 @@ class ColumnarGroupStream:
                 )
             if res is not None:
                 (emit_idx, emit_skip, group_off, consumed, truncated,
-                 free_used) = res
-                self._free_pass_used |= free_used
+                 free_used, entries_after_pass) = res
+                if free_used:
+                    self._free_pass_used = True
+                    self._entries_since_pass = int(entries_after_pass)
+                else:
+                    self._entries_since_pass += len(emit_idx)
                 add_emitted(carry, emit_idx, emit_skip, group_off[:-1])
                 carry.drop_front(consumed)
                 if truncated:
-                    # a run paired down to nothing: the reference stream
-                    # ends here (BamTruncatedRecord -> UMIReader None);
-                    # everything past the empty run is never read
-                    yield from emit_ready(final=True)
-                    self._f.close()
+                    # a run paired down to nothing after has_aligned: the
+                    # reference stream ends here (BamTruncatedRecord ->
+                    # UMIReader None); everything past it is never read
+                    yield from end_stream()
                     return
             elif n:
                 # Python fallback (irregular stream: reference warnings)
@@ -569,6 +594,7 @@ class ColumnarGroupStream:
                 g_starts: List[int] = []
                 last_key = None
                 truncated = False
+                pass_at = None
                 for lo, hi in runs:
                     is_final_run = process_final and hi == n
                     entries = self._run_entries_python(
@@ -586,6 +612,7 @@ class ColumnarGroupStream:
                         )
                         if not aligned:
                             self._free_pass_used = True
+                            pass_at = len(e_idx)
                             last_key = None  # key state resets
                             continue
                         truncated = True
@@ -601,21 +628,21 @@ class ColumnarGroupStream:
                             2 if self.force_bam_paired
                             else (1 if skip_val == b"TRUE" else 0)
                         )
+                if pass_at is not None:
+                    self._entries_since_pass = len(e_idx) - pass_at
+                else:
+                    self._entries_since_pass += len(e_idx)
                 add_emitted(carry, e_idx,
                             np.asarray(e_skip, dtype=np.int8), g_starts)
                 if truncated:
-                    yield from emit_ready(final=True)
-                    self._f.close()
+                    yield from end_stream()
                     return
                 carry.drop_front(keep_from)
 
             if at_eof:
                 if self._error is not None:
-                    drop_open_group()
-                    yield from emit_ready(final=True)
-                    self._f.close()
+                    yield from end_stream(drop_open_on_error=True)
                     raise self._error
-                yield from emit_ready(final=True)
-                self._f.close()
+                yield from end_stream()
                 return
             yield from emit_ready(final=False)

@@ -85,7 +85,7 @@ def _load():
                 [ctypes.c_void_p] * 7
                 + [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32,
                    ctypes.c_int32, ctypes.c_int64]
-                + [ctypes.c_void_p] * 7
+                + [ctypes.c_void_p] * 8
             )
             lib.nimble_take_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
@@ -428,13 +428,15 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final,
     native library is unavailable OR the stream has a qname irregularity
     (caller uses the Python path, which prints the reference's warnings);
     else (emit_idx, emit_skip, group_off, consumed, truncated,
-    free_pass_now_used) — ``truncated`` True when a run paired down to
-    nothing AFTER a group was already delivered, which ends the
-    reference's stream (`src/parse/sorted_bam_reader.rs:164-185` +
-    `src/process/bam.rs:163-179`); an empty run BEFORE any delivered
-    group consumes the producer's one free pass instead
-    (``free_pass_used``/``groups_started_before`` carry that state
-    across calls).
+    free_pass_now_used, entries_after_pass) — ``truncated`` True when a
+    run paired down to nothing AFTER a group was already delivered, which
+    ends the reference's stream (`src/parse/sorted_bam_reader.rs:164-185`
+    + `src/process/bam.rs:163-179`); an empty run BEFORE any delivered
+    group consumes the producer's one free pass instead (the open group
+    at that moment counts as DELIVERED — ``entries_after_pass`` lets the
+    caller track whether an undelivered open group exists afterwards).
+    ``free_pass_used``/``groups_started_before`` carry state across
+    calls.
     """
     lib = _load()
     if lib is None:
@@ -450,6 +452,7 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final,
     n_groups = np.zeros(1, dtype=np.int64)
     consumed = np.zeros(1, dtype=np.int64)
     free_used = np.zeros(1, dtype=np.int32)
+    ec_at_pass = np.zeros(1, dtype=np.int64)
     rc = lib.nimble_bam_runs(
         umi_off.ctypes.data, umi_flat.ctypes.data,
         cb_off.ctypes.data, cb_flat.ctypes.data,
@@ -459,7 +462,7 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final,
         1 if free_pass_used else 0, int(groups_started_before),
         emit_idx.ctypes.data, emit_skip.ctypes.data, emit_cnt.ctypes.data,
         group_off.ctypes.data, n_groups.ctypes.data, consumed.ctypes.data,
-        free_used.ctypes.data,
+        free_used.ctypes.data, ec_at_pass.ctypes.data,
     )
     if rc not in (0, 1):
         return None
@@ -467,8 +470,9 @@ def bam_runs(umi, cb, qn, oflags, n, force_paired, is_final,
     ng = int(n_groups[0])
     go = group_off[: ng + 1].copy()
     go[ng] = ec
+    entries_after_pass = ec - int(ec_at_pass[0]) if free_used[0] else None
     return (emit_idx[:ec], emit_skip[:ec], go, int(consumed[0]), rc == 1,
-            bool(free_used[0]))
+            bool(free_used[0]), entries_after_pass)
 
 
 def bam_rows(

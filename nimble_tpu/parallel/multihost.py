@@ -321,13 +321,12 @@ def process_bam_multihost(
 
     # pass 1: count groups (scan only — no device work)
     total_groups = 0
-    for b in ColumnarGroupStream(input_path, force_bam_paired).batches(
-        batch_records
-    ):
+    _count_stream = ColumnarGroupStream(input_path, force_bam_paired)
+    for b in _count_stream.batches(batch_records):
         total_groups += b.n_groups
     effective = total_groups
-    if parity_quirks and total_groups > 1:
-        effective -= 1  # the reference drops the global final group
+    if parity_quirks and _count_stream.final_open_group_pending:
+        effective -= 1  # the reference never sends the final open group
     lo, hi = host_group_range(effective, n_hosts, host_id)
 
     workers = [

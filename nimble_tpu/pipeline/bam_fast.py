@@ -767,7 +767,12 @@ def process_fast(
             # complete group it surfaced before dying, so the fast path must
             # flush the buffered batch un-dropped
             if prev is not None:
-                if clean_eof and parity_quirks and total_groups > 1:
+                # the stream computes whether an UNDELIVERED open group
+                # ends the emitted sequence (has_aligned at the final
+                # truncation) — 'total_groups > 1' alone miscounts when
+                # the producer's free pass was consumed by an empty run
+                if (clean_eof and parity_quirks
+                        and stream.final_open_group_pending):
                     prev = prev.drop_last_group()
                 if len(prev):
                     work_queue.put((seq, prev))

@@ -14,12 +14,12 @@ import argparse
 import contextlib
 import gzip
 import io
+import os
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, "/root/repo")
-import os  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 import jax  # noqa: E402

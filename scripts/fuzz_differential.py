@@ -9,11 +9,11 @@ a reproducer (seed, trial)."""
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, "/root/repo")
-import os  # noqa: E402
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
@@ -184,7 +184,8 @@ def main():
     t_end = time.time() + args.minutes * 60
     trials = reads_total = 0
     while time.time() < t_end:
-        use_fused = args.fused_every and trials % args.fused_every == 4
+        use_fused = (args.fused_every
+                     and trials % args.fused_every == args.fused_every - 1)
         use_mesh = trials % 11 == 7  # occasional 8-virtual-device mesh
         # per-trial child seed so a failure is reproducible from the log
         child = int(rng.integers(0, 2**63 - 1))

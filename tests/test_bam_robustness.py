@@ -256,3 +256,99 @@ def test_leading_orphan_run_consumes_free_pass(tmp_path, quirks):
     assert b"q1" in qnames and b"q2" in qnames
     # with quirks the final group (q3) is dropped
     assert (b"q3" not in qnames) == quirks
+
+
+def _fast_slow_outputs(tmp_path, records, quirks):
+    """Run both pipelines on a record stream; returns [(err, bytes), ...]."""
+    import contextlib
+    import io as _io
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.library import Reference
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.pipeline import bam_pipeline
+    from nimble_tpu.pipeline.bam_fast import process_fast
+    from nimble_tpu.utils.dna import revcomp
+
+    feats = ["TTGACCAT" * 22, "GATTACCA" * 22]
+    doubled = [x for f in feats for x in (f, revcomp(f))]
+    ref = Reference(group_on=0, headers=["sequence_name", "sequence"],
+                    columns=[["f0", "f0§rev", "f1", "f1§rev"], doubled],
+                    sequence_name_idx=0, sequence_idx=1)
+    cfg = AlignFilterConfig(reference_genome_size=4, score_percent=0.33,
+                            score_threshold=40, num_mismatches=1,
+                            max_hits_to_report=10)
+    engine = DeviceAlignEngine(build_index(doubled), cfg)
+    bam = str(tmp_path / "stream.bam")
+    header = BamHeader(text="@HD\tVN:1.6\n@SQ\tSN:chr1\tLN:1000000\n",
+                       references=[("chr1", 1_000_000)])
+    write_bam(bam, header, records)
+    outs = []
+    for name, fn in (("fast", process_fast), ("slow", bam_pipeline.process)):
+        out = str(tmp_path / f"{name}{quirks}.tsv.gz")
+        err = ""
+        try:
+            with contextlib.redirect_stdout(_io.StringIO()):
+                fn([bam], [engine], [ref], [cfg], [out], 2, False,
+                   parity_quirks=quirks)
+        except Exception as e:
+            err = f"{type(e).__name__}: {e}"
+        try:
+            body = gzip.open(out, "rb").read()
+        except Exception:
+            body = b""
+        outs.append((err, body))
+    return outs
+
+
+def _mk_pair(qn, umi, frag, orphan=False, no_umi=False):
+    from nimble_tpu.io.bam import (
+        FLAG_FIRST_IN_TEMPLATE,
+        FLAG_LAST_IN_TEMPLATE,
+        FLAG_PAIRED,
+    )
+
+    r1 = BamRecord(qname=f"q{qn}", flag=FLAG_PAIRED | FLAG_FIRST_IN_TEMPLATE,
+                   pos=100, mpos=200, tlen=150, seq=frag,
+                   qual=bytes([40] * len(frag)), tid=0, mtid=0, mapq=60)
+    r2 = BamRecord(qname=f"q{qn}", flag=FLAG_PAIRED | FLAG_LAST_IN_TEMPLATE,
+                   pos=200, mpos=100, tlen=-150, seq=frag,
+                   qual=bytes([40] * len(frag)), tid=0, mtid=0, mapq=60)
+    out = [r1] if orphan else [r1, r2]
+    for r in out:
+        r.tags["CB"] = ("Z", "CB0-1")
+        if not no_umi:
+            r.tags["UB"] = ("Z", umi)
+    return out
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_free_pass_then_single_group_quirk(tmp_path, quirks):
+    """Leading orphan run + ONE group + EOF: the free pass flips
+    has_aligned, so with quirks the single group IS dropped at EOF (the
+    single-group exemption must not apply)."""
+    f0 = "TTGACCAT" * 22
+    records = (_mk_pair(0, "TTTTTTTTTT", f0[10:70], orphan=True)
+               + _mk_pair(1, "CCCCCCCCCC", f0[:60]))
+    fast, slow = _fast_slow_outputs(tmp_path, records, quirks)
+    assert fast == slow
+    qnames = {r.split(b"\t")[2] for r in fast[1].splitlines()[1:]}
+    assert (b"q1" not in qnames) == quirks
+
+
+@pytest.mark.parametrize("quirks", [True, False])
+def test_free_pass_delivered_group_survives_error(tmp_path, quirks):
+    """Group A + orphan run (free pass delivers A) + a record with no UMI:
+    the fatal error must not drop what the free pass already delivered;
+    both pipelines raise the same error with identical bytes."""
+    f0, f1 = "TTGACCAT" * 22, "GATTACCA" * 22
+    records = (_mk_pair(0, "CCCCCCCCCC", f0[:60])
+               + _mk_pair(1, "TTTTTTTTTT", f0[10:70], orphan=True)
+               + _mk_pair(2, "GGGGGGGGGG", f1[:60], no_umi=True))
+    fast, slow = _fast_slow_outputs(tmp_path, records, quirks)
+    assert fast == slow
+    assert "Could not read UMI" in fast[0]
