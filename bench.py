@@ -414,7 +414,8 @@ def main(argv=None) -> int:
         jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    from nimble_tpu.core.fast_count import FastCounter, fast_count_calls_matrix
+    from nimble_tpu.core.fast_count import (
+        FastCounter, fast_count_calls_matrix, split_stacked)
     from nimble_tpu.models.aligner import DeviceAlignEngine
 
     def log(*a):
