@@ -908,6 +908,55 @@ int32_t nimble_bam_runs(
     return 0;
 }
 
+// 2-bit launch-buffer pack (models/aligner.py::_pack_reads): int8 base
+// codes (m, width) + i32 lengths -> rows [0, m) of a caller-zeroed uint8
+// (B, nb+2) buffer: nb = ceil(bucket/4) packed-code bytes then the length
+// as u16 LE.  Codes are 0..3 by construction (encode LUT); `& 3` keeps the
+// pack well-defined regardless.  One buffer per launch is the tunnel
+// discipline — per-transfer latency dominates, so the whole chunk ships as
+// a single contiguous array.
+void nimble_pack_reads(const int8_t* mat, int64_t m, int64_t width,
+                       const int32_t* lens, int64_t bucket, uint8_t* out,
+                       int32_t n_threads) {
+    const int64_t nb = (bucket + 3) / 4;
+    const int64_t stride = nb + 2;
+    const int64_t take = width < bucket ? width : bucket;
+    auto pack_rows = [=](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const int8_t* row = mat + i * width;
+            uint8_t* o = out + i * stride;
+            const int64_t full = take & ~int64_t(3);
+            int64_t j = 0;
+            for (; j < full; j += 4) {
+                o[j >> 2] = (uint8_t)((row[j] & 3) | ((row[j + 1] & 3) << 2) |
+                                      ((row[j + 2] & 3) << 4) |
+                                      ((row[j + 3] & 3) << 6));
+            }
+            if (j < take) {
+                uint8_t v = 0;
+                for (int s = 0; j < take; ++j, s += 2)
+                    v |= (uint8_t)(row[j] & 3) << s;
+                o[full >> 2] = v;
+            }
+            o[nb] = (uint8_t)(lens[i] & 0xFF);
+            o[nb + 1] = (uint8_t)((lens[i] >> 8) & 0xFF);
+        }
+    };
+    int64_t nt = std::min<int64_t>(
+        std::max<int32_t>(n_threads, 1),
+        std::max<int64_t>(1, (int64_t)std::thread::hardware_concurrency()));
+    nt = std::min(nt, std::max<int64_t>(1, m / (1 << 14)));
+    if (nt <= 1) {
+        pack_rows(0, m);
+        return;
+    }
+    std::vector<std::thread> workers;
+    workers.reserve((size_t)nt);
+    for (int64_t t = 0; t < nt; ++t)
+        workers.emplace_back(pack_rows, m * t / nt, m * (t + 1) / nt);
+    for (auto& w : workers) w.join();
+}
+
 // Ragged row gather: out row j = in row idx[j].  offs_out must be the
 // exclusive prefix sum of the gathered row lengths (computed by the
 // caller, which also sizes flat_out).  Replaces numpy fancy-indexed

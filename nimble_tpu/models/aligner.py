@@ -299,7 +299,14 @@ class DeviceAlignEngine:
 
         The remote tunnel charges per-transfer latency, so each launch ships
         exactly one host array; 2-bit packing also cuts the payload 4x.
+        C++ fast path (nimble_pack_reads) when available — the NumPy pack's
+        widen/astype/shift temporaries dominate paired-path dispatch time.
         """
+        from nimble_tpu import native
+
+        out = native.pack_reads(mat, lens, bucket, B)
+        if out is not None:
+            return out
         m, width = mat.shape
         nb = (bucket + 3) // 4
         buf = np.zeros((B, nb + 2), dtype=np.uint8)

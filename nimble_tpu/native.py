@@ -87,6 +87,10 @@ def _load():
                    ctypes.c_int32, ctypes.c_int64]
                 + [ctypes.c_void_p] * 8
             )
+            lib.nimble_pack_reads.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int32]
             lib.nimble_take_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
@@ -527,6 +531,25 @@ def bam_rows(
             cap *= 2
             continue
         return None  # -2 invalid revcomp char (or -3 guard): Python path
+
+
+def pack_reads(mat: np.ndarray, lens: np.ndarray, bucket: int, B: int,
+               n_threads: int = 4) -> "np.ndarray | None":
+    """2-bit launch-buffer pack (see nimble_pack_reads): (m, width) int8
+    codes + lens -> (B, ceil(bucket/4)+2) uint8, rows [m, B) zero.  Returns
+    None when the native library is unavailable (callers fall back to the
+    NumPy pack)."""
+    lib = _load()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, dtype=np.int8)
+    lens = np.ascontiguousarray(lens, dtype=np.int32)
+    m, width = mat.shape
+    nb = (bucket + 3) // 4
+    out = np.zeros((B, nb + 2), dtype=np.uint8)
+    lib.nimble_pack_reads(mat.ctypes.data, m, width, lens.ctypes.data,
+                          bucket, out.ctypes.data, n_threads)
+    return out
 
 
 def take_rows(offs: np.ndarray, flat: np.ndarray,

@@ -76,3 +76,29 @@ def test_build_hash_table_matches_python():
     np.testing.assert_array_equal(native_didx.table_key_hi, python_didx.table_key_hi)
     np.testing.assert_array_equal(native_didx.table_start, python_didx.table_start)
     np.testing.assert_array_equal(native_didx.table_count, python_didx.table_count)
+
+
+@requires_native
+def test_pack_reads_matches_numpy():
+    """nimble_pack_reads must produce byte-identical launch buffers to the
+    NumPy pack in DeviceAlignEngine._pack_reads (the accelerator upload
+    format: 2-bit codes + u16 LE length per row, zero-padded to B rows)."""
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+
+    rng = np.random.default_rng(11)
+    for _ in range(60):
+        m = int(rng.integers(1, 400))
+        width = int(rng.integers(1, 200))
+        bucket = int(rng.integers(1, 300))
+        B = m + int(rng.integers(0, 64))
+        mat = rng.integers(0, 4, size=(m, width)).astype(np.int8)
+        lens = rng.integers(0, 60000, size=m).astype(np.int32)
+        got = native.pack_reads(mat, lens, bucket, B)
+        # NumPy reference: force the fallback branch
+        orig = native.pack_reads
+        try:
+            native.pack_reads = lambda *a, **k: None
+            want = DeviceAlignEngine._pack_reads(mat, lens, bucket, B)
+        finally:
+            native.pack_reads = orig
+        np.testing.assert_array_equal(got, want)
