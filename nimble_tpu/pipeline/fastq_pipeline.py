@@ -11,7 +11,8 @@ from typing import List, Optional, Sequence
 
 from nimble_tpu.config import AlignFilterConfig
 from nimble_tpu.core.calls import AlignEngine, call
-from nimble_tpu.core.fast_count import FastCounter, split_stacked, stack_pair
+from nimble_tpu.core.fast_count import (
+    FastCounter, split_stacked, stack_pair, submit_transaction)
 from nimble_tpu.io.fastq import (
     iter_fastq_matrix_chunks,
     read_fastq_codes,
@@ -155,16 +156,15 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher, meter,
                     multi.dedupe(mat, lens, mate_mat, mate_lens)
                 )
                 if mat.shape[0]:
-                    if mate_mat is not None:
-                        # one stacked R1+R2 transaction (see
-                        # FastCounter.dispatch); split back in drain
-                        st1 = multi.dispatch(
-                            *stack_pair(mat, lens, mate_mat, mate_lens)
-                        )
-                    else:
-                        st1 = multi.dispatch(mat, lens)
-                    if fetcher is not None:
-                        st1 = fetcher.submit(multi.collect, st1)
+                    # one device transaction for all libraries (stacked
+                    # R1+R2 when paired, split back in drain), launched
+                    # under the NIMBLE_DISPATCH policy
+                    launch_args = (
+                        stack_pair(mat, lens, mate_mat, mate_lens)
+                        if mate_mat is not None else (mat, lens)
+                    )
+                    st1 = submit_transaction(
+                        fetcher, multi.dispatch, multi.collect, launch_args)
                 else:
                     st1 = None
                 handles = [
