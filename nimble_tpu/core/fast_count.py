@@ -119,12 +119,22 @@ class _Synchronous:
         self._job = job
         self._done = False
         self._value = None
+        self._exc = None
 
     def result(self):
         if not self._done:
-            self._value = self._job()
-            self._job = None
+            job, self._job = self._job, None
             self._done = True
+            try:
+                self._value = job()
+            except BaseException as e:  # noqa: BLE001 — Future parity
+                # cache like concurrent.futures.Future: a second result()
+                # replays the stored exception instead of re-launching
+                # device work
+                self._exc = e
+                raise
+        if self._exc is not None:
+            raise self._exc
         return self._value
 
 

@@ -21,6 +21,7 @@ TSVs are byte-identical.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 from dataclasses import dataclass
 from typing import Dict, Iterator, List, Optional, Tuple
@@ -228,6 +229,71 @@ class _Carry:
         self.oflags = self.oflags[n:]
 
 
+class _Pend:
+    """Pending EMITTED records awaiting batch flush, columnar.
+
+    Shared by the pure-Python and native-pipe orchestrations of
+    :class:`ColumnarGroupStream` so the batching/withholding semantics
+    (the CURRENT last group is withheld until more groups follow or clean
+    EOF) live in exactly one place."""
+
+    NAMES = ("meta", "skipb", "qual", "rev2", "seq15", "qn", "seq")
+
+    def __init__(self):
+        self.cols: Dict[str, _Col] = {c: _Col.empty() for c in self.NAMES}
+        self.skip_true = np.zeros(0, dtype=bool)
+        self.starts: List[int] = []  # absolute group starts in pending
+
+    def __len__(self) -> int:
+        return len(self.skip_true)
+
+    def add_taken(self, cols: Dict[str, _Col], skip_true: np.ndarray,
+                  group_starts) -> None:
+        """Append already row-gathered columns + their group starts."""
+        base = len(self.skip_true)
+        for s in group_starts:
+            self.starts.append(base + int(s))
+        if len(skip_true):
+            for c in self.NAMES:
+                self.cols[c] = self.cols[c].concat(cols[c])
+            self.skip_true = np.concatenate([self.skip_true, skip_true])
+
+    def make_batch(self, end: int, cut: int) -> EmittedBatch:
+        c = self.cols
+        return EmittedBatch(
+            c["meta"].head(end), c["skipb"].head(end), self.skip_true[:end],
+            c["qual"].head(end), c["rev2"].head(end), c["seq15"].head(end),
+            c["qn"].head(end), c["seq"].head(end),
+            np.asarray(self.starts[:cut] + [end], dtype=np.int64),
+        )
+
+    def emit_ready(self, final: bool,
+                   target_records: int) -> Iterator[EmittedBatch]:
+        n_keep = 0 if final else 1
+        while len(self.starts) > n_keep and (
+            final or self.starts[-1] >= target_records
+        ):
+            end = self.starts[-1] if not final else len(self.skip_true)
+            cut = len(self.starts) - n_keep
+            out = self.make_batch(end, cut)
+            for c in self.NAMES:
+                self.cols[c] = self.cols[c].drop_front(end)
+            self.skip_true = self.skip_true[end:]
+            rem = [s - end for s in self.starts[cut:]]
+            self.starts.clear()
+            self.starts.extend(rem)
+            yield out
+            if final:
+                break
+
+    def drop_open_group(self) -> None:
+        if self.starts:
+            end = self.starts.pop()
+            for c in self.NAMES:
+                self.cols[c] = self.cols[c].head(end)
+            self.skip_true = self.skip_true[:end]
+
+
 class ColumnarGroupStream:
     """Yields flat multi-group batches (EmittedBatch), reference semantics.
 
@@ -245,12 +311,24 @@ class ColumnarGroupStream:
             raise RuntimeError("columnar BAM stream requires the native library")
         self._native = native
         _warn_missing_eof(path)
-        self._f = open_bgzf(path)
-        try:
-            read_bam_header(self._f)
-        except Exception:
-            self._f.close()
-            raise
+        # Native producer pipe (read+inflate+scan+meta+filter+run-emission on
+        # a dedicated C++ thread, GIL-free) when the file is a well-formed
+        # BGZF BAM; any open failure falls back to this class's pure-Python
+        # orchestration, which re-raises the reference-parity errors.
+        self._pipe = None
+        self._f = None
+        if not os.environ.get("NIMBLE_NO_BAM_PIPE"):
+            try:
+                self._pipe = native.BamPipe(path, force_bam_paired)
+            except Exception:
+                self._pipe = None
+        if self._pipe is None:
+            self._f = open_bgzf(path)
+            try:
+                read_bam_header(self._f)
+            except Exception:
+                self._f.close()
+                raise
         self.force_bam_paired = force_bam_paired
         self.read_counter = 0
         self._tail = b""
@@ -410,7 +488,146 @@ class ColumnarGroupStream:
                 j += 1
         return entries
 
+    def _fallback_runs(self, carry: _Carry, at_eof: bool):
+        """Run-split + emit one carry the slow way (irregular streams whose
+        unpaired-qname warnings need the reference's exact prints).
+
+        Returns ``(e_idx, e_skip, g_starts, keep_from, truncated)`` and
+        updates ``self._free_pass_used`` / ``self._entries_since_pass``.
+        """
+        n = len(carry)
+        umi = carry.cols["umi"]
+        umis = [umi.get(i) for i in range(n)]
+        boundaries = [0]
+        for i in range(1, n):
+            if umis[i] != umis[i - 1]:
+                boundaries.append(i)
+        boundaries.append(n)
+        runs = [
+            (a, b)
+            for a, b in zip(boundaries[:-1], boundaries[1:]) if a < b
+        ]
+        process_final = at_eof and self._error is None
+        if not process_final and runs:
+            keep_from = runs[-1][0]
+            runs = runs[:-1]
+        else:
+            keep_from = n
+        cbc = carry.cols["cb"]
+        e_idx: List[int] = []
+        e_skip: List[int] = []
+        g_starts: List[int] = []
+        last_key = None
+        truncated = False
+        pass_at = None
+        for lo, hi in runs:
+            is_final_run = process_final and hi == n
+            entries = self._run_entries_python(carry, lo, hi, is_final_run)
+            if not entries:
+                # empty post-filter run: BamTruncatedRecord in the
+                # reference — ends the stream iff a group was already
+                # delivered, else consumes the producer's one free pass
+                # (`src/process/bam.rs:163-179`)
+                aligned = (
+                    self._free_pass_used
+                    or self._groups_started_total + len(g_starts) >= 2
+                )
+                if not aligned:
+                    self._free_pass_used = True
+                    pass_at = len(e_idx)
+                    last_key = None  # key state resets
+                    continue
+                truncated = True
+                break
+            for i, skip_val in entries:
+                cbv = cbc.get(i)
+                key = umis[i] + cbv[: max(len(cbv) - 2, 0)]
+                if key != last_key:
+                    g_starts.append(len(e_idx))
+                    last_key = key
+                e_idx.append(i)
+                e_skip.append(
+                    2 if self.force_bam_paired
+                    else (1 if skip_val == b"TRUE" else 0)
+                )
+        if pass_at is not None:
+            self._entries_since_pass = len(e_idx) - pass_at
+        else:
+            self._entries_since_pass += len(e_idx)
+        return e_idx, e_skip, g_starts, keep_from, truncated
+
     # ------------------- batch iteration (fast pipeline) ----------------
+
+    def _count_progress(self, k: int) -> None:
+        """Progress print parity (`src/parse/bam.rs:121-127`)."""
+        before = self.read_counter
+        self.read_counter += k
+        blk = READ_BLOCK_REPORT_SIZE
+        for mark in range((before // blk) + 1,
+                          (self.read_counter // blk) + 1):
+            print(f"Aligned reads {(mark - 1) * blk}-{mark * blk}")
+
+    def _add_emitted(self, pend: _Pend, c: _Carry, emit_idx, emit_skip,
+                     group_starts) -> None:
+        """Row-gather ``emit_idx`` from the carry into the pend buffer."""
+        self._groups_started_total += len(group_starts)
+        idx = np.asarray(emit_idx, dtype=np.int64)
+        k = len(idx)
+        taken: Dict[str, _Col] = {}
+        skip_true = np.zeros(0, dtype=bool)
+        if k:
+            codes = np.asarray(emit_skip, dtype=np.int8)
+            if (codes == 2).all():
+                # force_bam_paired path: the sk column holds the BAM's
+                # own SK:Z: aux value verbatim — the skip test is exact
+                # string equality with "TRUE" (`src/align.rs:527-531`,
+                # slow path: m[37] == "TRUE"), not a length heuristic
+                skipb = c.cols["sk"].take(idx)
+                sl = skipb.lens()
+                skip_true = np.zeros(k, dtype=bool)
+                four = np.flatnonzero(sl == 4)
+                if len(four):
+                    o = skipb.offs[:-1][four]
+                    eq = np.ones(len(four), dtype=bool)
+                    for j, ch in enumerate(b"TRUE"):
+                        eq &= skipb.flat[o + j] == ch
+                    skip_true[four] = eq
+            else:
+                skip_true = codes == 1
+                skipb = _skip_words(skip_true)
+            for name, src in (
+                ("meta", "meta"), ("qual", "meta1"), ("rev2", "rev2"),
+                ("seq15", "meta15"), ("qn", "qn"),
+            ):
+                taken[name] = c.cols[src].take(idx)
+            taken["skipb"] = skipb
+            taken["seq"] = c.seq.take(idx)
+        pend.add_taken(taken, skip_true, group_starts)
+        self._count_progress(k)
+
+    def _end_stream(self, pend: _Pend, target_records: int,
+                    drop_open_on_error: bool = False):
+        """Compute the final-group verdict, flush, close (the shared
+        stream-termination epilogue for EOF / truncation / error)."""
+        open_exists = self._entries_since_pass > 0
+        delivered = self._groups_started_total - (1 if open_exists else 0)
+        # has_aligned at the final truncation: a group was delivered
+        # before (free pass counts) -> the open group is never sent
+        self.final_open_group_pending = open_exists and (
+            self._free_pass_used or delivered >= 1
+        )
+        if drop_open_on_error and open_exists:
+            # fatal error: delivered groups are logged, the partial
+            # open group was never returned by the reader
+            pend.drop_open_group()
+        yield from pend.emit_ready(final=True, target_records=target_records)
+        self.close()
+
+    def close(self) -> None:
+        if self._pipe is not None:
+            self._pipe.close()
+        elif self._f is not None:
+            self._f.close()
 
     def batches(self, target_records: int = 16384) -> Iterator[EmittedBatch]:
         """Yield flat multi-group COLUMNAR batches in stream order.
@@ -420,112 +637,11 @@ class ColumnarGroupStream:
         surface it (and never, like the reference, when a fatal record
         error interrupts the stream first).
         """
+        if self._pipe is not None:
+            yield from self._batches_pipe(target_records)
+            return
         carry = _Carry()
-        # pending emitted records, columnar (all offs rebased to 0)
-        pend: Dict[str, _Col] = {
-            c: _Col.empty()
-            for c in ("meta", "skipb", "qual", "rev2", "seq15", "qn", "seq")
-        }
-        pend_skip_true = np.zeros(0, dtype=bool)
-        starts: List[int] = []  # absolute group starts in pending
-
-        def make_batch(end: int, cut: int) -> EmittedBatch:
-            return EmittedBatch(
-                pend["meta"].head(end), pend["skipb"].head(end),
-                pend_skip_true[:end],
-                pend["qual"].head(end), pend["rev2"].head(end),
-                pend["seq15"].head(end), pend["qn"].head(end),
-                pend["seq"].head(end),
-                np.asarray(starts[:cut] + [end], dtype=np.int64),
-            )
-
-        def emit_ready(final: bool):
-            nonlocal pend_skip_true
-            n_keep = 0 if final else 1
-            while len(starts) > n_keep and (
-                final or starts[-1] >= target_records
-            ):
-                end = starts[-1] if not final else len(pend_skip_true)
-                cut = len(starts) - n_keep
-                out = make_batch(end, cut)
-                for c in pend:
-                    pend[c] = pend[c].drop_front(end)
-                pend_skip_true = pend_skip_true[end:]
-                rem = [s - end for s in starts[cut:]]
-                starts.clear()
-                starts.extend(rem)
-                yield out
-                if final:
-                    break
-
-        def end_stream(drop_open_on_error: bool = False):
-            """Compute the final-group verdict, flush, close (the shared
-            stream-termination epilogue for EOF / truncation / error)."""
-            open_exists = self._entries_since_pass > 0
-            delivered = self._groups_started_total - (1 if open_exists else 0)
-            # has_aligned at the final truncation: a group was delivered
-            # before (free pass counts) -> the open group is never sent
-            self.final_open_group_pending = open_exists and (
-                self._free_pass_used or delivered >= 1
-            )
-            if drop_open_on_error and open_exists:
-                # fatal error: delivered groups are logged, the partial
-                # open group was never returned by the reader
-                drop_open_group()
-            yield from emit_ready(final=True)
-            self._f.close()
-
-        def drop_open_group():
-            nonlocal pend_skip_true
-            if starts:
-                end = starts.pop()
-                for c in pend:
-                    pend[c] = pend[c].head(end)
-                pend_skip_true = pend_skip_true[:end]
-
-        def add_emitted(c: _Carry, emit_idx, emit_skip, group_starts):
-            nonlocal pend_skip_true
-            base = len(pend_skip_true)
-            for s in group_starts:
-                starts.append(base + int(s))
-            self._groups_started_total += len(group_starts)
-            idx = np.asarray(emit_idx, dtype=np.int64)
-            k = len(idx)
-            if k:
-                codes = np.asarray(emit_skip, dtype=np.int8)
-                if (codes == 2).all():
-                    # force_bam_paired path: the sk column holds the BAM's
-                    # own SK:Z: aux value verbatim — the skip test is exact
-                    # string equality with "TRUE" (`src/align.rs:527-531`,
-                    # slow path: m[37] == "TRUE"), not a length heuristic
-                    skipb = c.cols["sk"].take(idx)
-                    sl = skipb.lens()
-                    skip_true = np.zeros(k, dtype=bool)
-                    four = np.flatnonzero(sl == 4)
-                    if len(four):
-                        o = skipb.offs[:-1][four]
-                        eq = np.ones(len(four), dtype=bool)
-                        for j, ch in enumerate(b"TRUE"):
-                            eq &= skipb.flat[o + j] == ch
-                        skip_true[four] = eq
-                else:
-                    skip_true = codes == 1
-                    skipb = _skip_words(skip_true)
-                for name, src in (
-                    ("meta", "meta"), ("qual", "meta1"), ("rev2", "rev2"),
-                    ("seq15", "meta15"), ("qn", "qn"),
-                ):
-                    pend[name] = pend[name].concat(c.cols[src].take(idx))
-                pend["skipb"] = pend["skipb"].concat(skipb)
-                pend["seq"] = pend["seq"].concat(c.seq.take(idx))
-                pend_skip_true = np.concatenate([pend_skip_true, skip_true])
-            # progress print parity (`src/parse/bam.rs:121-127`)
-            before = self.read_counter
-            self.read_counter += k
-            blk = READ_BLOCK_REPORT_SIZE
-            for mark in range((before // blk) + 1,
-                              (self.read_counter // blk) + 1):
-                print(f"Aligned reads {(mark - 1) * blk}-{mark * blk}")
+        pend = _Pend()
 
         while True:
             batch = self._scan_chunk()
@@ -535,9 +651,10 @@ class ColumnarGroupStream:
             n = len(carry)
             if n == 0 and at_eof:
                 if self._error is not None:
-                    yield from end_stream(drop_open_on_error=True)
+                    yield from self._end_stream(
+                        pend, target_records, drop_open_on_error=True)
                     raise self._error
-                yield from end_stream()
+                yield from self._end_stream(pend, target_records)
                 return
 
             res = None
@@ -561,88 +678,124 @@ class ColumnarGroupStream:
                     self._entries_since_pass = int(entries_after_pass)
                 else:
                     self._entries_since_pass += len(emit_idx)
-                add_emitted(carry, emit_idx, emit_skip, group_off[:-1])
+                self._add_emitted(pend, carry, emit_idx, emit_skip,
+                                  group_off[:-1])
                 carry.drop_front(consumed)
                 if truncated:
                     # a run paired down to nothing after has_aligned: the
                     # reference stream ends here (BamTruncatedRecord ->
                     # UMIReader None); everything past it is never read
-                    yield from end_stream()
+                    yield from self._end_stream(pend, target_records)
                     return
             elif n:
                 # Python fallback (irregular stream: reference warnings)
-                umi = carry.cols["umi"]
-                umis = [umi.get(i) for i in range(n)]
-                boundaries = [0]
-                for i in range(1, n):
-                    if umis[i] != umis[i - 1]:
-                        boundaries.append(i)
-                boundaries.append(n)
-                runs = [
-                    (a, b)
-                    for a, b in zip(boundaries[:-1], boundaries[1:]) if a < b
-                ]
-                process_final = at_eof and self._error is None
-                if not process_final and runs:
-                    keep_from = runs[-1][0]
-                    runs = runs[:-1]
-                else:
-                    keep_from = n
-                cbc = carry.cols["cb"]
-                e_idx: List[int] = []
-                e_skip: List[int] = []
-                g_starts: List[int] = []
-                last_key = None
-                truncated = False
-                pass_at = None
-                for lo, hi in runs:
-                    is_final_run = process_final and hi == n
-                    entries = self._run_entries_python(
-                        carry, lo, hi, is_final_run
-                    )
-                    if not entries:
-                        # empty post-filter run: BamTruncatedRecord in the
-                        # reference — ends the stream iff a group was
-                        # already delivered, else consumes the producer's
-                        # one free pass (`src/process/bam.rs:163-179`)
-                        aligned = (
-                            self._free_pass_used
-                            or self._groups_started_total
-                            + len(g_starts) >= 2
-                        )
-                        if not aligned:
-                            self._free_pass_used = True
-                            pass_at = len(e_idx)
-                            last_key = None  # key state resets
-                            continue
-                        truncated = True
-                        break
-                    for i, skip_val in entries:
-                        cbv = cbc.get(i)
-                        key = umis[i] + cbv[: max(len(cbv) - 2, 0)]
-                        if key != last_key:
-                            g_starts.append(len(e_idx))
-                            last_key = key
-                        e_idx.append(i)
-                        e_skip.append(
-                            2 if self.force_bam_paired
-                            else (1 if skip_val == b"TRUE" else 0)
-                        )
-                if pass_at is not None:
-                    self._entries_since_pass = len(e_idx) - pass_at
-                else:
-                    self._entries_since_pass += len(e_idx)
-                add_emitted(carry, e_idx,
-                            np.asarray(e_skip, dtype=np.int8), g_starts)
+                e_idx, e_skip, g_starts, keep_from, truncated = (
+                    self._fallback_runs(carry, at_eof)
+                )
+                self._add_emitted(pend, carry, e_idx,
+                                  np.asarray(e_skip, dtype=np.int8), g_starts)
                 if truncated:
-                    yield from end_stream()
+                    yield from self._end_stream(pend, target_records)
                     return
                 carry.drop_front(keep_from)
 
             if at_eof:
                 if self._error is not None:
-                    yield from end_stream(drop_open_on_error=True)
+                    yield from self._end_stream(
+                        pend, target_records, drop_open_on_error=True)
                     raise self._error
-                yield from end_stream()
+                yield from self._end_stream(pend, target_records)
                 return
-            yield from emit_ready(final=False)
+            yield from pend.emit_ready(final=False,
+                                       target_records=target_records)
+
+    # ------------------ batch iteration (native pipe) -------------------
+
+    def _sync_state(self, state) -> None:
+        """Adopt the worker's run-state snapshot (the C++ side owns the
+        free-pass/group counters between irregular handoffs)."""
+        self._free_pass_used, self._groups_started_total, \
+            self._entries_since_pass = state
+
+    def _batches_pipe(self,
+                      target_records: int) -> Iterator[EmittedBatch]:
+        """Consume the native producer pipe: C++ hands fully row-gathered
+        emission batches; irregular carries run through the Python fallback
+        (for its reference-parity warnings) and ack back to the worker."""
+        pend = _Pend()
+        while True:
+            res = self._pipe.next()
+            kind = res[0]
+            if kind == "emit":
+                _, cols, skip_true, gstarts, truncated, at_eof, state = res
+                self._sync_state(state)
+                taken = {
+                    name: _Col(offs, flat)
+                    for name, (offs, flat) in cols.items()
+                }
+                pend.add_taken(taken, np.asarray(skip_true, dtype=bool),
+                               gstarts)
+                self._count_progress(len(skip_true))
+                if truncated:
+                    yield from self._end_stream(pend, target_records)
+                    return
+                if not at_eof:
+                    # at_eof slots flush via the terminal slot's end_stream
+                    # (pure-path parity: the final add goes straight to the
+                    # stream epilogue, not through a mid-stream flush)
+                    yield from pend.emit_ready(
+                        final=False, target_records=target_records)
+            elif kind == "carry":
+                _, ccols, oflags, at_eof, missing_umi, state = res
+                self._sync_state(state)
+                if missing_umi and self._error is None:
+                    self._error = ValueError("Error -- Could not read UMI.")
+                carry = _Carry()
+                for name in _COLS:
+                    offs, flat = ccols[name]
+                    carry.cols[name] = _Col(offs, flat)
+                s_offs, s_flat = ccols["seq"]
+                carry.seq = _Col(s_offs, s_flat)
+                carry.oflags = np.asarray(oflags, dtype=np.uint8)
+                e_idx, e_skip, g_starts, keep_from, truncated = (
+                    self._fallback_runs(carry, at_eof)
+                )
+                self._add_emitted(pend, carry, e_idx,
+                                  np.asarray(e_skip, dtype=np.int8), g_starts)
+                self._pipe.ack(keep_from, truncated, self._free_pass_used,
+                               self._groups_started_total,
+                               self._entries_since_pass)
+                if truncated:
+                    yield from self._end_stream(pend, target_records)
+                    return
+                yield from pend.emit_ready(
+                    final=False, target_records=target_records)
+                # at_eof carries resolve via the terminal slot the worker
+                # pushes right after the ack
+            else:  # terminal
+                _, error_kind, gz_status, state = res
+                self._sync_state(state)
+                if error_kind == 1:
+                    # stream ended mid-record: pure-path parity raises out
+                    # of _scan_chunk without flushing pending batches
+                    self.close()
+                    raise EOFError("truncated BAM stream")
+                if error_kind == 3:
+                    self.close()
+                    raise gzip.BadGzipFile(
+                        "corrupt BGZF stream (native inflate code "
+                        f"{gz_status})")
+                if error_kind == 4:
+                    self.close()
+                    raise EOFError(
+                        "Compressed file ended before the "
+                        "end-of-stream marker was reached")
+                if error_kind == 2:
+                    if self._error is None:
+                        self._error = ValueError(
+                            "Error -- Could not read UMI.")
+                    yield from self._end_stream(
+                        pend, target_records, drop_open_on_error=True)
+                    raise self._error
+                yield from self._end_stream(pend, target_records)
+                return

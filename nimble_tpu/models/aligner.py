@@ -313,7 +313,10 @@ class DeviceAlignEngine:
         w4 = nb * 4
         src = np.zeros((m, w4), dtype=np.uint8)
         take = min(width, bucket)
-        src[:, :take] = mat[:, :take].astype(np.uint8)
+        # mask to the 2-bit lane like the C++ kernel (& 3) so the two paths
+        # stay provably identical even for out-of-range codes; the encode
+        # LUT only emits 0..3, so this is defensive parity, not behavior
+        src[:, :take] = mat[:, :take].astype(np.uint8) & 3
         q = src.reshape(m, nb, 4)
         buf[:m, :nb] = q[:, :, 0] | (q[:, :, 1] << 2) | (q[:, :, 2] << 4) | (
             q[:, :, 3] << 6

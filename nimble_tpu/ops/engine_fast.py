@@ -34,8 +34,6 @@ from nimble_tpu.ops.engine_xla import (
     _hash_kmer,
     _rolling_keys,
     _walk_scan,
-    ENTROPY_BOUNDARY_BAND,
-    MIN_ENTROPY_SCORE_F32,
 )
 
 

@@ -17,6 +17,14 @@ Produces gzipped forensic TSVs byte-identical to
 Quirk parity (same as the slow pipeline): r1/r2 metadata column swap and
 filter-column crossover, dropped final UMI group of multi-group BAMs
 (`parity_quirks=True`), duplicate zero-score rows via last-qname-per-callset.
+
+ROW-ORDER CAVEAT: with ``num_cores > 2`` (more than one consumer) this
+pipeline emits rows in BATCH-SEQUENCE order, while the slow path (and the
+reference, `src/process/bam.rs:59-146`) emits in consumer-completion
+order — nondeterministic in the reference itself.  Row SETS are always
+identical; single-consumer runs are byte-identical in order too.  The
+byte-parity guarantee therefore weakens to set-parity exactly when
+multiple consumers are configured.
 """
 
 from __future__ import annotations

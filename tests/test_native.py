@@ -102,3 +102,62 @@ def test_pack_reads_matches_numpy():
         finally:
             native.pack_reads = orig
         np.testing.assert_array_equal(got, want)
+
+
+@requires_native
+def test_pack_reads_guards_launch_batch_overflow():
+    """m > B would make the C++ kernel write past the (B, nb+2) buffer;
+    the wrapper must raise loudly instead (heap-corruption guard)."""
+    mat = np.zeros((4, 8), dtype=np.int8)
+    lens = np.zeros(4, dtype=np.int32)
+    with pytest.raises(ValueError, match="exceed launch batch"):
+        native.pack_reads(mat, lens, 8, 2)
+
+
+def _insert_pair(ds, r1: bytes, r2: bytes | None) -> bool:
+    """Insert ONE (r1, r2) pair; True iff it was new."""
+    f1 = np.frombuffer(r1, dtype=np.int8)
+    o1 = np.array([0, len(r1)], dtype=np.int64)
+    if r2 is None:
+        mask = ds.insert_batch(f1, o1, None, None)
+    else:
+        f2 = np.frombuffer(r2, dtype=np.int8)
+        o2 = np.array([0, len(r2)], dtype=np.int64)
+        mask = ds.insert_batch(f1, o1, f2, o2)
+    return bool(mask[0])
+
+
+@requires_native
+def test_dedupe_streamhash_split_invariance():
+    """The dedupe key is the hash of the CONCATENATED r1+r2 bytes (the
+    reference's score map is keyed by the concatenation,
+    `src/align.rs:576-579`): equal concatenations under DIFFERENT split
+    points must collide, including splits that leave r1 % 8 != 0 (the
+    word-wise StreamHash must carry partial words across the boundary)."""
+    payload = b"ACGTACGTAACCGGTTAGCTAGCTA"  # 25 bytes, prime-ish
+    splits = [0, 1, 3, 7, 8, 9, 13, 16, 24, 25]
+    ds = native.make_dedupe_set()
+    assert ds is not None
+    assert _insert_pair(ds, payload[: splits[0]], payload[splits[0]:])
+    for s in splits[1:]:
+        assert not _insert_pair(ds, payload[:s], payload[s:]), (
+            f"split at {s} hashed differently from split at {splits[0]}"
+        )
+    # single-end insert of the same bytes = pair with NO mate: the
+    # reference key for single-end is just the read string, identical
+    # to r1 + "" — must also collide
+    assert not _insert_pair(ds, payload, None)
+    assert len(ds) == 1
+
+
+@requires_native
+def test_dedupe_streamhash_length_safety():
+    """'AB' + '' and 'AB\\0' have different total lengths and must stay
+    distinct (no zero-padding ambiguity in the word-wise hash)."""
+    ds = native.make_dedupe_set()
+    assert _insert_pair(ds, b"AB", b"")
+    assert _insert_pair(ds, b"AB\x00", None), "'AB' vs 'AB\\0' collided"
+    assert len(ds) == 2
+    # and the empty-mate split of the longer payload still collides with
+    # its other splits
+    assert not _insert_pair(ds, b"AB", b"\x00")
