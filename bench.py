@@ -9,10 +9,15 @@ the FASTQ pipeline runs per library.
 
 Baseline note: the reference publishes NO benchmark numbers anywhere (see
 BASELINE.md) and no Rust toolchain exists in this image to measure it, so
-``vs_baseline`` is reported against a documented estimate of the Rust CLI's
-single-core throughput: 50,000 reads/s (kallisto-class pseudoaligners do
-~20-35k reads/s/core; the estimate is deliberately generous to the
-reference).  BASELINE.json's target is >=8x per chip (400k reads/s).
+``vs_baseline`` is reported against the HIGH END of a defended estimate
+range for the reference's single-process throughput: 20,000-170,000
+reads/s, derived in BASELINE.md ("Defended baseline estimate") from the
+kallisto paper's headline pace, per-core quasi-mapping figures, and a
+work-per-read comparison against the reference's hot loop.  Dividing by
+170k credits the reference with kallisto's full machine-level headline
+despite its strictly heavier per-read work — deliberately generous.  The
+JSON carries the range so the multiple can be re-derived at any other
+point in it (rounds 1-2 used a 50k mid-range estimate; x50/170 to compare).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "reads/s", "vs_baseline": N}
@@ -27,7 +32,11 @@ import time
 
 import numpy as np
 
-RUST_BASELINE_READS_PER_SEC = 50_000.0  # documented estimate, see module docstring
+# High end of the defended 20k-170k reads/s estimate range (BASELINE.md,
+# "Defended baseline estimate") — generous to the reference by design.
+BASELINE_RANGE_READS_PER_SEC = (20_000.0, 170_000.0)
+RUST_BASELINE_READS_PER_SEC = BASELINE_RANGE_READS_PER_SEC[1]
+_base_note = {"baseline_range_reads_per_sec": list(BASELINE_RANGE_READS_PER_SEC)}
 
 
 def build_workload(n_features=50, feat_len=500, read_len=90, n_reads=1 << 16, seed=0):
@@ -448,10 +457,10 @@ def main(argv=None) -> int:
     log("devices:", jax.devices())
 
     if args.bam:
-        print(json.dumps({**bench_bam(args, log), **backend_note}))
+        print(json.dumps({**bench_bam(args, log), **_base_note, **backend_note}))
         return 0
     if args.libraries:
-        print(json.dumps({**bench_multilib(args, log), **backend_note}))
+        print(json.dumps({**bench_multilib(args, log), **_base_note, **backend_note}))
         return 0
     if args.multihost_cpu:
         print(json.dumps(bench_multihost_cpu(args, log)))
@@ -569,6 +578,7 @@ def main(argv=None) -> int:
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / RUST_BASELINE_READS_PER_SEC, 2),
+                **_base_note,
                 "split_s": {
                     "dispatch_pack_upload": round(t_dispatch, 3),
                     "device_wait_and_fetch": round(t_collect, 3),
