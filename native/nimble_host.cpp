@@ -16,7 +16,9 @@
 #include <atomic>
 #include <condition_variable>
 #include <cstdint>
+#include <chrono>
 #include <cstdio>
+#include <cstdlib>
 #include <cstring>
 #include <deque>
 #include <mutex>
@@ -1536,6 +1538,11 @@ int32_t nimble_bgzf_inflate(const uint8_t* data, int64_t n,
 
 namespace bampipe {
 
+static inline double now_s() {
+    return std::chrono::duration<double>(
+        std::chrono::steady_clock::now().time_since_epoch()).count();
+}
+
 struct Ragged {
     std::vector<int64_t> offs{0};
     std::vector<uint8_t> flat;
@@ -1617,6 +1624,10 @@ struct Pipe {
     static constexpr int kSlots = 4;
     static constexpr int64_t kRawChunk = 4 << 20;
 
+    // stage profile (worker-private; printed at exit when NIMBLE_PIPE_PROF)
+    double t_read = 0, t_inflate = 0, t_scan = 0, t_emit = 0, t_slot = 0;
+    double t_bscan = 0, t_meta = 0, t_append = 0; int n_meta = 0;
+
     std::FILE* f = nullptr;
     int32_t force_paired = 0;
 
@@ -1670,13 +1681,16 @@ struct Pipe {
 // Returns false on a sticky gzip error (gz_err / gz_eof_mid set).
 bool ingest(Pipe* P) {
     if (!P->raw_eof) {
+        double t0 = now_s();
         size_t old = P->raw.size();
         P->raw.resize(old + (size_t)Pipe::kRawChunk);
         size_t got = std::fread(P->raw.data() + old, 1,
                                 (size_t)Pipe::kRawChunk, P->f);
         P->raw.resize(old + got);
         if (got < (size_t)Pipe::kRawChunk) P->raw_eof = true;
+        P->t_read += now_s() - t0;
     }
+    double t1 = now_s();
     if (P->raw.empty()) return true;
     std::vector<BgzfBlock> blocks;
     int64_t consumed = 0, total = 0;
@@ -1712,6 +1726,7 @@ bool ingest(Pipe* P) {
     }
     if (err) { P->gz_err = err; return false; }
     P->raw.erase(P->raw.begin(), P->raw.begin() + consumed);
+    P->t_inflate += now_s() - t1;
     return true;
 }
 
@@ -1735,23 +1750,46 @@ int64_t scan_once(Pipe* P, int64_t* scanned) {
     P->s_aux.resize((size_t)nbytes + 16);
     P->s_cig.resize((size_t)(nbytes / 4) + 4);
     int64_t consumed = 0;
+    double tb = now_s();
     int64_t cnt = nimble_bam_scan(
         P->bam.data(), nbytes, max_rec, P->s_fixed.data(),
         P->s_qn_off.data(), P->s_qn.data(), P->s_seq_off.data(),
         P->s_seq.data(), P->s_qual_off.data(), P->s_qual.data(),
         P->s_aux_off.data(), P->s_aux.data(), P->s_cig_off.data(),
         P->s_cig.data(), &consumed);
+    P->t_bscan += now_s() - tb;
     if (cnt == 0) return 0;
     *scanned = cnt;
     P->bam.erase(P->bam.begin(), P->bam.begin() + consumed);
 
-    // meta derivation with retry-double caps
+    // meta derivation: analytic per-column caps (the same sizing the
+    // Python pool uses, nimble_tpu/native.py bam_meta) so the first call
+    // virtually never retries; retry-double remains the safety net
     for (int j = 0; j < 9; ++j) P->m_offs[j].resize((size_t)(cnt + 1));
-    if (P->m_flat[0].size() < (size_t)(64 * cnt + 4096))
+    {
+        int64_t qn_total = P->s_qn_off[(size_t)cnt];
+        int64_t seq_total = P->s_seq_off[(size_t)cnt];
+        int64_t qual_total = P->s_qual_off[(size_t)cnt];
+        int64_t aux_total = P->s_aux_off[(size_t)cnt];
+        const int64_t caps[9] = {
+            qn_total + aux_total * 16 + 240 * cnt + 64,  // meta
+            seq_total + 64,                              // seq2
+            qual_total + aux_total + 64,                 // meta1
+            seq_total + aux_total + 64,                  // meta15
+            5 * cnt + aux_total + 64,                    // rev2
+            qn_total + aux_total + 64,                   // qn
+            aux_total + 64,                              // cb
+            aux_total + 64,                              // umi
+            aux_total + 64,                              // sk
+        };
         for (int j = 0; j < 9; ++j)
-            P->m_flat[j].resize((size_t)(64 * cnt) + 4096);
+            if (P->m_flat[j].size() < (size_t)caps[j])
+                P->m_flat[j].resize((size_t)caps[j]);
+    }
     P->s_oflags.resize((size_t)cnt);
+    double tm = now_s();
     while (true) {
+        P->n_meta++;
         int32_t rc = nimble_bam_meta(
             P->s_fixed.data(), P->s_qn_off.data(), P->s_qn.data(),
             P->s_seq_off.data(), P->s_seq.data(), P->s_qual_off.data(),
@@ -1769,6 +1807,7 @@ int64_t scan_once(Pipe* P, int64_t* scanned) {
         if (rc == 0) break;
         for (int j = 0; j < 9; ++j) P->m_flat[j].resize(P->m_flat[j].size() * 2);
     }
+    P->t_meta += now_s() - tm;
 
     // skip rules, reference order (`sorted_bam_reader.rs:45-68`)
     P->s_keep.assign((size_t)cnt, 1);
@@ -1802,6 +1841,7 @@ int64_t scan_once(Pipe* P, int64_t* scanned) {
     int64_t appended = 0;
     for (int64_t i = 0; i < cnt; ++i) appended += P->s_keep[i];
     if (appended == 0) return 0;
+    double ta = now_s();
     const uint8_t* keep = P->s_keep.data();
     ColumnSet& c = P->carry;
     c.meta.append_filtered(P->m_offs[0].data(), P->m_flat[0].data(), keep, cnt);
@@ -1816,6 +1856,7 @@ int64_t scan_once(Pipe* P, int64_t* scanned) {
     c.qname_raw.append_filtered(P->s_qn_off.data(), P->s_qn.data(), keep, cnt);
     for (int64_t i = 0; i < cnt; ++i)
         if (keep[i]) c.oflags.push_back(P->s_oflags[i]);
+    P->t_append += now_s() - ta;
     return appended;
 }
 
@@ -1916,7 +1957,19 @@ void push_terminal(Pipe* P, int32_t error_kind, int32_t gz_status) {
     push_ready(P, s);
 }
 
+void worker_main_inner(Pipe* P);
+
 void worker_main(Pipe* P) {
+    worker_main_inner(P);
+    if (std::getenv("NIMBLE_PIPE_PROF"))
+        std::fprintf(stderr,
+            "[pipe prof] read %.3f inflate %.3f scan %.3f (bscan %.3f "
+            "meta %.3f x%d append %.3f) emit %.3f slot_wait %.3f\n",
+            P->t_read, P->t_inflate, P->t_scan, P->t_bscan, P->t_meta,
+            P->n_meta, P->t_append, P->t_emit, P->t_slot);
+}
+
+void worker_main_inner(Pipe* P) {
     while (true) {
         {
             std::unique_lock<std::mutex> lk(P->mu);
@@ -1927,7 +1980,9 @@ void worker_main(Pipe* P) {
         while (true) {
             if (P->missing_umi) { at_eof = true; break; }
             int64_t scanned = 0;
+            double ts = now_s();
             int64_t appended = scan_once(P, &scanned);
+            P->t_scan += now_s() - ts;
             if (appended > 0) break;
             if (scanned > 0) continue;  // all records filtered: scan more
             if (P->raw_eof && P->raw.empty()) {
@@ -1952,9 +2007,13 @@ void worker_main(Pipe* P) {
             return;
         }
 
+        double tw = now_s();
         Slot* slot = acquire_slot(P);
+        P->t_slot += now_s() - tw;
         if (!slot) return;
+        double te = now_s();
         int rc = run_emit(P, at_eof, slot);
+        P->t_emit += now_s() - te;
         if (rc == -1) {
             // irregular run: hand the raw carry to the Python fallback and
             // resume from its ack (consumed prefix + updated state)
