@@ -539,6 +539,50 @@ def _encode_record(rec: BamRecord) -> bytes:
     return struct.pack("<i", len(body)) + body
 
 
+class BamStreamWriter:
+    """Incremental spec-compliant BAM writer (BGZF blocks + EOF marker).
+
+    Same bytes as :func:`write_bam` for the same record sequence, but
+    records stream to disk as they are added — reference-scale synthetic
+    fixtures (millions of records) never materialize in memory."""
+
+    _STEP = 60000  # BGZF blocks must stay under 64KB
+
+    def __init__(self, path: str, header: BamHeader):
+        self._f = open(path, "wb")
+        self._buf = bytearray()
+        self._buf += b"BAM\x01"
+        text = header.text.encode("ascii")
+        self._buf += struct.pack("<i", len(text)) + text
+        self._buf += struct.pack("<i", len(header.references))
+        for name, l_ref in header.references:
+            nb = name.encode("ascii") + b"\x00"
+            self._buf += struct.pack("<i", len(nb)) + nb
+            self._buf += struct.pack("<i", l_ref)
+
+    def add(self, rec: BamRecord) -> None:
+        self._buf += _encode_record(rec)
+        while len(self._buf) >= self._STEP:
+            self._f.write(_bgzf_block(bytes(self._buf[: self._STEP])))
+            del self._buf[: self._STEP]
+
+    def close(self) -> None:
+        if self._f is None:
+            return
+        if self._buf:
+            self._f.write(_bgzf_block(bytes(self._buf)))
+            self._buf.clear()
+        self._f.write(_BGZF_EOF)
+        self._f.close()
+        self._f = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
 def write_bam(path: str, header: BamHeader, records: List[BamRecord]) -> None:
     """Write a spec-compliant BAM (BGZF blocks + EOF marker)."""
     payload = bytearray()

@@ -21,6 +21,7 @@ from nimble_tpu.io.bam import (
     FLAG_REVERSE,
     BamHeader,
     BamRecord,
+    BamStreamWriter,
     write_bam,
 )
 from nimble_tpu.utils.dna import revcomp
@@ -46,6 +47,7 @@ def make_synthetic_bam(
     seed: int = 0,
     mutate_every: Optional[int] = None,
     pad_to_124: bool = False,
+    stream: bool = False,
 ) -> int:
     """Write a synthetic BAM; returns the number of records written.
 
@@ -54,7 +56,9 @@ def make_synthetic_bam(
     orientation correction recovers the forward fragment.  With
     ``mutate_every=n`` every n-th fragment gets one substitution.  With
     ``pad_to_124`` fragments are extended to 124bp with 13 leading junk
-    bases (clipped away by the 10x rule).
+    bases (clipped away by the 10x rule).  With ``stream=True`` records are
+    written incrementally (same bytes) — reference-scale fixtures never
+    materialize in memory.
     """
     rng = np.random.default_rng(seed)
     records: List[BamRecord] = []
@@ -91,6 +95,15 @@ def make_synthetic_bam(
             seq = junk + seq if not reverse else seq + junk
         return seq
 
+    writer = None
+    if stream:
+        header = BamHeader(
+            text="@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:chr1\tLN:1000000\n",
+            references=[("chr1", 1_000_000)],
+        )
+        writer = BamStreamWriter(path, header)
+        n_written = 0
+
     for g in range(n_groups):
         umi = _random_umi(rng)
         cb = f"CB{g:06d}-1"
@@ -118,7 +131,12 @@ def make_synthetic_bam(
                 r.tags["UB"] = ("Z", umi)
                 r.tags["CR"] = ("Z", cb[:-2])
                 r.tags["UR"] = ("Z", umi)
-            records.extend([r1, r2])
+            if writer is not None:
+                writer.add(r1)
+                writer.add(r2)
+                n_written += 2
+            else:
+                records.extend([r1, r2])
         for u in range(unpaired_per_group):
             qname = f"read{qname_counter:06d}"
             qname_counter += 1
@@ -130,7 +148,15 @@ def make_synthetic_bam(
             )
             r.tags["CB"] = ("Z", cb)
             r.tags["UB"] = ("Z", umi)
-            records.append(r)
+            if writer is not None:
+                writer.add(r)
+                n_written += 1
+            else:
+                records.append(r)
+
+    if writer is not None:
+        writer.close()
+        return n_written
 
     header = BamHeader(
         text="@HD\tVN:1.6\tSO:unknown\n@SQ\tSN:chr1\tLN:1000000\n",

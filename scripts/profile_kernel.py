@@ -1,126 +1,181 @@
 #!/usr/bin/env python
-"""Isolate per-call overhead vs true kernel compute on the TPU tunnel."""
+"""Stage-level on-hardware profile of the fast compact kernel.
+
+Compiles prefix-truncated variants of `_probe_walk_filter_impl` (each
+ending at one of the kernel's optimization_barrier stage fences) and
+reports per-stage time by subtraction:
+
+  unpack+probe | +span gather/unpack/match | +walk scans | +filters/pack
+
+Each variant is jitted over the SAME packed launch buffer the production
+engine ships, on the bench workload's table (50 features x 500 bp,
+90 bp reads, launch_batch x bucket-96 body).  VERDICT r2 item 4.
+
+Usage: python scripts/profile_kernel.py [--batch 8192] [--rounds 30] [--cpu]
+"""
+
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/nimble_tpu_jax_cache")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
-os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
-
-if "--cpu" in sys.argv:
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-sys.path.insert(0, "/root/repo")
-from bench import build_workload  # noqa: E402
-from nimble_tpu.models.aligner import DeviceAlignEngine  # noqa: E402
-from nimble_tpu.ops.engine_fast import probe_walk_filter  # noqa: E402
-
-N = 1 << 17
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timed(fn, reps=5, label=""):
-    best = 1e9
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        dt = time.perf_counter() - t0
-        best = min(best, dt)
-    print(f"{label}: best {best*1e3:.1f} ms", flush=True)
-    return best
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8192)
+    ap.add_argument("--rounds", type=int, default=30)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
 
+    if args.cpu:
+        import jax
 
-def main():
-    print("devices:", jax.devices(), flush=True)
-    index, reference, cfg, mat, lens = build_workload(n_reads=N)
-    engine = DeviceAlignEngine(index, cfg)
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
 
-    dev = engine._dev_fast
-    s_min_dev = jax.device_put(engine._s_min_table(90))
-    thr = jax.device_put(np.int32(cfg.score_threshold))
-    nmm = jax.device_put(np.int32(cfg.num_mismatches))
-    dm = jax.device_put(np.bool_(cfg.discard_multiple_matches))
-    dn = jax.device_put(np.bool_(cfg.discard_nonzero_mismatch))
+    from bench import build_workload
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.ops import engine_fast as ef
 
-    def launch(rd, ld, bucket, p_limit):
-        return probe_walk_filter(
-            rd, ld,
-            dev["bkey_lo"], dev["bkey_hi"], dev["bstart"], dev["bcount"],
-            dev["postings_row"], dev["postings_off"],
-            dev["ref_codes_packed"], dev["row_starts"], dev["row_lengths"],
-            s_min_dev, thr, nmm, dm, dn,
-            k=engine.bidx.k, max_probe=engine.bidx.max_probe, c_max=engine.c_max,
-            bucket_mask=engine.bidx.n_buckets - 1,
-            p_limit=min(p_limit, bucket - engine.bidx.k + 1),
-            ref_pad=engine.bidx.ref_pad, use_pallas=False,
+    index, reference, cfg, mat, lens = build_workload(n_reads=args.batch)
+    eng = DeviceAlignEngine(index, cfg)
+    bucket = 96
+    B = args.batch
+    buf = DeviceAlignEngine._pack_reads(mat, lens, bucket, B)
+    buf_dev = jax.device_put(jnp.asarray(buf))
+
+    bidx = eng.bidx
+    dev = eng._dev_fast
+    s_min = eng._s_min_dev(bucket)
+    thr, nmm, dm, dn = eng._dev_scalars
+    kw = dict(
+        k=bidx.k, max_probe=bidx.max_probe, c_max=eng.c_max,
+        bucket_mask=bidx.n_buckets - 1, p_limit=bucket - bidx.k + 1,
+        ref_pad=bidx.ref_pad,
+    )
+
+    def unpack(packed):
+        nb = (bucket + 3) // 4
+        words = packed[:, :nb].astype(jnp.int32)
+        j = jnp.arange(bucket, dtype=jnp.int32)
+        reads = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
+        read_lens = (
+            packed[:, nb].astype(jnp.int32)
+            | (packed[:, nb + 1].astype(jnp.int32) << 8)
         )
+        return reads, read_lens
 
-    for B in (1 << 16, 1 << 17, 1 << 18):
-        reads = np.zeros((B, 90), dtype=np.int8)
-        reads[:, :] = np.resize(mat, (B, 90))
-        rls = np.full(B, 90, dtype=np.int32)
-        rd = jax.device_put(reads)
-        ld = jax.device_put(rls)
-        out = launch(rd, ld, 90, 8)  # compile
-        jax.block_until_ready(out)
-        timed(lambda: jax.block_until_ready(launch(rd, ld, 90, 8)),
-              5, f"kernel B={B} dev-resident prefetched scalars")
+    # --- stage-truncated variants (must mirror _probe_walk_filter_impl) --
+    @jax.jit
+    def v_probe(packed):
+        reads, read_lens = unpack(packed)
+        has_anchor, anchor, bucket_sel, lane_sel = ef._probe_bucketed(
+            reads, read_lens, dev["bkey_lo"], dev["bkey_hi"],
+            k=kw["k"], max_probe=kw["max_probe"],
+            bucket_mask=kw["bucket_mask"], p_limit=kw["p_limit"],
+        )
+        return (has_anchor.astype(jnp.int32).sum()
+                + anchor.sum() + bucket_sel.sum() + lane_sel.sum())
 
-    # per-call overhead: launch with host np scalars like the engine does
-    B = 1 << 16
-    reads = np.zeros((B, 90), dtype=np.int8)
-    reads[:, :] = mat[:B]
-    rls = np.full(B, 90, dtype=np.int32)
-    rd = jax.device_put(reads)
-    ld = jax.device_put(rls)
-    jax.block_until_ready(engine._launch_fast_kernel(np.asarray(rd), np.asarray(ld), 90, 8))
+    def common_prefix(packed):
+        reads, read_lens = unpack(packed)
+        pr = ef._probe_bucketed(
+            reads, read_lens, dev["bkey_lo"], dev["bkey_hi"],
+            k=kw["k"], max_probe=kw["max_probe"],
+            bucket_mask=kw["bucket_mask"], p_limit=kw["p_limit"],
+        )
+        has_anchor, anchor, bucket_sel, lane_sel = (
+            jax.lax.optimization_barrier(pr))
+        astart = dev["bstart"][bucket_sel, lane_sel]
+        acnt = jnp.where(has_anchor, dev["bcount"][bucket_sel, lane_sel], 0)
+        c_idx = jnp.arange(kw["c_max"], dtype=jnp.int32)[None, :]
+        live0 = c_idx < jnp.minimum(acnt, kw["c_max"])[:, None]
+        pidx = jnp.clip(astart[:, None] + c_idx, 0,
+                        dev["postings_row"].shape[0] - 1)
+        rows = dev["postings_row"][pidx]
+        offs = dev["postings_off"][pidx].astype(jnp.int32)
+        return reads, read_lens, has_anchor, anchor, rows, offs, live0
 
-    def engine_style():
-        out = engine._launch_fast_kernel(reads, rls, 90, 8)
-        jax.block_until_ready(out)
-    timed(engine_style, 5, f"engine-style launch B={B} (np input + np scalars)")
+    @jax.jit
+    def v_span(packed):
+        reads, read_lens, has_anchor, anchor, rows, offs, live0 = (
+            common_prefix(packed))
+        # span gather + unpack + match only (walk scans excluded):
+        # replicate _span_walk_abs up to its match_full barrier
+        Lmax = reads.shape[1]
+        r_start = dev["row_starts"][rows]
+        starts = (r_start + offs - anchor[:, None] + kw["ref_pad"]).reshape(-1)
+        NW = (Lmax + 15) // 16 + 1
+        words, phase = ef._gather_span_words(
+            dev["ref_codes_packed"], starts, NW)
+        ref_span = ef._unpack_span(words, phase, Lmax).reshape(
+            reads.shape[0], rows.shape[1], Lmax)
+        match_full = ref_span == reads[:, None, :]
+        return match_full.astype(jnp.int32).sum() + live0.sum()
 
-    # upload cost, int8 vs packed 2-bit
-    packed = np.zeros((B, 23), dtype=np.uint8)
-    timed(lambda: jax.block_until_ready(jax.device_put(reads)), 5,
-          f"upload int8 {reads.nbytes/1e6:.1f}MB")
-    timed(lambda: jax.block_until_ready(jax.device_put(packed)), 5,
-          f"upload packed {packed.nbytes/1e6:.1f}MB")
+    @jax.jit
+    def v_walk(packed):
+        reads, read_lens, has_anchor, anchor, rows, offs, live0 = (
+            common_prefix(packed))
+        live, ws, wm = ef._span_walk(
+            reads, read_lens, anchor, rows, offs, live0,
+            dev["ref_codes_packed"], dev["row_starts"], dev["row_lengths"],
+            k=kw["k"], ref_pad=kw["ref_pad"],
+            l_steps=min(kw["p_limit"] - 1, reads.shape[1] - kw["k"]),
+        )
+        return live.astype(jnp.int32).sum() + ws.sum() + wm.sum()
 
-    # empty launch: dispatch+fetch latency floor
-    f = jax.jit(lambda x: x * 2 + 1)
-    small = jax.device_put(np.zeros((8, 128), np.int32))
-    jax.block_until_ready(f(small))
-    timed(lambda: jax.block_until_ready(f(small)), 10, "tiny jit roundtrip")
-    timed(lambda: np.asarray(f(small)), 10, "tiny jit + fetch")
+    full = partial(
+        ef.probe_walk_filter_packed,
+        bkey_lo=dev["bkey_lo"], bkey_hi=dev["bkey_hi"],
+        bstart=dev["bstart"], bcount=dev["bcount"],
+        postings_row=dev["postings_row"], postings_off=dev["postings_off"],
+        ref_codes_packed=dev["ref_codes_packed"],
+        row_starts=dev["row_starts"], row_lengths=dev["row_lengths"],
+        s_min_table=s_min, score_threshold=thr, num_mismatches=nmm,
+        discard_multiple=dm, discard_nonzero=dn, bucket=bucket, **kw,
+    )
 
-    # host tail cProfile
-    import cProfile, io as _io, pstats
+    @jax.jit
+    def v_full(packed):
+        return full(packed).sum()
 
-    from nimble_tpu.core.fast_count import FastCounter
+    variants = [
+        ("unpack+probe", v_probe),
+        ("+span_match", v_span),
+        ("+walk_scans", v_walk),
+        ("full_kernel", v_full),
+    ]
+    times = {}
+    for name, fn in variants:
+        fn(buf_dev).block_until_ready()  # compile
+        best = 1e9
+        for _ in range(args.rounds):
+            t0 = time.perf_counter()
+            fn(buf_dev).block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = best
+        print(f"{name:>14}: {best*1e3:8.3f} ms  "
+              f"({best/args.batch*1e9:7.1f} ns/read cumulative)")
 
-    bounds = [(i * (1 << 16), (i + 1) * (1 << 16)) for i in range(N >> 16)]
-    raws = [engine.align_raw_compact_from_matrix(mat[lo:hi], lens[lo:hi])
-            for lo, hi in bounds]
-    counter = FastCounter(engine, reference, cfg)
-    pr = cProfile.Profile()
-    pr.enable()
-    for (lo, hi), raw in zip(bounds, raws):
-        counter._add_with_raw(mat[lo:hi], lens[lo:hi], None, None, dict(raw), None)
-    res = counter.finalize()
-    pr.disable()
-    s = _io.StringIO()
-    pstats.Stats(pr, stream=s).sort_stats("tottime").print_stats(25)
-    print(s.getvalue(), flush=True)
+    print("\nper-stage (by subtraction):")
+    prev = 0.0
+    for name, _ in variants:
+        dt = times[name] - prev
+        print(f"{name:>14}: {dt*1e3:8.3f} ms  ({dt/args.batch*1e9:7.1f} ns/read)")
+        prev = times[name]
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    sys.exit(main())
