@@ -315,9 +315,18 @@ class ColumnarGroupStream:
         # a dedicated C++ thread, GIL-free) when the file is a well-formed
         # BGZF BAM; any open failure falls back to this class's pure-Python
         # orchestration, which re-raises the reference-parity errors.
+        #
+        # OPT-IN (NIMBLE_BAM_PIPE=1): measured end-to-end on the TPU host
+        # (4 cores), the pipe LOSES to the pure orchestration — 30-76k vs
+        # 65-107k records/s in adjacent tunnel-weather windows — because
+        # the worker + its 4-thread inflate pool + the device consumers
+        # oversubscribe the cores and each slot handoff adds a copy, while
+        # the pure path's native calls already release the GIL.  On hosts
+        # with more cores the balance may flip; the parity surface is
+        # pinned by tests/test_bam_pipe.py either way.
         self._pipe = None
         self._f = None
-        if not os.environ.get("NIMBLE_NO_BAM_PIPE"):
+        if os.environ.get("NIMBLE_BAM_PIPE"):
             try:
                 self._pipe = native.BamPipe(path, force_bam_paired)
             except Exception:

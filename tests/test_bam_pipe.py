@@ -35,9 +35,9 @@ def _col_bytes(col):
 
 def _run(path, force_paired, target, monkeypatch, no_pipe):
     if no_pipe:
-        monkeypatch.setenv("NIMBLE_NO_BAM_PIPE", "1")
+        monkeypatch.delenv("NIMBLE_BAM_PIPE", raising=False)
     else:
-        monkeypatch.delenv("NIMBLE_NO_BAM_PIPE", raising=False)
+        monkeypatch.setenv("NIMBLE_BAM_PIPE", "1")
     batches = []
     err = None
     with contextlib.redirect_stdout(io.StringIO()) as cap:
