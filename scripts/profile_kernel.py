@@ -154,17 +154,35 @@ def main() -> int:
         ("+walk_scans", v_walk),
         ("full_kernel", v_full),
     ]
+    # The remote tunnel charges ~30-45 ms of round-trip latency per
+    # synchronous transaction, which swamps per-launch kernel time.  So:
+    # enqueue `rounds` async launches back-to-back (device work queues
+    # serialize them) and block ONCE — kernel_ms = (wall - RTT) / rounds,
+    # with RTT measured on a trivial jitted op over the same buffer.
+    @jax.jit
+    def v_rtt(packed):
+        return packed[0, 0].astype(jnp.int32) + 1
+
+    def timed(fn, rounds):
+        fn(buf_dev).block_until_ready()  # compile + warm
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            rs = [fn(buf_dev) for _ in range(rounds)]
+            rs[-1].block_until_ready()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    rtt = timed(v_rtt, args.rounds)
+    print(f"rtt floor ({args.rounds} trivial launches): {rtt*1e3:.3f} ms")
+
     times = {}
     for name, fn in variants:
-        fn(buf_dev).block_until_ready()  # compile
-        best = 1e9
-        for _ in range(args.rounds):
-            t0 = time.perf_counter()
-            fn(buf_dev).block_until_ready()
-            best = min(best, time.perf_counter() - t0)
-        times[name] = best
-        print(f"{name:>14}: {best*1e3:8.3f} ms  "
-              f"({best/args.batch*1e9:7.1f} ns/read cumulative)")
+        wall = timed(fn, args.rounds)
+        per = max(wall - rtt, 0.0) / args.rounds
+        times[name] = per
+        print(f"{name:>14}: {per*1e3:8.3f} ms/launch  "
+              f"({per/args.batch*1e9:7.1f} ns/read cumulative)")
 
     print("\nper-stage (by subtraction):")
     prev = 0.0
