@@ -183,6 +183,7 @@ class DeviceAlignEngine:
         self.bidx = build_bucketed_index(index)
         self._dev_fast = {
             "bkey_lo": jnp.asarray(self.bidx.bkey_lo),
+            "bkey_fp": jnp.asarray(self.bidx.bkey_fp),
             "bkey_hi": jnp.asarray(self.bidx.bkey_hi),
             "bstart": jnp.asarray(self.bidx.bstart),
             "bcount": jnp.asarray(self.bidx.bcount),
@@ -461,6 +462,7 @@ class DeviceAlignEngine:
                     probe_walk_full_packed_chunked(
                         buf_dev[i : i + 1],
                         self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                        self._dev_fast["bkey_fp"],
                         self._dev_fast["bstart"], self._dev_fast["bcount"],
                         self._dev_fast["postings_row"],
                         self._dev_fast["postings_off"],
@@ -667,6 +669,7 @@ class DeviceAlignEngine:
         return probe_walk_filter_packed_chunked(
             jnp.asarray(buf3),
             self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                        self._dev_fast["bkey_fp"],
             self._dev_fast["bstart"], self._dev_fast["bcount"],
             self._dev_fast["postings_row"], self._dev_fast["postings_off"],
             self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],
@@ -715,6 +718,7 @@ class DeviceAlignEngine:
         out = probe_walk_full(
             jnp.asarray(reads), jnp.asarray(blens),
             self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+                        self._dev_fast["bkey_fp"],
             self._dev_fast["bstart"], self._dev_fast["bcount"],
             self._dev_fast["postings_row"], self._dev_fast["postings_off"],
             self._dev_fast["ref_codes_packed"], self._dev_fast["row_starts"],

@@ -95,6 +95,7 @@ class MultiLibraryDispatcher:
         self._dev = dict(
             bkey_lo=stack("bkey_lo", 0xFFFFFFFF),
             bkey_hi=stack("bkey_hi", 0xFFFFFFFF),
+            bkey_fp=stack("bkey_fp", 0),
             bstart=stack("bstart"),
             bcount=stack("bcount"),
             postings_row=stack("postings_row"),
@@ -169,6 +170,7 @@ class MultiLibraryDispatcher:
                     probe_walk_filter_packed_multi_chunked(
                         buf_dev[i : i + 1],
                         self._dev["bkey_lo"], self._dev["bkey_hi"],
+                        self._dev["bkey_fp"],
                         self._dev["bstart"], self._dev["bcount"],
                         self._dev["postings_row"], self._dev["postings_off"],
                         self._dev["ref_codes_packed"],
@@ -236,6 +238,7 @@ class MultiLibraryDispatcher:
                     probe_walk_full_packed_multi_chunked(
                         buf_dev[i : i + 1],
                         self._dev["bkey_lo"], self._dev["bkey_hi"],
+                        self._dev["bkey_fp"],
                         self._dev["bstart"], self._dev["bcount"],
                         self._dev["postings_row"], self._dev["postings_off"],
                         self._dev["ref_codes_packed"],

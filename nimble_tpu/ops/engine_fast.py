@@ -31,45 +31,56 @@ import jax
 import jax.numpy as jnp
 
 from nimble_tpu.ops.engine_xla import (
+    _fmix32,
     _hash_kmer,
     _rolling_keys,
     _walk_scan,
 )
+from nimble_tpu.ops.device_index import FP_SALT
+
+
+def _kmer_fp(lo, hi):
+    """jnp twin of device_index.kmer_fp (bit-identical)."""
+    lo = lo.astype(jnp.uint32)
+    hi = hi.astype(jnp.uint32)
+    rot = (hi << jnp.uint32(16)) | (hi >> jnp.uint32(16))
+    return _fmix32(rot ^ _fmix32(lo ^ jnp.uint32(FP_SALT)))
 
 
 def _probe_bucketed(
-    reads_i32, read_lens, bkey_lo, bkey_hi,
+    reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
     *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
 ):
     """Find each read's anchor (first k-mer position present in the table).
 
-    The lo/hi key halves are concatenated to (n_buckets, 2*W) so each probe
-    step costs ONE row-gather (the table gathers dominate the kernel's
-    runtime; separate lo/hi gathers doubled it; the concat itself is a
-    table-sized one-off per launch).
+    The probe compares one uint32 FINGERPRINT word per lane
+    (`device_index.kmer_fp`) instead of the lo|hi key pair — the table
+    gathers dominate the kernel's runtime (measured 3.0 of 5.8 ms per
+    8192-read launch), and the fingerprint halves the gathered bytes.
+    Fingerprints can collide (~2^-32 per lane compare), so the SELECTED
+    lane's full lo/hi key is verified afterward with two (B,) element
+    gathers; a mismatch sets ``fp_bad`` and the caller routes the read to
+    the exact host-rescue path — device results stay exact.
 
-    Returns (has_anchor, anchor, bucket_sel, lane_sel) — the bucket/lane
+    Returns (has_anchor, anchor, bucket_sel, lane_sel, fp_bad); bucket/lane
     locate the anchor key's postings span without a per-position gather.
     Only positions [0, p_limit) are probed.
     """
     B, Lmax = reads_i32.shape
     P_full = Lmax - k + 1
     P = min(P_full, p_limit)
-    W = bkey_lo.shape[1]
-    bkey_cat = jnp.concatenate([bkey_lo, bkey_hi], axis=1)
 
     lo, hi = _rolling_keys(reads_i32[:, : P + k - 1], k)  # (B, P)
     h = _hash_kmer(lo, hi) & jnp.uint32(bucket_mask)
+    fp = _kmer_fp(lo, hi)                                 # (B, P)
 
     found = jnp.zeros((B, P), dtype=bool)
     bucket_rec = jnp.zeros((B, P), dtype=jnp.int32)
     lane_rec = jnp.zeros((B, P), dtype=jnp.int32)
     for p in range(max_probe):
         bidx = ((h + jnp.uint32(p)) & jnp.uint32(bucket_mask)).astype(jnp.int32)
-        bkeys = bkey_cat[bidx]                   # (B, P, 2W) — one row-gather
-        lane_eq = (bkeys[:, :, :W] == lo[:, :, None]) & (
-            bkeys[:, :, W:] == hi[:, :, None]
-        )
+        bfps = bkey_fp[bidx]                     # (B, P, W) — one row-gather
+        lane_eq = bfps == fp[:, :, None]
         hit_p = lane_eq.any(axis=2)
         lane_p = jnp.argmax(lane_eq, axis=2).astype(jnp.int32)
         new = hit_p & ~found
@@ -85,7 +96,16 @@ def _probe_bucketed(
     has_anchor = found.any(axis=1)
     anchor = jnp.argmax(found, axis=1).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, anchor[:, None], axis=1)[:, 0]
-    return has_anchor, anchor, take(bucket_rec), take(lane_rec)
+    bucket_sel, lane_sel = take(bucket_rec), take(lane_rec)
+
+    # exact verification of the selected lane (fingerprint collisions land
+    # in the host-rescue path; false negatives are impossible)
+    lo_sel = bkey_lo[bucket_sel, lane_sel]
+    hi_sel = bkey_hi[bucket_sel, lane_sel]
+    fp_bad = has_anchor & (
+        (lo_sel != take(lo)) | (hi_sel != take(hi))
+    )
+    return has_anchor, anchor, bucket_sel, lane_sel, fp_bad
 
 
 def _walk_scan_t(live0_cb, alive_tcb, match_tcb, active_tb):
@@ -405,7 +425,7 @@ def _span_walk_rel(
 )
 def probe_walk_filter_packed(
     packed,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
@@ -438,7 +458,7 @@ def probe_walk_filter_packed(
     )
     return _probe_walk_filter_impl(
         reads, read_lens,
-        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
         ref_codes_packed, row_starts, row_lengths,
         s_min_table, score_threshold, num_mismatches,
         discard_multiple, discard_nonzero,
@@ -454,7 +474,7 @@ def probe_walk_filter_packed(
 )
 def probe_walk_filter(
     reads, read_lens,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
@@ -472,7 +492,7 @@ def probe_walk_filter(
     probe_walk_filter_packed for the upload-optimal entry)."""
     return _probe_walk_filter_impl(
         reads.astype(jnp.int32), read_lens,
-        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
         ref_codes_packed, row_starts, row_lengths,
         s_min_table, score_threshold, num_mismatches,
         discard_multiple, discard_nonzero,
@@ -483,7 +503,7 @@ def probe_walk_filter(
 
 def _probe_walk_filter_impl(
     reads_i32, read_lens,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
@@ -500,14 +520,16 @@ def _probe_walk_filter_impl(
     """Shared body: full pseudoalign filter chain on device, packed result."""
     B, Lmax = reads_i32.shape
 
-    has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
-        reads_i32, read_lens, bkey_lo, bkey_hi,
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _probe_bucketed(
+        reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
     )
     # stage fence (see _span_walk): probe | walk | filters compile ~6x
     # faster unfused on the TPU backend
-    has_anchor, anchor, bucket_sel, lane_sel = jax.lax.optimization_barrier(
-        (has_anchor, anchor, bucket_sel, lane_sel)
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = (
+        jax.lax.optimization_barrier(
+            (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
+        )
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
@@ -556,7 +578,7 @@ def _probe_walk_filter_impl(
 
     lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
     mask = jnp.where(live, lane, 0).sum(axis=1)
-    needs_host = has_anchor & overflow
+    needs_host = (has_anchor & overflow) | fp_bad
 
     # ONE fetched array per kernel call: remote tunnels charge ~45ms of
     # latency per device->host fetch, so the 5 logical outputs are packed
@@ -577,7 +599,7 @@ def _probe_walk_filter_impl(
 )
 def probe_walk_filter_packed_chunked(
     packed3,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
@@ -609,7 +631,7 @@ def probe_walk_filter_packed_chunked(
         )
         return _probe_walk_filter_impl(
             reads, read_lens,
-            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
             ref_codes_packed, row_starts, row_lengths,
             s_min_table, score_threshold, num_mismatches,
             discard_multiple, discard_nonzero,
@@ -629,7 +651,7 @@ def probe_walk_filter_packed_chunked(
 )
 def probe_walk_full_packed_chunked(
     packed3,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     *,
@@ -648,7 +670,7 @@ def probe_walk_full_packed_chunked(
     def body(packed):
         return _probe_walk_full_packed_body(
             packed,
-            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
             ref_codes_packed, row_starts, row_lengths,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
             p_limit=p_limit, ref_pad=ref_pad, bucket=bucket,
@@ -667,7 +689,7 @@ def probe_walk_full_packed_chunked(
 )
 def probe_walk_full_packed_multi_chunked(
     packed3,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     *,
@@ -694,17 +716,17 @@ def probe_walk_full_packed_multi_chunked(
             | (packed[:, nb + 1].astype(jnp.int32) << 8)
         )
 
-        def one(bkl, bkh, bst, bcn, prow, poff, refp, rst, rln):
+        def one(bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln):
             return _probe_walk_full_impl(
                 reads_i32, read_lens,
-                bkl, bkh, bst, bcn, prow, poff, refp, rst, rln,
+                bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln,
                 k=k, max_probe=max_probe, c_max=c_max,
                 bucket_mask=bucket_mask, p_limit=p_limit, ref_pad=ref_pad,
                 bucket=bucket, use_pallas=use_pallas,
             )
 
         return jax.vmap(one)(
-            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
             ref_codes_packed, row_starts, row_lengths,
         )
 
@@ -720,7 +742,7 @@ def probe_walk_full_packed_multi_chunked(
 )
 def probe_walk_filter_packed_multi_chunked(
     packed3,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
@@ -748,11 +770,11 @@ def probe_walk_filter_packed_multi_chunked(
             | (packed[:, nb + 1].astype(jnp.int32) << 8)
         )
 
-        def one(bkl, bkh, bst, bcn, prow, poff, refp, rst, rln, s_min,
+        def one(bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln, s_min,
                 thr, nmm, dm, dn):
             return _probe_walk_filter_impl(
                 reads_i32, read_lens,
-                bkl, bkh, bst, bcn, prow, poff, refp, rst, rln,
+                bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln,
                 s_min, thr, nmm, dm, dn,
                 k=k, max_probe=max_probe, c_max=c_max,
                 bucket_mask=bucket_mask, p_limit=p_limit, ref_pad=ref_pad,
@@ -760,7 +782,7 @@ def probe_walk_filter_packed_multi_chunked(
             )
 
         return jax.vmap(one)(
-            bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+            bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
             ref_codes_packed, row_starts, row_lengths,
             s_min_table, score_threshold, num_mismatches,
             discard_multiple, discard_nonzero,
@@ -778,7 +800,7 @@ def probe_walk_filter_packed_multi_chunked(
 )
 def probe_walk_filter_packed_multi(
     packed,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     s_min_table, score_threshold, num_mismatches,
@@ -812,18 +834,18 @@ def probe_walk_filter_packed_multi(
         | (packed[:, nb + 1].astype(jnp.int32) << 8)
     )
 
-    def one(bkl, bkh, bst, bcn, prow, poff, refp, rst, rln, s_min, thr, nmm,
-            dm, dn):
+    def one(bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln, s_min, thr,
+            nmm, dm, dn):
         return _probe_walk_filter_impl(
             reads_i32, read_lens,
-            bkl, bkh, bst, bcn, prow, poff, refp, rst, rln,
+            bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln,
             s_min, thr, nmm, dm, dn,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
             p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
         )
 
     return jax.vmap(one)(
-        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
         ref_codes_packed, row_starts, row_lengths,
         s_min_table, score_threshold, num_mismatches,
         discard_multiple, discard_nonzero,
@@ -857,7 +879,7 @@ def unpack_compact(packed: "np.ndarray"):
 )
 def probe_walk_full_packed(
     packed,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     *,
@@ -881,7 +903,7 @@ def probe_walk_full_packed(
     """
     return _probe_walk_full_packed_body(
         packed,
-        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
         ref_codes_packed, row_starts, row_lengths,
         k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
         p_limit=p_limit, ref_pad=ref_pad, bucket=bucket, use_pallas=use_pallas,
@@ -890,7 +912,7 @@ def probe_walk_full_packed(
 
 def _probe_walk_full_packed_body(
     packed,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     *,
@@ -913,7 +935,7 @@ def _probe_walk_full_packed_body(
     )
     return _probe_walk_full_impl(
         reads_i32, read_lens,
-        bkey_lo, bkey_hi, bstart, bcount, postings_row, postings_off,
+        bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
         ref_codes_packed, row_starts, row_lengths,
         k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
         p_limit=p_limit, ref_pad=ref_pad, bucket=bucket,
@@ -923,7 +945,7 @@ def _probe_walk_full_packed_body(
 
 def _probe_walk_full_impl(
     reads_i32, read_lens,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     *,
@@ -936,16 +958,20 @@ def _probe_walk_full_impl(
     bucket: int,
     use_pallas: bool = False,
 ):
-    has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
-        reads_i32, read_lens, bkey_lo, bkey_hi,
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _probe_bucketed(
+        reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
     )
-    has_anchor, anchor, bucket_sel, lane_sel = jax.lax.optimization_barrier(
-        (has_anchor, anchor, bucket_sel, lane_sel)
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = (
+        jax.lax.optimization_barrier(
+            (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
+        )
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
-    overflow = acnt > c_max
+    # fp_bad reads take the same exact host-rescue route as postings
+    # overflow (the overflow bit, rescued in full_collect/align_batch)
+    overflow = (acnt > c_max) | fp_bad
 
     c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
     live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
@@ -997,7 +1023,7 @@ def unpack_full_packed(packed: "np.ndarray"):
 )
 def probe_walk_full(
     reads, read_lens,
-    bkey_lo, bkey_hi, bstart, bcount,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
     postings_row, postings_off,
     ref_codes_packed, row_starts, row_lengths,
     *,
@@ -1018,13 +1044,13 @@ def probe_walk_full(
     B, Lmax = reads.shape
     reads_i32 = reads.astype(jnp.int32)
 
-    has_anchor, anchor, bucket_sel, lane_sel = _probe_bucketed(
-        reads_i32, read_lens, bkey_lo, bkey_hi,
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _probe_bucketed(
+        reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
-    overflow = acnt > c_max
+    overflow = (acnt > c_max) | fp_bad
 
     c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
     live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]

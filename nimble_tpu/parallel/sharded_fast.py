@@ -36,6 +36,7 @@ from nimble_tpu.ops.device_index import (
     EMPTY_SLOT,
     hash_kmer,
     insert_bucket_table,
+    kmer_fp,
     span_gather_indices,
 )
 from nimble_tpu.ops.engine_fast import (
@@ -56,6 +57,7 @@ class ShardedBucketedIndex:
     postings_stride: int        # per-shard postings capacity (Pmax)
     bkey_lo: np.ndarray         # (S, n_buckets, width) uint32
     bkey_hi: np.ndarray
+    bkey_fp: np.ndarray         # (S, n_buckets, width) uint32 kmer_fp(lo,hi)
     bstart: np.ndarray          # (S, n_buckets, width) int32 (shard-local)
     bcount: np.ndarray
     postings_row: np.ndarray    # (S, Pmax) int32
@@ -139,7 +141,8 @@ def build_sharded_bucketed_index(
     return ShardedBucketedIndex(
         k=index.k, n_shards=n_shards, n_buckets=n_buckets, width=width,
         max_probe=max_probe, postings_stride=pmax,
-        bkey_lo=bkl, bkey_hi=bkh, bstart=bst, bcount=bcn,
+        bkey_lo=bkl, bkey_hi=bkh, bkey_fp=kmer_fp(bkl, bkh),
+        bstart=bst, bcount=bcn,
         postings_row=prow, postings_off=poff,
         postings_row_flat=prow.reshape(-1),
         ref_codes_packed=ref_packed, ref_pad=ref_pad,
@@ -176,6 +179,7 @@ def make_sharded_fast_step(
         in_specs=(
             P("data", None),                       # packed reads buffer
             P("model", None, None), P("model", None, None),  # bucket keys
+            P("model", None, None),                # bucket fingerprints
             P("model", None, None), P("model", None, None),  # bucket spans
             P("model", None), P("model", None),    # postings
             P(), P(), P(),                         # packed ref, row spans
@@ -184,9 +188,10 @@ def make_sharded_fast_step(
         out_specs=P("data", None),
         check_vma=False,
     )
-    def step(packed, bkl, bkh, bst, bcn, prow, poff, refp, rstarts, rlens,
-             s_min_table):
-        bkl, bkh, bst, bcn = bkl[0], bkh[0], bst[0], bcn[0]
+    def step(packed, bkl, bkh, bkf, bst, bcn, prow, poff, refp, rstarts,
+             rlens, s_min_table):
+        bkl, bkh, bkf = bkl[0], bkh[0], bkf[0]
+        bst, bcn = bst[0], bcn[0]
         prow, poff = prow[0], poff[0]
 
         B = packed.shape[0]
@@ -202,14 +207,17 @@ def make_sharded_fast_step(
         P_pos = min(bucket - k + 1, p_limit)
         lo, hi = _rolling_keys_local(reads_i32[:, : P_pos + k - 1], k)
         h = _hash_local(lo, hi) & jnp.uint32(bucket_mask)
+        fp = _kmer_fp_local(lo, hi)
         found = jnp.zeros((B, P_pos), dtype=bool)
         bucket_rec = jnp.zeros((B, P_pos), dtype=jnp.int32)
         lane_rec = jnp.zeros((B, P_pos), dtype=jnp.int32)
         for p in range(max_probe):
             bidx = ((h + jnp.uint32(p)) & jnp.uint32(bucket_mask)).astype(jnp.int32)
-            blo = bkl[bidx]
-            bhi = bkh[bidx]
-            lane_eq = (blo == lo[:, :, None]) & (bhi == hi[:, :, None])
+            # fingerprint probe (see engine_fast._probe_bucketed): halves
+            # the gathered bytes; the owner lane's full key is verified
+            # below and mismatches take the host-rescue path
+            bfps = bkf[bidx]
+            lane_eq = bfps == fp[:, :, None]
             hit_p = lane_eq.any(axis=2)
             lane_p = jnp.argmax(lane_eq, axis=2).astype(jnp.int32)
             new = hit_p & ~found
@@ -230,6 +238,12 @@ def make_sharded_fast_step(
         owner = take(found)
         bucket_sel = take(bucket_rec)
         lane_sel = take(lane_rec)
+
+        # exact verification of the owner shard's selected lane
+        fp_bad_loc = owner & (
+            (bkl[bucket_sel, lane_sel] != take(lo))
+            | (bkh[bucket_sel, lane_sel] != take(hi))
+        )
 
         astart_loc = bst[bucket_sel, lane_sel]
         acnt = jnp.where(owner, bcn[bucket_sel, lane_sel], 0)
@@ -291,7 +305,8 @@ def make_sharded_fast_step(
         if discard_nonzero:
             passed = passed & (mm == 0)
 
-        needs_host = has_anchor & overflow_g
+        fp_bad_g = jax.lax.psum(fp_bad_loc.astype(jnp.int32), "model") > 0
+        needs_host = (has_anchor & overflow_g) | fp_bad_g
         flags = (
             mask_g
             | ((passed & ~needs_host).astype(jnp.int32) << 16)
@@ -310,6 +325,12 @@ def _rolling_keys_local(reads_i32, k: int):
     return _rolling_keys(reads_i32, k)
 
 
+def _kmer_fp_local(lo, hi):
+    from nimble_tpu.ops.engine_fast import _kmer_fp
+
+    return _kmer_fp(lo, hi)
+
+
 def _hash_local(lo, hi):
     from nimble_tpu.ops.engine_xla import _hash_kmer
 
@@ -320,6 +341,7 @@ def sharded_device_arrays(sbidx: ShardedBucketedIndex) -> Tuple:
     return (
         jnp.asarray(sbidx.bkey_lo),
         jnp.asarray(sbidx.bkey_hi),
+        jnp.asarray(sbidx.bkey_fp),
         jnp.asarray(sbidx.bstart),
         jnp.asarray(sbidx.bcount),
         jnp.asarray(sbidx.postings_row),

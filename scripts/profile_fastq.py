@@ -79,7 +79,7 @@ def main():
         return probe_walk_filter(
             rd, ld,
             engine._dev_fast["bkey_lo"], engine._dev_fast["bkey_hi"],
-            engine._dev_fast["bstart"], engine._dev_fast["bcount"],
+            engine._dev_fast["bkey_fp"], engine._dev_fast["bstart"], engine._dev_fast["bcount"],
             engine._dev_fast["postings_row"], engine._dev_fast["postings_off"],
             engine._dev_fast["ref_codes_packed"], engine._dev_fast["row_starts"],
             engine._dev_fast["row_lengths"],

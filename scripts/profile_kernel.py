@@ -77,22 +77,23 @@ def main() -> int:
     @jax.jit
     def v_probe(packed):
         reads, read_lens = unpack(packed)
-        has_anchor, anchor, bucket_sel, lane_sel = ef._probe_bucketed(
-            reads, read_lens, dev["bkey_lo"], dev["bkey_hi"],
+        has_anchor, anchor, bucket_sel, lane_sel, fp_bad = ef._probe_bucketed(
+            reads, read_lens, dev["bkey_lo"], dev["bkey_hi"], dev["bkey_fp"],
             k=kw["k"], max_probe=kw["max_probe"],
             bucket_mask=kw["bucket_mask"], p_limit=kw["p_limit"],
         )
         return (has_anchor.astype(jnp.int32).sum()
-                + anchor.sum() + bucket_sel.sum() + lane_sel.sum())
+                + anchor.sum() + bucket_sel.sum() + lane_sel.sum()
+                + fp_bad.astype(jnp.int32).sum())
 
     def common_prefix(packed):
         reads, read_lens = unpack(packed)
         pr = ef._probe_bucketed(
-            reads, read_lens, dev["bkey_lo"], dev["bkey_hi"],
+            reads, read_lens, dev["bkey_lo"], dev["bkey_hi"], dev["bkey_fp"],
             k=kw["k"], max_probe=kw["max_probe"],
             bucket_mask=kw["bucket_mask"], p_limit=kw["p_limit"],
         )
-        has_anchor, anchor, bucket_sel, lane_sel = (
+        has_anchor, anchor, bucket_sel, lane_sel, _fp_bad = (
             jax.lax.optimization_barrier(pr))
         astart = dev["bstart"][bucket_sel, lane_sel]
         acnt = jnp.where(has_anchor, dev["bcount"][bucket_sel, lane_sel], 0)
@@ -136,6 +137,7 @@ def main() -> int:
     full = partial(
         ef.probe_walk_filter_packed,
         bkey_lo=dev["bkey_lo"], bkey_hi=dev["bkey_hi"],
+        bkey_fp=dev["bkey_fp"],
         bstart=dev["bstart"], bcount=dev["bcount"],
         postings_row=dev["postings_row"], postings_off=dev["postings_off"],
         ref_codes_packed=dev["ref_codes_packed"],
