@@ -157,33 +157,39 @@ def main() -> int:
         ("full_kernel", v_full),
     ]
     # The remote tunnel charges ~30-45 ms of round-trip latency per
-    # synchronous transaction, which swamps per-launch kernel time.  So:
-    # enqueue `rounds` async launches back-to-back (device work queues
-    # serialize them) and block ONCE — kernel_ms = (wall - RTT) / rounds,
-    # with RTT measured on a trivial jitted op over the same buffer.
-    @jax.jit
-    def v_rtt(packed):
-        return packed[0, 0].astype(jnp.int32) + 1
+    # synchronous transaction AND per-launch submission overhead that
+    # varies with tunnel weather.  So: repeat each variant `rounds` times
+    # ON DEVICE inside ONE launch (lax.scan whose carry perturbs one input
+    # byte, defeating loop-invariant hoisting) — per-iteration time is
+    # pure device compute; the single launch's RTT is measured on a
+    # 1-iteration run and subtracted.
+    def repeated(fn, reps):
+        @jax.jit
+        def run(packed):
+            def body(c, _):
+                p = packed.at[0, 0].set(
+                    packed[0, 0] ^ (c & 1).astype(packed.dtype))
+                return c + fn(p).astype(jnp.int32), None
+            out, _ = jax.lax.scan(body, jnp.int32(0), None, length=reps)
+            return out
+        return run
 
-    def timed(fn, rounds):
-        fn(buf_dev).block_until_ready()  # compile + warm
+    def timed(run):
+        run(buf_dev).block_until_ready()  # compile + warm
         best = 1e9
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.perf_counter()
-            rs = [fn(buf_dev) for _ in range(rounds)]
-            rs[-1].block_until_ready()
+            run(buf_dev).block_until_ready()
             best = min(best, time.perf_counter() - t0)
         return best
 
-    rtt = timed(v_rtt, args.rounds)
-    print(f"rtt floor ({args.rounds} trivial launches): {rtt*1e3:.3f} ms")
-
     times = {}
     for name, fn in variants:
-        wall = timed(fn, args.rounds)
-        per = max(wall - rtt, 0.0) / args.rounds
+        base = timed(repeated(fn, 1))
+        wall = timed(repeated(fn, args.rounds + 1))
+        per = max(wall - base, 0.0) / args.rounds
         times[name] = per
-        print(f"{name:>14}: {per*1e3:8.3f} ms/launch  "
+        print(f"{name:>14}: {per*1e3:8.3f} ms/iter  "
               f"({per/args.batch*1e9:7.1f} ns/read cumulative)")
 
     print("\nper-stage (by subtraction):")
