@@ -208,22 +208,30 @@ def make_sharded_fast_step(
         lo, hi = _rolling_keys_local(reads_i32[:, : P_pos + k - 1], k)
         h = _hash_local(lo, hi) & jnp.uint32(bucket_mask)
         fp = _kmer_fp_local(lo, hi)
-        found = jnp.zeros((B, P_pos), dtype=bool)
-        bucket_rec = jnp.zeros((B, P_pos), dtype=jnp.int32)
-        lane_rec = jnp.zeros((B, P_pos), dtype=jnp.int32)
+        # fingerprint probe with the encoded lane-max reduction (see
+        # engine_fast._probe_bucketed: any+argmax chains over the W=8
+        # minor axis ran at ~6% lane utilization and dominated the probe)
+        W = bkf.shape[1]
+        lane_prio = (
+            jnp.uint32(W) - jnp.arange(W, dtype=jnp.uint32)[None, None, :]
+        )
+        lane_m = jnp.zeros((B, P_pos), dtype=jnp.uint32)
+        hop_rec = jnp.zeros((B, P_pos), dtype=jnp.uint32)
         for p in range(max_probe):
-            bidx = ((h + jnp.uint32(p)) & jnp.uint32(bucket_mask)).astype(jnp.int32)
-            # fingerprint probe (see engine_fast._probe_bucketed): halves
-            # the gathered bytes; the owner lane's full key is verified
-            # below and mismatches take the host-rescue path
-            bfps = bkf[bidx]
-            lane_eq = bfps == fp[:, :, None]
-            hit_p = lane_eq.any(axis=2)
-            lane_p = jnp.argmax(lane_eq, axis=2).astype(jnp.int32)
-            new = hit_p & ~found
-            bucket_rec = jnp.where(new, bidx, bucket_rec)
-            lane_rec = jnp.where(new, lane_p, lane_rec)
-            found = found | hit_p
+            bidx = (h + jnp.uint32(p)) & jnp.uint32(bucket_mask)
+            bfps = bkf[bidx.astype(jnp.int32)]
+            enc = jnp.where(bfps == fp[:, :, None], lane_prio, 0).max(axis=2)
+            if max_probe == 1:
+                lane_m = enc
+            else:
+                new = (lane_m == 0) & (enc > 0)
+                lane_m = jnp.where(new, enc, lane_m)
+                hop_rec = jnp.where(new, jnp.uint32(p), hop_rec)
+        bucket_rec = ((h + hop_rec) & jnp.uint32(bucket_mask)).astype(jnp.int32)
+        lane_rec = (
+            jnp.where(lane_m > 0, jnp.uint32(W) - lane_m, 0).astype(jnp.int32)
+        )
+        found = lane_m > 0
         pos_valid = (
             jnp.arange(P_pos, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
         )
