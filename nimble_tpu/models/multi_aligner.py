@@ -33,9 +33,17 @@ from nimble_tpu.ops.engine_fast import (
 
 
 class MultiLibraryDispatcher:
-    """One vmapped launch per chunk serving every library's engine."""
+    """One vmapped launch per chunk serving every library's engine.
 
-    def __init__(self, engines: Sequence[DeviceAlignEngine]):
+    With ``mesh=`` the launch buffer is sharded over the mesh's ``data``
+    axis and the stacked tables are replicated, so GSPMD partitions the
+    stacked kernel data-parallel across devices — single-pass
+    multi-library on a multi-chip mesh (small custom libraries replicate
+    cheaply; DP over reads is the right scaling axis for them).
+    Bit-equality with the single-device dispatcher is tested on virtual
+    meshes (tests/test_multi_mesh.py)."""
+
+    def __init__(self, engines: Sequence[DeviceAlignEngine], *, mesh=None):
         if not engines:
             raise ValueError("MultiLibraryDispatcher needs >=1 engine")
         for e in engines:
@@ -123,6 +131,43 @@ class MultiLibraryDispatcher:
 
         self._seen = native.make_dedupe_set()
 
+        self.mesh = mesh
+        self._data_shards = 1
+        if mesh is not None:
+            import jax
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            rep = NamedSharding(mesh, PartitionSpec())
+            self._dev = {
+                k: jax.device_put(np.asarray(v), rep)
+                for k, v in self._dev.items()
+            }
+            self._scalars = tuple(
+                jax.device_put(np.asarray(s), rep) for s in self._scalars
+            )
+            self._data_shards = int(mesh.shape["data"])
+            self._buf_sharding = NamedSharding(
+                mesh, PartitionSpec(None, "data", None)
+            )
+
+    def _place_buf(self, buf3):
+        """Device placement for an (n_sub, lb, nb) launch buffer: sharded
+        over 'data' on a mesh, plain device array otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(buf3)
+        import jax
+
+        return jax.device_put(buf3, self._buf_sharding)
+
+    def _launch_B(self, m: int) -> int:
+        """Padded batch size; on a mesh, rounded up so every sub-launch
+        splits evenly over the data axis."""
+        B = self.engines[0]._launch_B(m)
+        d = self._data_shards
+        while B % d:
+            B *= 2
+        return B
+
     def dedupe(self, mat, lens, mate_mat=None, mate_lens=None):
         """Drop already-seen read(+mate) pairs before upload (shared across
         libraries).  Returns (mat, lens, mate_mat, mate_lens, prededuped)."""
@@ -133,9 +178,14 @@ class MultiLibraryDispatcher:
     def _s_min_stack(self, bucket: int):
         t = self._s_min_cache.get(bucket)
         if t is None:
-            t = jnp.asarray(np.stack(
-                [e._s_min_table(bucket) for e in self.engines]
-            ))
+            t = np.stack([e._s_min_table(bucket) for e in self.engines])
+            if self.mesh is not None:
+                import jax
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                t = jax.device_put(t, NamedSharding(self.mesh, PartitionSpec()))
+            else:
+                t = jnp.asarray(t)
             self._s_min_cache[bucket] = t
         return t
 
@@ -159,10 +209,10 @@ class MultiLibraryDispatcher:
                     sel, m = sel_idx, len(sel_idx)
                     bmat, blens = mat[sel_idx], lens[sel_idx]
                 lb = self.launch_batch
-                Btot = self.engines[0]._launch_B(m)
+                Btot = self._launch_B(m)
                 buf = DeviceAlignEngine._pack_reads(bmat, blens, bucket, Btot)
                 n_sub = (Btot + lb - 1) // lb
-                buf_dev = jnp.asarray(
+                buf_dev = self._place_buf(
                     buf.reshape(n_sub, min(Btot, lb), buf.shape[1])
                 )
                 thr, nmm, dm, dn = self._scalars
@@ -226,12 +276,12 @@ class MultiLibraryDispatcher:
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
                 m = len(sel)
                 lb = self.launch_batch
-                B = self.engines[0]._launch_B(m)
+                B = self._launch_B(m)
                 buf = DeviceAlignEngine._pack_reads(
                     mat_z[sel], lens[sel], bucket, B
                 )
                 n_sub = (B + lb - 1) // lb
-                buf_dev = jnp.asarray(
+                buf_dev = self._place_buf(
                     buf.reshape(n_sub, min(B, lb), buf.shape[1])
                 )
                 outs = [

@@ -250,14 +250,22 @@ def build_bucketed_index(
     while n_buckets * width * load_factor < max(n_keys, 1):
         n_buckets *= 2
 
-    bkey_lo = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
-    bkey_hi = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
-    bstart = np.zeros((n_buckets, width), dtype=np.int32)
-    bcount = np.zeros((n_buckets, width), dtype=np.int32)
-
-    max_probe = insert_bucket_table(
-        keys, starts, counts, bkey_lo, bkey_hi, bstart, bcount, width
-    )
+    # grow until max_probe == 1: every probe hop costs a full (B, P, W)
+    # table gather + lane reduction in the kernel (~2 ms per hop on an
+    # 8192x96 launch), while another table doubling costs megabytes of
+    # HBM — overflowing buckets are Poisson-rare, so one doubling almost
+    # always suffices.  Cap at 64 MB per key half.
+    while True:
+        bkey_lo = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+        bkey_hi = np.full((n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+        bstart = np.zeros((n_buckets, width), dtype=np.int32)
+        bcount = np.zeros((n_buckets, width), dtype=np.int32)
+        max_probe = insert_bucket_table(
+            keys, starts, counts, bkey_lo, bkey_hi, bstart, bcount, width
+        )
+        if max_probe == 1 or n_buckets * width * 4 >= (64 << 20):
+            break
+        n_buckets *= 2
 
     row_lengths = index.row_lengths.astype(np.int32)
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)

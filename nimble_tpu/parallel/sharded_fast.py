@@ -92,17 +92,11 @@ def build_sharded_bucketed_index(
     while n_buckets * width * load_factor < max(max_keys, 1):
         n_buckets *= 2
 
-    bkl = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
-    bkh = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
-    bst = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
-    bcn = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
-
     # per shard: key subset keeps the global (sorted) key order; postings
     # spans are re-based to shard-local starts and gathered vectorized from
     # the host index's columnar CSR arrays
     g_counts = np.diff(index.post_starts)
     g_starts = index.post_starts[:-1]
-    max_probe = 1
     max_postings = int(g_counts.max()) if n_keys else 0
     shard_sel = [np.flatnonzero(shard_of == s) for s in range(n_shards)]
     pmax = max(
@@ -112,19 +106,30 @@ def build_sharded_bucketed_index(
     pmax = max(pmax, 1)
     prow = np.zeros((n_shards, pmax), dtype=np.int32)
     poff = np.zeros((n_shards, pmax), dtype=np.int32)
-    for s, sel in enumerate(shard_sel):
-        if not len(sel):
-            continue
-        counts_s = g_counts[sel]
-        local_starts = np.concatenate(([0], np.cumsum(counts_s)[:-1]))
-        probe = insert_bucket_table(
-            keys[sel], local_starts, counts_s,
-            bkl[s], bkh[s], bst[s], bcn[s], width,
-        )
-        max_probe = max(max_probe, probe)
-        gidx = span_gather_indices(g_starts[sel], counts_s)
-        prow[s, : len(gidx)] = index.postings_rows[gidx]
-        poff[s, : len(gidx)] = index.postings_offs[gidx]
+    # grow until max_probe == 1 (same rationale as build_bucketed_index:
+    # each hop costs a full table gather + lane reduction per launch)
+    while True:
+        bkl = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+        bkh = np.full((n_shards, n_buckets, width), EMPTY_SLOT, dtype=np.uint32)
+        bst = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
+        bcn = np.zeros((n_shards, n_buckets, width), dtype=np.int32)
+        max_probe = 1
+        for s, sel in enumerate(shard_sel):
+            if not len(sel):
+                continue
+            counts_s = g_counts[sel]
+            local_starts = np.concatenate(([0], np.cumsum(counts_s)[:-1]))
+            probe = insert_bucket_table(
+                keys[sel], local_starts, counts_s,
+                bkl[s], bkh[s], bst[s], bcn[s], width,
+            )
+            max_probe = max(max_probe, probe)
+            gidx = span_gather_indices(g_starts[sel], counts_s)
+            prow[s, : len(gidx)] = index.postings_rows[gidx]
+            poff[s, : len(gidx)] = index.postings_offs[gidx]
+        if max_probe == 1 or n_shards * n_buckets * width * 4 >= (64 << 20):
+            break
+        n_buckets *= 2
 
     row_lengths = index.row_lengths.astype(np.int32)
     row_starts = np.concatenate(([0], np.cumsum(row_lengths)))[:-1].astype(np.int32)

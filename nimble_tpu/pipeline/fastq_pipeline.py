@@ -61,27 +61,41 @@ def process(
     fast = all(hasattr(e, "align_raw_compact_from_matrix") for e in engines)
 
     if fast:
-        # streaming fast path: chunks flow through all libraries' counters;
-        # dedupe/count state is global so chunking is invisible in results
-        counters = [
-            FastCounter(engines[i], references[i], aligner_configs[i])
-            for i in range(len(engines))
-        ]
         # N>1 libraries: ONE concatenated device table serves every library
         # per launch (vs the reference's sequential per-library passes,
         # `src/process/fastq.rs:15`) — per-launch latency dominates, so the
-        # N-library run costs ~the same as one
+        # N-library run costs ~the same as one.  Mesh engines get the same
+        # stacked dispatcher sharded data-parallel over their mesh
+        # (replicated tables, GSPMD-partitioned kernel); the counters then
+        # decode through dispatcher-compatible single-device engines.
         multi = None
         fetcher = None
+        count_engines = list(engines)
         if len(engines) > 1:
             try:
                 from nimble_tpu.models.aligner import DeviceAlignEngine
+                from nimble_tpu.models.mesh_aligner import MeshAlignEngine
                 from nimble_tpu.models.multi_aligner import (
                     MultiLibraryDispatcher,
                 )
 
                 if all(isinstance(e, DeviceAlignEngine) for e in engines):
                     multi = MultiLibraryDispatcher(engines)
+                elif (
+                    all(isinstance(e, MeshAlignEngine) for e in engines)
+                    and len({id(e.mesh) for e in engines}) == 1
+                ):
+                    dev_engines = [
+                        DeviceAlignEngine(
+                            e.index, e.config, c_max=e.c_max,
+                            buckets=e.buckets, min_batch=e.min_batch,
+                        )
+                        for e in engines
+                    ]
+                    multi = MultiLibraryDispatcher(
+                        dev_engines, mesh=engines[0].mesh
+                    )
+                    count_engines = dev_engines
             except (AssertionError, ValueError):
                 # incompatible geometry -> safe per-engine launches
                 multi = None
@@ -90,6 +104,12 @@ def process(
 
                 # one worker keeps tunnel transfer order deterministic
                 fetcher = ThreadPoolExecutor(max_workers=1)
+        # streaming fast path: chunks flow through all libraries' counters;
+        # dedupe/count state is global so chunking is invisible in results
+        counters = [
+            FastCounter(count_engines[i], references[i], aligner_configs[i])
+            for i in range(len(count_engines))
+        ]
         r1_chunks = iter_fastq_matrix_chunks(input_files[0], chunk_reads)
         r2_chunks = (
             iter_fastq_matrix_chunks(input_files[1], chunk_reads)
