@@ -524,6 +524,8 @@ def main(argv=None) -> int:
             nonlocal t_collect, t_host
             handle = pending.pop(0)
             ts = time.time()
+            if not isinstance(handle, tuple):
+                handle = handle.result()  # dispatch_async future
             raw1 = handle[4].result() if handle[4] is not None else None
             raw2 = handle[5].result() if handle[5] is not None else None
             if raw1 is not None and handle[8]:
@@ -540,7 +542,9 @@ def main(argv=None) -> int:
 
         for lo, hi in chunk_bounds:
             ts = time.time()
-            pending.append(counter.dispatch(
+            # dispatch_async pipelines dedupe+pack+upload on a dedicated
+            # thread: the 3 stages (dispatch | device+fetch | count) overlap
+            pending.append(counter.dispatch_async(
                 mat[lo:hi], lens[lo:hi],
                 mate_mat[lo:hi] if mate_mat is not None else None,
                 mate_lens[lo:hi] if mate_lens is not None else None,

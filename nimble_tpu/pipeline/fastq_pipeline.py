@@ -35,7 +35,10 @@ def _drain_pending(pending, multi) -> None:
         return
     if not pending:
         return
-    mat, lens, mate_mat, mate_lens, st1, prededuped = pending[0][1]
+    handle = pending[0][1]
+    if not isinstance(handle, tuple):
+        handle = handle.result()  # pipelined dispatch future
+    mat, lens, mate_mat, mate_lens, st1, prededuped = handle
     if not mat.shape[0]:
         return
     raws1 = st1.result() if hasattr(st1, "result") else multi.collect(st1)
@@ -70,6 +73,7 @@ def process(
         # decode through dispatcher-compatible single-device engines.
         multi = None
         fetcher = None
+        dispatcher = None
         count_engines = list(engines)
         if len(engines) > 1:
             try:
@@ -104,6 +108,7 @@ def process(
 
                 # one worker keeps tunnel transfer order deterministic
                 fetcher = ThreadPoolExecutor(max_workers=1)
+                dispatcher = ThreadPoolExecutor(max_workers=1)
         # streaming fast path: chunks flow through all libraries' counters;
         # dedupe/count state is global so chunking is invisible in results
         counters = [
@@ -124,9 +129,12 @@ def process(
         pending: List = []
         try:
             _run_fast_loop(
-                r1_chunks, r2_chunks, counters, multi, fetcher, meter, pending
+                r1_chunks, r2_chunks, counters, multi, fetcher, dispatcher,
+                meter, pending
             )
         finally:
+            if dispatcher is not None:
+                dispatcher.shutdown(wait=True)
             if fetcher is not None:
                 fetcher.shutdown(wait=True)
         print(meter.summary())
@@ -152,8 +160,29 @@ def process(
         )
 
 
-def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher, meter,
-                   pending) -> None:
+def _dispatch_multi(multi, fetcher, mat, lens, mate_mat, mate_lens):
+    """Dedupe + launch one chunk through the multi-library dispatcher
+    (the single-library FastCounter.dispatch disciplines, applied once for
+    all libraries)."""
+    mat, lens, mate_mat, mate_lens, prededuped = (
+        multi.dedupe(mat, lens, mate_mat, mate_lens)
+    )
+    if mat.shape[0]:
+        # one device transaction for all libraries (stacked R1+R2 when
+        # paired, split back in drain), launched under NIMBLE_DISPATCH
+        launch_args = (
+            stack_pair(mat, lens, mate_mat, mate_lens)
+            if mate_mat is not None else (mat, lens)
+        )
+        st1 = submit_transaction(
+            fetcher, multi.dispatch, multi.collect, launch_args)
+    else:
+        st1 = None
+    return (mat, lens, mate_mat, mate_lens, st1, prededuped)
+
+
+def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,
+                   dispatcher, meter, pending) -> None:
     for mat, lens in r1_chunks:
         if r2_chunks is not None:
             try:
@@ -169,30 +198,17 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher, meter,
             mate_mat, mate_lens = None, None
         with meter.measure(mat.shape[0] * len(counters)):
             if multi is not None:
-                # shared pre-upload dedupe + background-thread fetch
-                # (the single-library FastCounter.dispatch disciplines,
-                # applied once for all libraries)
-                mat, lens, mate_mat, mate_lens, prededuped = (
-                    multi.dedupe(mat, lens, mate_mat, mate_lens)
+                # pipelined dispatch: dedupe + pack + upload run on the
+                # dispatcher thread, overlapping the previous chunk's
+                # host-side counting (see FastCounter.dispatch_async)
+                fut = dispatcher.submit(
+                    _dispatch_multi, multi, fetcher,
+                    mat, lens, mate_mat, mate_lens,
                 )
-                if mat.shape[0]:
-                    # one device transaction for all libraries (stacked
-                    # R1+R2 when paired, split back in drain), launched
-                    # under the NIMBLE_DISPATCH policy
-                    launch_args = (
-                        stack_pair(mat, lens, mate_mat, mate_lens)
-                        if mate_mat is not None else (mat, lens)
-                    )
-                    st1 = submit_transaction(
-                        fetcher, multi.dispatch, multi.collect, launch_args)
-                else:
-                    st1 = None
-                handles = [
-                    (mat, lens, mate_mat, mate_lens, st1, prededuped)
-                ] * len(counters)
+                handles = [fut] * len(counters)
             else:
                 handles = [
-                    counter.dispatch(mat, lens, mate_mat, mate_lens)
+                    counter.dispatch_async(mat, lens, mate_mat, mate_lens)
                     for counter in counters
                 ]
             _drain_pending(pending, multi)
