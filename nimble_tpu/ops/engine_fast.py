@@ -47,6 +47,15 @@ def _kmer_fp(lo, hi):
     return _fmix32(rot ^ _fmix32(lo ^ jnp.uint32(FP_SALT)))
 
 
+# two-phase probe shape: phase A probes the first PROBE_PHASE_A k-mer
+# positions for every read; only reads still unresolved re-probe the tail
+# positions, compacted into PROBE_GROUP-read trips of a while_loop.  Real
+# reads anchor at position ~0, so phase B usually runs 0-2 trips and the
+# dominant (B, P, W) table gather shrinks to (B, S, W).
+PROBE_PHASE_A = 16
+PROBE_GROUP = 1024
+
+
 def _probe_bucketed(
     reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
     *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
@@ -58,9 +67,18 @@ def _probe_bucketed(
     gathers dominate the kernel's runtime (measured 3.0 of 5.8 ms per
     8192-read launch), and the fingerprint halves the gathered bytes.
     Fingerprints can collide (~2^-32 per lane compare), so the SELECTED
-    lane's full lo/hi key is verified afterward with two (B,) element
-    gathers; a mismatch sets ``fp_bad`` and the caller routes the read to
-    the exact host-rescue path — device results stay exact.
+    lane's full lo/hi key is verified afterward (two (B,) element gathers);
+    a mismatch sets ``fp_bad`` and the caller routes the read to the exact
+    host-rescue path — device results stay exact.
+
+    When ``max_probe == 1`` (tables are grown until this holds) the probe
+    is TWO-PHASE: positions [0, PROBE_PHASE_A) for every read, then the
+    tail positions only for reads the first phase left unresolved,
+    compacted to the front and processed in PROBE_GROUP-read while_loop
+    trips.  Anchors sit at position ~0 for real matching reads, so the
+    expensive (B, P, W) fingerprint gather shrinks to its first S columns
+    plus a data-dependent number of small trips; worst case (every read
+    junk) gathers the same rows as the single-phase probe.
 
     Returns (has_anchor, anchor, bucket_sel, lane_sel, fp_bad); bucket/lane
     locate the anchor key's postings span without a per-position gather.
@@ -76,34 +94,89 @@ def _probe_bucketed(
     h = _hash_kmer(lo, hi) & jnp.uint32(bucket_mask)
     fp = _kmer_fp(lo, hi)                                 # (B, P)
 
+    pos_valid = (
+        jnp.arange(P, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
+    )
     # Lane/position selection runs as ONE max-reduction over an encoded
     # value instead of any+argmax+where chains: the (B, P, W) arrays put
     # W=8 on the 128-lane minor axis (~6% utilization), and every extra
     # reduction over it is paid at that rate — the encoded max measured
     # 4.2 -> 2.2 ms on the 8192x96 probe (scripts/profile_kernel.py).
     lane_prio = jnp.uint32(W) - jnp.arange(W, dtype=jnp.uint32)[None, None, :]
-    lane_m = jnp.zeros((B, P), dtype=jnp.uint32)  # 0 = miss, else W - lane
-    hop_rec = jnp.zeros((B, P), dtype=jnp.uint32)
-    for p in range(max_probe):
-        bidx = (h + jnp.uint32(p)) & jnp.uint32(bucket_mask)
-        bfps = bkey_fp[bidx.astype(jnp.int32)]   # (B, P, W) — one row-gather
-        enc = jnp.where(bfps == fp[:, :, None], lane_prio, 0).max(axis=2)
-        if max_probe == 1:
-            lane_m = enc
-        else:
-            new = (lane_m == 0) & (enc > 0)      # first matching hop wins
+    # global position priorities: first valid position, then first lane —
+    # one flat max over the encoded (position, lane) value
+    pos_prio = jnp.uint32(P) - jnp.arange(P, dtype=jnp.uint32)  # (P,)
+
+    def enc_block(h_blk, fp_blk, pv_blk, prio_blk):
+        """Encoded (position, lane) max over one position block."""
+        bfps = bkey_fp[h_blk.astype(jnp.int32)]          # (N, S, W) gather
+        lane_m = jnp.where(bfps == fp_blk[:, :, None], lane_prio, 0).max(axis=2)
+        enc = jnp.where(
+            (lane_m > 0) & pv_blk,
+            (prio_blk[None, :] << jnp.uint32(8)) | lane_m,
+            0,
+        )
+        return enc.max(axis=1)
+
+    S = PROBE_PHASE_A
+    G = min(PROBE_GROUP, B)
+    hop_sel = None
+    if max_probe == 1 and P > S:
+        m_a = enc_block(h[:, :S], fp[:, :S], pos_valid[:, :S], pos_prio[:S])
+        # phase B: reads with no phase-A hit AND a valid position >= S
+        needs_b = (m_a == 0) & (read_lens - k >= S)
+        n_u = needs_b.sum().astype(jnp.int32)
+        # compact unresolved read ids to the front (order-preserving)
+        b_pad = ((B + G - 1) // G) * G
+        csum_b = jnp.cumsum(needs_b.astype(jnp.int32))
+        dest = jnp.where(
+            needs_b, csum_b - 1,
+            n_u + jnp.cumsum((~needs_b).astype(jnp.int32)) - 1,
+        )
+        perm = (
+            jnp.zeros(b_pad, dtype=jnp.int32)
+            .at[dest].set(jnp.arange(B, dtype=jnp.int32))
+        )
+        h_tail, fp_tail = h[:, S:], fp[:, S:]
+        pv_tail, prio_tail = pos_valid[:, S:], pos_prio[S:]
+
+        def cond(carry):
+            g, _ = carry
+            return g * G < n_u
+
+        def body(carry):
+            g, m_b = carry
+            ids = jax.lax.dynamic_slice(perm, (g * G,), (G,))
+            m_g = enc_block(h_tail[ids], fp_tail[ids], pv_tail[ids], prio_tail)
+            valid = (jnp.arange(G, dtype=jnp.int32) + g * G) < n_u
+            # each unresolved read appears in exactly one trip; padding
+            # lanes scatter 0 (a no-op for the max)
+            return g + 1, m_b.at[ids].max(jnp.where(valid, m_g, 0))
+
+        _, m_b = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros(B, dtype=jnp.uint32))
+        )
+        m = jnp.where(m_a > 0, m_a, m_b)
+    elif max_probe == 1:
+        m = enc_block(h, fp, pos_valid, pos_prio)
+    else:
+        lane_m = jnp.zeros((B, P), dtype=jnp.uint32)  # 0 = miss, else W-lane
+        hop_rec = jnp.zeros((B, P), dtype=jnp.uint32)
+        for p in range(max_probe):
+            bidx = (h + jnp.uint32(p)) & jnp.uint32(bucket_mask)
+            bfps = bkey_fp[bidx.astype(jnp.int32)]  # (B, P, W) row-gather
+            enc = jnp.where(bfps == fp[:, :, None], lane_prio, 0).max(axis=2)
+            new = (lane_m == 0) & (enc > 0)         # first matching hop wins
             lane_m = jnp.where(new, enc, lane_m)
             hop_rec = jnp.where(new, jnp.uint32(p), hop_rec)
+        enc_pos = jnp.where(
+            (lane_m > 0) & pos_valid,
+            (pos_prio[None, :] << jnp.uint32(8)) | lane_m,
+            0,
+        )
+        m = enc_pos.max(axis=1)
+        hop_sel = hop_rec
 
-    pos_valid = (
-        jnp.arange(P, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
-    )
-    # first valid position, then first lane: one flat max over the encoded
-    # (position, lane) value
-    pos_prio = (jnp.uint32(P) - jnp.arange(P, dtype=jnp.uint32))[None, :]
-    enc_pos = jnp.where((lane_m > 0) & pos_valid,
-                        (pos_prio << jnp.uint32(8)) | lane_m, 0)
-    m = enc_pos.max(axis=1)                               # (B,)
     has_anchor = m > 0
     anchor = jnp.where(
         has_anchor, jnp.uint32(P) - (m >> jnp.uint32(8)), 0
@@ -112,9 +185,10 @@ def _probe_bucketed(
         has_anchor, jnp.uint32(W) - (m & jnp.uint32(0xFF)), 0
     ).astype(jnp.int32)
     take = lambda a: jnp.take_along_axis(a, anchor[:, None], axis=1)[:, 0]
+    hop = take(hop_sel) if hop_sel is not None else jnp.uint32(0)
     bucket_sel = jnp.where(
         has_anchor,
-        (take(h) + take(hop_rec)) & jnp.uint32(bucket_mask),
+        (take(h) + hop) & jnp.uint32(bucket_mask),
         0,
     ).astype(jnp.int32)
 
