@@ -372,10 +372,12 @@ def main(argv=None) -> int:
                    help="length (bp) of each synthetic feature")
     # best-of-N: the remote-TPU tunnel has ±30% run-to-run variance
     p.add_argument("--timed-rounds", type=int, default=6)
-    p.add_argument("--walk", choices=["scan", "pallas", "fused"],
+    p.add_argument("--walk", choices=["scan", "abs", "pallas", "fused"],
                    default="scan",
-                   help="walk kernel: XLA scan (default), Pallas double-walk"
-                        ", or the fused Pallas span+walk")
+                   help="walk kernel: packed-domain XLA scan (default), the"
+                        " unpacked absolute-coordinate XLA walk it replaced"
+                        " (abs), Pallas double-walk, or the fused Pallas"
+                        " span+walk")
     p.add_argument("--bam", action="store_true",
                    help="benchmark the threaded BAM pipeline instead")
     p.add_argument("--bam-groups", type=int, default=16384)
@@ -487,7 +489,7 @@ def main(argv=None) -> int:
     else:
         engine = DeviceAlignEngine(
             index, cfg,
-            use_pallas_walk={"scan": False, "pallas": True,
+            use_pallas_walk={"scan": False, "abs": "abs", "pallas": True,
                              "fused": "fused"}[args.walk],
         )
 

@@ -147,16 +147,16 @@ def main(argv: List[str] | None = None) -> int:
             # NIMBLE_PALLAS selects the walk kernel without changing the
             # reference-parity flag surface: "fused" = fused Pallas
             # span+walk (ops/pallas_fused.py), "walk" = Pallas double-walk,
-            # unset/empty = XLA scan (default)
+            # "abs" = legacy unpacked XLA walk, unset/empty = packed XLA
+            # scan (default)
             pallas_env = os.environ.get("NIMBLE_PALLAS", "")
             try:
-                use_pallas = {"": False, "walk": True, "fused": "fused"}[
-                    pallas_env
-                ]
+                use_pallas = {"": False, "walk": True, "fused": "fused",
+                              "abs": "abs"}[pallas_env]
             except KeyError:
                 raise SystemExit(
                     f"NIMBLE_PALLAS={pallas_env!r} is not recognized "
-                    "(expected 'walk', 'fused', or unset)"
+                    "(expected 'walk', 'fused', 'abs', or unset)"
                 )
             engines.append(DeviceAlignEngine(
                 index, aligner_config, use_pallas_walk=use_pallas))

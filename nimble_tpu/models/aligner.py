@@ -171,10 +171,11 @@ class DeviceAlignEngine:
         self._pad_launches = _jax.default_backend() != "cpu"
         if self._pad_launches:
             warm_transfer_path()
-        # False = XLA walk; True = Pallas double-walk (ops/pallas_walk.py);
-        # "fused" = fused Pallas span+walk kernel (ops/pallas_fused.py)
+        # False = packed XLA walk; "abs" = legacy unpacked XLA walk;
+        # True = Pallas double-walk (ops/pallas_walk.py); "fused" = fused
+        # Pallas span+walk kernel (ops/pallas_fused.py)
         self.use_pallas_walk = use_pallas_walk
-        if self.use_pallas_walk:
+        if self.use_pallas_walk in (True, "fused"):
             # Pallas tiles need 128-aligned read batches
             self.min_batch = max(self.min_batch, 128)
         self.didx: DeviceIndex = build_device_index(index)

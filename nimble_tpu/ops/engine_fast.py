@@ -350,18 +350,26 @@ def _span_walk(
     ref_codes_packed, row_starts, row_lengths,
     *, k: int, ref_pad: int, l_steps: int, use_pallas=False,
 ):
-    """``use_pallas`` is a static mode: False = XLA absolute-coordinate walk
-    (default), "fused" = single fused Pallas span+walk kernel
-    (ops/pallas_fused.py), True = relative-coordinate spans with the Pallas
-    double-walk kernel (ops/pallas_walk.py; the r2 A/B keeps it available)."""
+    """``use_pallas`` is a static mode: False = packed-domain XLA walk
+    (default, see `_span_walk_abs_packed`), "abs" = the unpacked
+    absolute-coordinate XLA walk it replaced (kept for A/B), "fused" =
+    single fused Pallas span+walk kernel (ops/pallas_fused.py), True =
+    relative-coordinate spans with the Pallas double-walk kernel
+    (ops/pallas_walk.py; the r2 A/B keeps it available)."""
     if use_pallas == "fused":
         return _span_walk_abs_fused(
             reads_i32, read_lens, anchor, rows, offs, live0,
             ref_codes_packed, row_starts, row_lengths,
             k=k, ref_pad=ref_pad,
         )
-    if not use_pallas:
+    if use_pallas == "abs":
         return _span_walk_abs(
+            reads_i32, read_lens, anchor, rows, offs, live0,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad,
+        )
+    if not use_pallas:
+        return _span_walk_abs_packed(
             reads_i32, read_lens, anchor, rows, offs, live0,
             ref_codes_packed, row_starts, row_lengths,
             k=k, ref_pad=ref_pad,
@@ -370,6 +378,114 @@ def _span_walk(
         reads_i32, read_lens, anchor, rows, offs, live0,
         ref_codes_packed, row_starts, row_lengths,
         k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas,
+    )
+
+
+def _span_walk_abs_packed(
+    reads_i32, read_lens, anchor, rows, offs, live0,
+    ref_codes_packed, row_starts, row_lengths,
+    *, k: int, ref_pad: int,
+):
+    """Forward+left walk computed ENTIRELY in the 2-bit packed domain.
+
+    Replaces `_span_walk_abs` (bit-identical results, equivalence-tested):
+    that variant unpacked every candidate span to an (B, C, Lmax) int32
+    matrix, compared it against the reads, and materialized six (T, C, B)
+    alive/match/active masks for the scan — ~50 MB of HBM intermediates per
+    8192x96 launch.  Here:
+
+      * the gathered span WORDS are funnel-shifted to the read's word grid
+        (one variable shift per row — phase 0 is safe: ``(x << 31) << 1``
+        wraps to 0, never a shift-by-32);
+      * match bits come from XOR + the 2-bit-lane zero trick
+        (``~(x | x >> 1) & 0x5555...``) — one uint32 word covers 16 bases;
+      * the walk recurrence consumes one WORD per scan step (16 statically
+        unrolled positions), computing the alive/active masks on the fly
+        from (C, B) arithmetic instead of precomputed (T, C, B) tensors.
+
+    Walk semantics are exactly `_span_walk_abs`'s masked-scan formulation:
+    forward steps are active for ``anchor + k <= p < read_len`` and alive
+    while ``base_off + p < r_len``; left steps (descending) are active for
+    ``p < anchor`` and alive while ``base_off + p >= 0``; positions outside
+    either range are inert no-ops, so both walks iterate the full padded
+    word grid.
+    """
+    B, Lmax = reads_i32.shape
+    C = rows.shape[1]
+    NWr = (Lmax + 15) // 16
+
+    r_start = row_starts[rows]
+    starts = (r_start + offs - anchor[:, None] + ref_pad).reshape(-1)
+    NW = NWr + 1  # one funnel tail word
+    words, phase = _gather_span_words(ref_codes_packed, starts, NW)
+
+    # funnel-align the span words to the read's word grid: aligned word w
+    # holds span bases [16w, 16w+16) at bits 2i
+    sh = (jnp.uint32(2) * phase.astype(jnp.uint32))[:, None]      # (M, 1)
+    lo_w = words[:, :NWr] >> sh
+    hi_w = (words[:, 1 : NWr + 1] << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+    aligned = (lo_w | hi_w).reshape(B, C, NWr)
+
+    # read words in the same layout (base j at bits 2*(j&15) of word j>>4)
+    pad = NWr * 16 - Lmax
+    r = reads_i32 if pad == 0 else jnp.pad(reads_i32, ((0, 0), (0, pad)))
+    j16 = (jnp.uint32(2) * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    rw = (r.astype(jnp.uint32).reshape(B, NWr, 16) << j16).sum(
+        axis=2, dtype=jnp.uint32
+    )
+
+    x = aligned ^ rw[:, None, :]
+    y = x | (x >> jnp.uint32(1))
+    mbits = (~y) & jnp.uint32(0x55555555)                 # bit 2i = match
+    mbits = jax.lax.optimization_barrier(mbits)
+
+    base_cb = jnp.moveaxis(offs - anchor[:, None], 1, 0)  # (C, B)
+    rlen_cb = jnp.moveaxis(row_lengths[rows], 1, 0)
+    live_cb = jnp.moveaxis(live0, 1, 0)
+    mbits_w = jnp.transpose(mbits, (2, 1, 0))             # (NWr, C, B)
+    anchor_k = anchor + k
+
+    def make_step(forward: bool):
+        def step(carry, xs):
+            live, score, mm = carry
+            mw, w = xs                                     # (C, B), scalar
+            for i in (range(16) if forward else range(15, -1, -1)):
+                p = w * 16 + i
+                match_t = ((mw >> jnp.uint32(2 * i)) & jnp.uint32(1)) != 0
+                if forward:
+                    alive_t = (base_cb + p) < rlen_cb
+                    active_t = (p >= anchor_k) & (p < read_lens)
+                else:
+                    alive_t = (base_cb + p) >= 0
+                    active_t = p < anchor
+                la = live & alive_t
+                lm = la & match_t
+                any_alive = la.any(axis=0)
+                any_match = lm.any(axis=0)
+                act = active_t & any_alive
+                act_match = act & any_match
+                live = jnp.where(
+                    act_match[None, :], lm, jnp.where(act[None, :], la, live)
+                )
+                score = score + act_match.astype(jnp.int32)
+                mm = mm + (act & ~any_match).astype(jnp.int32)
+            return (live, score, mm), None
+
+        return step
+
+    zeros = jnp.zeros(B, dtype=jnp.int32)
+    w_idx = jnp.arange(NWr, dtype=jnp.int32)
+    (live_cb, f_score, f_mm), _ = jax.lax.scan(
+        make_step(True), (live_cb, zeros, zeros), (mbits_w, w_idx)
+    )
+    (live_cb, l_score, l_mm), _ = jax.lax.scan(
+        make_step(False), (live_cb, zeros, zeros),
+        (mbits_w[::-1], w_idx[::-1]),
+    )
+    return (
+        jnp.moveaxis(live_cb, 0, 1),
+        f_score + l_score,
+        f_mm + l_mm,
     )
 
 
