@@ -109,18 +109,27 @@ def main() -> int:
     def v_span(packed):
         reads, read_lens, has_anchor, anchor, rows, offs, live0 = (
             common_prefix(packed))
-        # span gather + unpack + match only (walk scans excluded):
-        # replicate _span_walk_abs up to its match_full barrier
+        # span gather + funnel align + packed match only (walk scans
+        # excluded): replicate _span_walk_abs_packed up to its mbits barrier
         Lmax = reads.shape[1]
+        B, C = rows.shape[0], rows.shape[1]
+        NWr = (Lmax + 15) // 16
         r_start = dev["row_starts"][rows]
         starts = (r_start + offs - anchor[:, None] + kw["ref_pad"]).reshape(-1)
-        NW = (Lmax + 15) // 16 + 1
         words, phase = ef._gather_span_words(
-            dev["ref_codes_packed"], starts, NW)
-        ref_span = ef._unpack_span(words, phase, Lmax).reshape(
-            reads.shape[0], rows.shape[1], Lmax)
-        match_full = ref_span == reads[:, None, :]
-        return match_full.astype(jnp.int32).sum() + live0.sum()
+            dev["ref_codes_packed"], starts, NWr + 1)
+        sh = (jnp.uint32(2) * phase.astype(jnp.uint32))[:, None]
+        lo_w = words[:, :NWr] >> sh
+        hi_w = (words[:, 1:NWr + 1] << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+        aligned = (lo_w | hi_w).reshape(B, C, NWr)
+        pad = NWr * 16 - Lmax
+        r = reads if pad == 0 else jnp.pad(reads, ((0, 0), (0, pad)))
+        j16 = (jnp.uint32(2) * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+        rw = (r.astype(jnp.uint32).reshape(B, NWr, 16) << j16).sum(
+            axis=2, dtype=jnp.uint32)
+        x = aligned ^ rw[:, None, :]
+        mbits = (~(x | (x >> jnp.uint32(1)))) & jnp.uint32(0x55555555)
+        return mbits.astype(jnp.int32).sum() + live0.sum()
 
     @jax.jit
     def v_walk(packed):

@@ -11,15 +11,17 @@ run() {
     echo "--- exit $? ---" >> "$log"
 }
 echo "==== queue start $(date) ====" >> "$log"
-# 1. headline FASTQ (driver metric)
+# 1. headline FASTQ (driver metric) — two-phase probe + packed walk +
+#    pipelined dispatch/count
 run bench.py --timed-rounds 8
-# 2. fused Pallas walk A/B against the XLA scan
-run bench.py --timed-rounds 6 --walk fused
-# 3. paired-end (stacked R1+R2 transactions — expect ~2x vs r2's 415k)
+# 2. stage profile of the new kernel (two-phase probe | packed span | walks)
+run scripts/profile_kernel.py
+# 3. packed walk A/B against the legacy unpacked abs walk
+run bench.py --timed-rounds 6 --walk abs
+# 4. paired-end
 run bench.py --paired --timed-rounds 6
-# 4. BAM pipeline (pooled producer buffers — was producer-bound at 117k)
+# 5. BAM pipeline
 run bench.py --bam --bam-groups 16384
-run bench.py --bam --bam-groups 65536
-# 5. multi-library single-pass
+# 6. multi-library single-pass
 run bench.py --libraries 4
 echo "==== queue done $(date) ====" >> "$log"
