@@ -56,33 +56,24 @@ PROBE_PHASE_A = 16
 PROBE_GROUP = 1024
 
 
-def _probe_bucketed(
-    reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
+def _probe_encoded(
+    reads_i32, read_lens, bkey_fp,
     *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
 ):
-    """Find each read's anchor (first k-mer position present in the table).
+    """Encoded anchor probe: the shared core of `_probe_bucketed`.
 
-    The probe compares one uint32 FINGERPRINT word per lane
-    (`device_index.kmer_fp`) instead of the lo|hi key pair — the table
-    gathers dominate the kernel's runtime (measured 3.0 of 5.8 ms per
-    8192-read launch), and the fingerprint halves the gathered bytes.
-    Fingerprints can collide (~2^-32 per lane compare), so the SELECTED
-    lane's full lo/hi key is verified afterward (two (B,) element gathers);
-    a mismatch sets ``fp_bad`` and the caller routes the read to the exact
-    host-rescue path — device results stay exact.
+    Returns (m, h, lo, hi, hop_sel):
+      m       (B,) uint32 — encoded ((P - anchor) << 8) | (W - lane), 0 when
+              no k-mer position hits the fingerprint table;
+      h       (B, P) uint32 — per-position bucket hashes;
+      lo, hi  (B, P) uint32 — per-position key halves (for verification);
+      hop_sel (B, P) uint32 or None — probe hop per position (max_probe > 1).
 
-    When ``max_probe == 1`` (tables are grown until this holds) the probe
-    is TWO-PHASE: positions [0, PROBE_PHASE_A) for every read, then the
-    tail positions only for reads the first phase left unresolved,
-    compacted to the front and processed in PROBE_GROUP-read while_loop
-    trips.  Anchors sit at position ~0 for real matching reads, so the
-    expensive (B, P, W) fingerprint gather shrinks to its first S columns
-    plus a data-dependent number of small trips; worst case (every read
-    junk) gathers the same rows as the single-phase probe.
-
-    Returns (has_anchor, anchor, bucket_sel, lane_sel, fp_bad); bucket/lane
-    locate the anchor key's postings span without a per-position gather.
-    Only positions [0, p_limit) are probed.
+    The encoding makes the probe COMPOSABLE: a max over encoded values from
+    different position blocks (the two-phase split below) or from different
+    table shards (the mesh kernel's `lax.pmax` over the model axis) selects
+    the global first-position anchor without materializing per-position hit
+    masks.
     """
     B, Lmax = reads_i32.shape
     P_full = Lmax - k + 1
@@ -176,6 +167,44 @@ def _probe_bucketed(
         )
         m = enc_pos.max(axis=1)
         hop_sel = hop_rec
+    return m, h, lo, hi, hop_sel
+
+
+def _probe_bucketed(
+    reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
+    *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
+):
+    """Find each read's anchor (first k-mer position present in the table).
+
+    The probe compares one uint32 FINGERPRINT word per lane
+    (`device_index.kmer_fp`) instead of the lo|hi key pair — the table
+    gathers dominate the kernel's runtime (measured 3.0 of 5.8 ms per
+    8192-read launch), and the fingerprint halves the gathered bytes.
+    Fingerprints can collide (~2^-32 per lane compare), so the SELECTED
+    lane's full lo/hi key is verified afterward (two (B,) element gathers);
+    a mismatch sets ``fp_bad`` and the caller routes the read to the exact
+    host-rescue path — device results stay exact.
+
+    When ``max_probe == 1`` (tables are grown until this holds) the probe
+    is TWO-PHASE: positions [0, PROBE_PHASE_A) for every read, then the
+    tail positions only for reads the first phase left unresolved,
+    compacted to the front and processed in PROBE_GROUP-read while_loop
+    trips (`_probe_encoded`).  Anchors sit at position ~0 for real matching
+    reads, so the expensive (B, P, W) fingerprint gather shrinks to its
+    first S columns plus a data-dependent number of small trips; worst case
+    (every read junk) gathers the same rows as the single-phase probe.
+
+    Returns (has_anchor, anchor, bucket_sel, lane_sel, fp_bad); bucket/lane
+    locate the anchor key's postings span without a per-position gather.
+    Only positions [0, p_limit) are probed.
+    """
+    B, Lmax = reads_i32.shape
+    P = min(Lmax - k + 1, p_limit)
+    W = bkey_fp.shape[1]
+    m, h, lo, hi, hop_sel = _probe_encoded(
+        reads_i32, read_lens, bkey_fp,
+        k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+    )
 
     has_anchor = m > 0
     anchor = jnp.where(

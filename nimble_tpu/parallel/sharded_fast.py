@@ -40,7 +40,7 @@ from nimble_tpu.ops.device_index import (
     span_gather_indices,
 )
 from nimble_tpu.ops.engine_fast import (
-    _probe_bucketed,
+    _probe_encoded,
     _span_walk,
 )
 
@@ -208,49 +208,36 @@ def make_sharded_fast_step(
             | (packed[:, nb + 1].astype(jnp.int32) << 8)
         )
 
-        # local probe over this shard's sub-table (all positions)
+        # local ENCODED probe over this shard's sub-table (two-phase
+        # compacted, shared with the single-chip kernel); the global anchor
+        # is ONE pmax of the (B,) encoded values over the model axis — the
+        # old formulation psum'd a (B, P) per-position hit mask, ~P x more
+        # ICI traffic per launch.  Each key lives on exactly one shard, so
+        # at the winning position only the owner shard matches (fingerprint
+        # collisions on a non-owner shard lose the verification below and
+        # route to host rescue, exactly like single-chip fp collisions).
         P_pos = min(bucket - k + 1, p_limit)
-        lo, hi = _rolling_keys_local(reads_i32[:, : P_pos + k - 1], k)
-        h = _hash_local(lo, hi) & jnp.uint32(bucket_mask)
-        fp = _kmer_fp_local(lo, hi)
-        # fingerprint probe with the encoded lane-max reduction (see
-        # engine_fast._probe_bucketed: any+argmax chains over the W=8
-        # minor axis ran at ~6% lane utilization and dominated the probe)
         W = bkf.shape[1]
-        lane_prio = (
-            jnp.uint32(W) - jnp.arange(W, dtype=jnp.uint32)[None, None, :]
+        m_loc, h, lo, hi, hop_sel = _probe_encoded(
+            reads_i32, read_lens, bkf,
+            k=k, max_probe=max_probe, bucket_mask=bucket_mask,
+            p_limit=p_limit,
         )
-        lane_m = jnp.zeros((B, P_pos), dtype=jnp.uint32)
-        hop_rec = jnp.zeros((B, P_pos), dtype=jnp.uint32)
-        for p in range(max_probe):
-            bidx = (h + jnp.uint32(p)) & jnp.uint32(bucket_mask)
-            bfps = bkf[bidx.astype(jnp.int32)]
-            enc = jnp.where(bfps == fp[:, :, None], lane_prio, 0).max(axis=2)
-            if max_probe == 1:
-                lane_m = enc
-            else:
-                new = (lane_m == 0) & (enc > 0)
-                lane_m = jnp.where(new, enc, lane_m)
-                hop_rec = jnp.where(new, jnp.uint32(p), hop_rec)
-        bucket_rec = ((h + hop_rec) & jnp.uint32(bucket_mask)).astype(jnp.int32)
-        lane_rec = (
-            jnp.where(lane_m > 0, jnp.uint32(W) - lane_m, 0).astype(jnp.int32)
-        )
-        found = lane_m > 0
-        pos_valid = (
-            jnp.arange(P_pos, dtype=jnp.int32)[None, :] + k <= read_lens[:, None]
-        )
-        found = found & pos_valid
-
-        # global anchor: first position found on ANY model shard
-        found_any = jax.lax.psum(found.astype(jnp.int32), "model") > 0
-        has_anchor = found_any.any(axis=1)
-        anchor = jnp.argmax(found_any, axis=1).astype(jnp.int32)
+        m_g = jax.lax.pmax(m_loc, "model")
+        has_anchor = m_g > 0
+        anchor = jnp.where(
+            has_anchor, jnp.uint32(P_pos) - (m_g >> jnp.uint32(8)), 0
+        ).astype(jnp.int32)
+        owner = has_anchor & (m_loc == m_g)
 
         take = lambda a: jnp.take_along_axis(a, anchor[:, None], axis=1)[:, 0]
-        owner = take(found)
-        bucket_sel = take(bucket_rec)
-        lane_sel = take(lane_rec)
+        lane_sel = jnp.where(
+            owner, jnp.uint32(W) - (m_loc & jnp.uint32(0xFF)), 0
+        ).astype(jnp.int32)
+        hop = take(hop_sel) if hop_sel is not None else jnp.uint32(0)
+        bucket_sel = jnp.where(
+            owner, (take(h) + hop) & jnp.uint32(bucket_mask), 0
+        ).astype(jnp.int32)
 
         # exact verification of the owner shard's selected lane
         fp_bad_loc = owner & (
@@ -331,23 +318,6 @@ def make_sharded_fast_step(
 
     return jax.jit(step)
 
-
-def _rolling_keys_local(reads_i32, k: int):
-    from nimble_tpu.ops.engine_xla import _rolling_keys
-
-    return _rolling_keys(reads_i32, k)
-
-
-def _kmer_fp_local(lo, hi):
-    from nimble_tpu.ops.engine_fast import _kmer_fp
-
-    return _kmer_fp(lo, hi)
-
-
-def _hash_local(lo, hi):
-    from nimble_tpu.ops.engine_xla import _hash_kmer
-
-    return _hash_kmer(lo, hi)
 
 
 def sharded_device_arrays(sbidx: ShardedBucketedIndex) -> Tuple:
