@@ -52,7 +52,11 @@ def _kmer_fp(lo, hi):
 # positions, compacted into PROBE_GROUP-read trips of a while_loop.  Real
 # reads anchor at position ~0, so phase B usually runs 0-2 trips and the
 # dominant (B, P, W) table gather shrinks to (B, S, W).
-PROBE_PHASE_A = 16
+# NIMBLE_PROBE_PHASE_A overrides the boundary (0 = single-phase probe);
+# read at import time, like the other kernel-shape knobs.
+import os as _os
+
+PROBE_PHASE_A = int(_os.environ.get("NIMBLE_PROBE_PHASE_A", "16")) or (1 << 30)
 PROBE_GROUP = 1024
 
 
