@@ -307,8 +307,10 @@ def bench_multilib(args, log) -> dict:
     from concurrent.futures import ThreadPoolExecutor
 
     from nimble_tpu import native
+    from nimble_tpu.pipeline.fastq_pipeline import _dispatch_multi
 
     fetcher = ThreadPoolExecutor(max_workers=1)
+    dispatcher = ThreadPoolExecutor(max_workers=1)
 
     def run_once():
         # fresh shared dedupe set per round (pipeline state, not index state)
@@ -317,7 +319,7 @@ def bench_multilib(args, log) -> dict:
         pending = None
 
         def drain(p):
-            pmat, plens, fut, pdd = p
+            pmat, plens, _, _, fut, pdd = p.result()
             if not pmat.shape[0]:
                 return
             for counter, raw in zip(counters, fut.result()):
@@ -325,15 +327,15 @@ def bench_multilib(args, log) -> dict:
                                       prededuped=pdd)
 
         for lo, hi in bounds:
-            cmat, clens, _, _, pdd = multi.dedupe(mat[lo:hi], lens[lo:hi])
-            fut = (
-                submit_transaction(fetcher, multi.dispatch, multi.collect,
-                                   (cmat, clens))
-                if cmat.shape[0] else None
+            # pipelined dispatch (dedupe + pack + upload on its own thread),
+            # matching the FASTQ pipeline's _run_fast_loop discipline
+            fut = dispatcher.submit(
+                _dispatch_multi, multi, fetcher, mat[lo:hi], lens[lo:hi],
+                None, None,
             )
             if pending is not None:
                 drain(pending)
-            pending = (cmat, clens, fut, pdd)
+            pending = fut
         drain(pending)
         return [c.finalize() for c in counters]
 
