@@ -158,7 +158,9 @@ def submit_transaction(fetcher, dispatch_fn, collect_fn, args):
     return fetcher.submit(collect_fn, state)
 
 
-def _group_rows_exact(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+def _group_rows_exact(
+    rows: np.ndarray, _force_lexsort: bool = False
+) -> Tuple[np.ndarray, np.ndarray]:
     """Group identical rows of an (N, W) int64 matrix, exactly.
 
     Returns (gid (N,) group id per row, reps (G,) row index of each group's
@@ -181,7 +183,7 @@ def _group_rows_exact(rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     n_groups = int(gid.max()) + 1 if n else 0
     reps = np.zeros(n_groups, dtype=np.int64)
     reps[gid[::-1]] = np.arange(n - 1, -1, -1)  # first occurrence wins
-    if not (rows == rows[reps[gid]]).all():
+    if _force_lexsort or not (rows == rows[reps[gid]]).all():
         # hash collision (vanishingly rare): exact lexsort grouping
         order = np.lexsort(rows.T[::-1])
         s = rows[order]

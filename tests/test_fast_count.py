@@ -190,3 +190,35 @@ def test_dispatch_tolerates_longer_mate_matrix():
     c2 = FastCounter(engine, ref_obj, cfg)
     c2.add(mat, lens, mmat, mlens)
     assert strip_meta(c2.finalize()) == expected
+
+
+def test_group_rows_exact_hash_and_lexsort_agree():
+    """The collision fallback (lexsort grouping) must produce the same
+    groups and first-occurrence representatives as the hash path."""
+    import numpy as np
+
+    from nimble_tpu.core.fast_count import _group_rows_exact
+
+    rng = np.random.default_rng(5)
+    reps_pool = rng.integers(0, 2**62, (37, 16)).astype(np.int64)
+    rows = reps_pool[rng.integers(0, 37, 5000)]
+    gid_h, reps_h = _group_rows_exact(rows)
+    gid_l, reps_l = _group_rows_exact(rows, _force_lexsort=True)
+    # group ids may be numbered differently; compare the PARTITION and the
+    # representative rows
+    key_h = {}
+    for i, g in enumerate(gid_h):
+        key_h.setdefault(int(g), rows[i].tobytes())
+    key_l = {}
+    for i, g in enumerate(gid_l):
+        key_l.setdefault(int(g), rows[i].tobytes())
+    part_h = [key_h[int(g)] for g in gid_h]
+    part_l = [key_l[int(g)] for g in gid_l]
+    assert part_h == part_l
+    # representatives are FIRST occurrences of their own group, both paths
+    for gid, reps in ((gid_h, reps_h), (gid_l, reps_l)):
+        first = {}
+        for i, g in enumerate(gid):
+            first.setdefault(int(g), i)
+        assert all(int(reps[g]) == first[g] for g in range(len(reps)))
+        np.testing.assert_array_equal(gid[reps], np.arange(len(reps)))
