@@ -118,6 +118,7 @@ def bench_bam(args, log) -> dict:
                     process_fast(
                         [bam], [engine], [reference], [cfg], [out],
                         args.bam_cores, False,
+                        batch_records=args.bam_batch,
                     )
                 else:
                     bam_pipeline.process(
@@ -383,6 +384,9 @@ def main(argv=None) -> int:
     p.add_argument("--bam", action="store_true",
                    help="benchmark the threaded BAM pipeline instead")
     p.add_argument("--bam-groups", type=int, default=16384)
+    p.add_argument("--bam-batch", type=int, default=16384,
+                   help="records per BAM device batch (transaction "
+                        "amortization A/B on the tunnel)")
     p.add_argument("--bam-cores", type=int, default=4,
                    help="num_cores for the BAM pipeline (cores-1 consumers)")
     p.add_argument("--mesh", action="store_true",

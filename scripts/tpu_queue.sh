@@ -20,8 +20,9 @@ run scripts/profile_kernel.py
 run bench.py --timed-rounds 6 --walk abs
 # 4. paired-end
 run bench.py --paired --timed-rounds 6
-# 5. BAM pipeline
+# 5. BAM pipeline (+ device-batch amortization A/B)
 run bench.py --bam --bam-groups 16384
+run bench.py --bam --bam-groups 16384 --bam-batch 49152
 # 6. multi-library single-pass
 run bench.py --libraries 4
 echo "==== queue done $(date) ====" >> "$log"
