@@ -20,6 +20,9 @@ run scripts/profile_kernel.py
 run bench.py --timed-rounds 6 --walk abs
 # 4. paired-end
 run bench.py --paired --timed-rounds 6
+# 4b. chunk-granularity A/B for the 3-stage pipeline (finer chunks = more
+#     overlap; coarser = fewer per-chunk overheads)
+run bench.py --timed-rounds 6 --chunk 65536 --depth 5
 # 5. BAM pipeline (+ device-batch amortization A/B)
 run bench.py --bam --bam-groups 16384
 run bench.py --bam --bam-groups 16384 --bam-batch 49152
