@@ -182,6 +182,12 @@ class DeviceAlignEngine:
         self._s_min_cache: dict = {}
         # bucketized layout for the fast compact path
         self.bidx = build_bucketed_index(index)
+        # one-int32-per-read compact result (HALF the fetched bytes) when
+        # mask + 3 flags + bucket + lane fit below the sign bit
+        self._compact_one_col = (
+            self.bidx.width <= 8
+            and self.c_max + 6 + (self.bidx.n_buckets - 1).bit_length() <= 31
+        )
         self._dev_fast = {
             "bkey_lo": jnp.asarray(self.bidx.bkey_lo),
             "bkey_fp": jnp.asarray(self.bidx.bkey_fp),
@@ -396,7 +402,15 @@ class DeviceAlignEngine:
             raw = np.asarray(
                 outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
             )
-            out = unpack_compact(raw.reshape(-1, raw.shape[-1]))
+            if self._compact_one_col:
+                from nimble_tpu.ops.engine_fast import unpack_compact_one
+
+                out = unpack_compact_one(
+                    raw.reshape(-1, raw.shape[-1]), self.c_max,
+                    self.bidx.n_buckets - 1, self.bidx.bstart,
+                )
+            else:
+                out = unpack_compact(raw.reshape(-1, raw.shape[-1]))
             # exact-f64 entropy gate on host (`src/align.rs:960`); the
             # kernel's passed/needs_host bits exclude it by design
             nb = (bucket + 3) // 4
@@ -684,6 +698,7 @@ class DeviceAlignEngine:
             ref_pad=self.bidx.ref_pad,
             bucket=bucket,
             use_pallas=self.use_pallas_walk,
+            one_col=self._compact_one_col,
         )
 
     def decode_combo(self, astart: int, mask: int) -> List[int]:

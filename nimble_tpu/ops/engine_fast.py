@@ -759,6 +759,7 @@ def _probe_walk_filter_impl(
     p_limit: int,
     ref_pad: int,
     use_pallas: bool = False,
+    one_col: bool = False,
 ):
     """Shared body: full pseudoalign filter chain on device, packed result."""
     B, Lmax = reads_i32.shape
@@ -823,6 +824,23 @@ def _probe_walk_filter_impl(
     mask = jnp.where(live, lane, 0).sum(axis=1)
     needs_host = (has_anchor & overflow) | fp_bad
 
+    if one_col:
+        # HALF the fetch bytes: ship (bucket, lane) instead of astart and
+        # pack everything into ONE int32 per read — the host recovers
+        # astart from its own bstart table copy (unpack_compact_one).
+        # Enabled by the engine only when c_max + 6 + log2(n_buckets) <= 31
+        # (sign bit untouched).
+        nbits = int(bucket_mask).bit_length()
+        val = (
+            mask
+            | ((passed & ~needs_host).astype(jnp.int32) << c_max)
+            | (needs_host.astype(jnp.int32) << (c_max + 1))
+            | (has_anchor.astype(jnp.int32) << (c_max + 2))
+            | (bucket_sel << (c_max + 3))
+            | (lane_sel << (c_max + 3 + nbits))
+        )
+        return val[:, None]
+
     # ONE fetched array per kernel call: remote tunnels charge ~45ms of
     # latency per device->host fetch, so the 5 logical outputs are packed
     # into an int32 (B, 2) matrix (col 0 = astart; col 1 = mask | flag bits).
@@ -838,7 +856,7 @@ def _probe_walk_filter_impl(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "one_col"),
 )
 def probe_walk_filter_packed_chunked(
     packed3,
@@ -856,6 +874,7 @@ def probe_walk_filter_packed_chunked(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    one_col: bool = False,
 ):
     """Sub-batched compact kernel in ONE jit: ``packed3`` is
     (n_sub, lb, ceil(bucket/4)+2) and `lax.map` runs the fixed-size body per
@@ -880,6 +899,7 @@ def probe_walk_filter_packed_chunked(
             discard_multiple, discard_nonzero,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
             p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+            one_col=one_col,
         )
 
     if packed3.shape[0] == 1:
@@ -1112,6 +1132,29 @@ def unpack_compact(packed: "np.ndarray"):
         "passed": (flags & COMPACT_PASSED_BIT) != 0,
         "needs_host": (flags & COMPACT_NEEDS_HOST_BIT) != 0,
         "has_anchor": (flags & COMPACT_HAS_ANCHOR_BIT) != 0,
+    }
+
+
+def unpack_compact_one(packed: "np.ndarray", c_max: int, bucket_mask: int,
+                       bstart: "np.ndarray"):
+    """Host-side unpack of the ONE-int32-per-read compact result.
+
+    Layout (see `_probe_walk_filter_impl` one_col): mask | passed |
+    needs_host | has_anchor | bucket_sel | lane_sel.  ``astart`` is
+    recovered from the host's own copy of the bucket span table — shipping
+    (bucket, lane) instead of astart HALVES the fetched bytes."""
+    import numpy as np
+
+    nbits = int(bucket_mask).bit_length()
+    v = packed[:, 0]
+    bucket = (v >> (c_max + 3)) & bucket_mask
+    lane = (v >> (c_max + 3 + nbits)) & 7
+    return {
+        "astart": bstart[bucket, lane].astype(np.int64),
+        "mask": (v & ((1 << c_max) - 1)).astype(np.int32),
+        "passed": ((v >> c_max) & 1) != 0,
+        "needs_host": ((v >> (c_max + 1)) & 1) != 0,
+        "has_anchor": ((v >> (c_max + 2)) & 1) != 0,
     }
 
 

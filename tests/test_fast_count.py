@@ -222,3 +222,46 @@ def test_group_rows_exact_hash_and_lexsort_agree():
             first.setdefault(int(g), i)
         assert all(int(reps[g]) == first[g] for g in range(len(reps)))
         np.testing.assert_array_equal(gid[reps], np.arange(len(reps)))
+
+
+def test_one_col_compact_matches_two_col():
+    """The one-int32 compact result (bucket/lane shipped, astart recovered
+    host-side) must match the (B, 2) astart/flags result exactly."""
+    import numpy as np
+
+    from nimble_tpu.config import AlignFilterConfig
+    from nimble_tpu.index.build import build_index
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.utils.dna import encode_bases
+
+    rng = np.random.default_rng(9)
+    feats = ["".join(rng.choice(list("ACGT"), size=300)) for _ in range(10)]
+    index = build_index(feats)
+    cfg = AlignFilterConfig(
+        reference_genome_size=len(feats), score_percent=0.2,
+        score_threshold=32, num_mismatches=1, max_hits_to_report=10,
+    )
+    engine = DeviceAlignEngine(index, cfg)
+    assert engine._compact_one_col  # small table: packing must fit
+
+    L = 96
+    reads = []
+    for _ in range(300):
+        f = int(rng.integers(0, len(feats)))
+        start = int(rng.integers(0, 300 - L))
+        r = encode_bases(feats[f])[start : start + L].copy()
+        if rng.random() < 0.3:
+            p = int(rng.integers(0, L))
+            r[p] = (r[p] + 1) % 4
+        reads.append(r)
+    for _ in range(30):
+        reads.append(rng.integers(0, 4, L).astype(np.int8))
+    mat = np.stack(reads)
+    lens = np.full(len(reads), L, dtype=np.int32)
+
+    got = engine.align_raw_compact_from_matrix(mat, lens)
+    engine._compact_one_col = False
+    want = engine.align_raw_compact_from_matrix(mat, lens)
+    for key in want:
+        sel = want["passed"] | want["needs_host"] if key == "astart" else slice(None)
+        np.testing.assert_array_equal(got[key][sel], want[key][sel], err_msg=key)
