@@ -508,12 +508,19 @@ def _span_walk_abs_packed(
 
     zeros = jnp.zeros(B, dtype=jnp.int32)
     w_idx = jnp.arange(NWr, dtype=jnp.int32)
+    # provably inert words are skipped: forward steps need p >= anchor + k
+    # >= k (words < k//16 never activate); left steps need p < anchor <=
+    # P-1 (words past position P-2 never activate)
+    w_f0 = min(k // 16, NWr)
+    P_full = Lmax - k + 1
+    wl = min(max((P_full - 2) // 16 + 1, 0), NWr)
     (live_cb, f_score, f_mm), _ = jax.lax.scan(
-        make_step(True), (live_cb, zeros, zeros), (mbits_w, w_idx)
+        make_step(True), (live_cb, zeros, zeros),
+        (mbits_w[w_f0:], w_idx[w_f0:]),
     )
     (live_cb, l_score, l_mm), _ = jax.lax.scan(
         make_step(False), (live_cb, zeros, zeros),
-        (mbits_w[::-1], w_idx[::-1]),
+        (mbits_w[:wl][::-1], w_idx[:wl][::-1]),
     )
     return (
         jnp.moveaxis(live_cb, 0, 1),
