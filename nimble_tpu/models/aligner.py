@@ -151,6 +151,7 @@ class DeviceAlignEngine:
         phase_a_positions: int = 8,
         launch_batch: int = 8192,
         use_pallas_walk: bool = False,
+        pad_launches: Optional[bool] = None,
     ):
         self.index = index
         self.config = config
@@ -165,10 +166,14 @@ class DeviceAlignEngine:
         self.launch_batch = int(launch_batch)
         # on accelerators, small batches pad UP to the launch shape: each
         # extra executable shape costs tens of seconds of tunnel compile,
-        # vs ~ms of wasted lanes (CPU tests keep the cheap pow2 sizing)
+        # vs ~ms of wasted lanes (CPU tests keep the cheap pow2 sizing).
+        # ``pad_launches`` overrides the backend default explicitly (e.g.
+        # the multichip dryrun exercises the padding discipline on CPU).
         import jax as _jax
 
-        self._pad_launches = _jax.default_backend() != "cpu"
+        if pad_launches is None:
+            pad_launches = _jax.default_backend() != "cpu"
+        self._pad_launches = bool(pad_launches)
         if self._pad_launches:
             warm_transfer_path()
         # False = packed XLA walk; "abs" = legacy unpacked XLA walk;

@@ -60,6 +60,7 @@ class MeshAlignEngine:
         buckets: Sequence[int] = DEFAULT_BUCKETS,
         min_batch: int = 64,
         launch_batch: int = 8192,
+        pad_launches: Optional[bool] = None,
     ):
         self.index = index
         self.config = config
@@ -76,7 +77,11 @@ class MeshAlignEngine:
         self.mesh = mesh
         self.data_shards = mesh.shape["data"]
         model_shards = mesh.shape["model"]
-        self._pad_launches = jax.default_backend() != "cpu"
+        # explicit override for the backend-default launch padding (the
+        # multichip dryrun exercises the padding discipline on CPU meshes)
+        if pad_launches is None:
+            pad_launches = jax.default_backend() != "cpu"
+        self._pad_launches = bool(pad_launches)
 
         # degenerate 1x1 mesh: single chip, no partitioning — delegate to
         # the single-chip engine so no shard_map/collective machinery is
@@ -89,6 +94,7 @@ class MeshAlignEngine:
             self._delegate = DeviceAlignEngine(
                 index, config, c_max=c_max, buckets=buckets,
                 min_batch=min_batch, launch_batch=launch_batch,
+                pad_launches=pad_launches,
             )
             self.bidx = self._delegate.bidx
             return

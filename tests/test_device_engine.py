@@ -143,8 +143,7 @@ def test_padded_launch_shape_matches_pow2():
     )
     index = build_index(doubled)
     e_pow2 = DeviceAlignEngine(index, cfg)
-    e_pad = DeviceAlignEngine(index, cfg)
-    e_pad._pad_launches = True
+    e_pad = DeviceAlignEngine(index, cfg, pad_launches=True)
 
     reads = [encode_bases(feats[i % 4][10:80]) for i in range(7)]
     mat, lens = pack_matrix(reads)
