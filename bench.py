@@ -143,6 +143,83 @@ def bench_bam(args, log) -> dict:
     }
 
 
+def bench_e2e(args, log) -> dict:
+    """From-disk end-to-end FASTQ bench: parse -> align -> count -> TSV.
+
+    The kernel-path headline feeds in-memory matrices; the reference's
+    FASTQ number includes file ingest and output write
+    (`src/process/fastq.rs:7-30`).  This mode writes the SAME synthetic
+    workload to a real FASTQ on tmpfs and times the actual pipeline
+    (`nimble_tpu.pipeline.fastq_pipeline.process`), so the two rates are
+    directly comparable.
+    """
+    import contextlib
+    import io as _io
+    import os
+    import tempfile
+    import time as _time
+
+    from nimble_tpu.models.aligner import DeviceAlignEngine
+    from nimble_tpu.pipeline.fastq_pipeline import process
+
+    index, reference, cfg, mat, lens = build_workload(
+        n_features=args.features, feat_len=args.feat_len, n_reads=args.reads)
+    d = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
+    fq = os.path.join(d, f"nimble_bench_e2e_{os.getpid()}.fastq")
+    out = os.path.join(d, f"nimble_bench_e2e_{os.getpid()}.tsv")
+    try:
+        N, L = mat.shape
+        base = np.frombuffer(b"ACGT", dtype=np.uint8)
+        seq = base[mat.astype(np.int64)]
+        qline = b"I" * L
+        t0 = _time.time()
+        with open(fq, "wb") as f:
+            slab = 65536
+            for lo in range(0, N, slab):
+                body = bytearray()
+                sl = seq[lo:min(N, lo + slab)]
+                for i in range(sl.shape[0]):
+                    body += b"@r%d\n" % (lo + i)
+                    body += sl[i].tobytes()
+                    body += b"\n+\n"
+                    body += qline
+                    body += b"\n"
+                f.write(body)
+        log(f"wrote {os.path.getsize(fq)/1e6:.1f} MB FASTQ in "
+            f"{_time.time()-t0:.1f}s")
+
+        engine = DeviceAlignEngine(index, cfg)
+
+        def run():
+            if os.path.exists(out):
+                os.remove(out)
+            with contextlib.redirect_stdout(_io.StringIO()) as cap:
+                process([fq], [engine], [reference], [cfg], [out],
+                        chunk_reads=args.chunk)
+            return cap.getvalue()
+
+        run()  # warmup: compiles + tunnel setup
+        times = []
+        for r in range(args.timed_rounds):
+            t0 = _time.time()
+            stages = run()
+            dt = _time.time() - t0
+            times.append(dt)
+            log(f"e2e round {r}: {dt:.3f}s -> {args.reads/dt:,.0f} reads/s")
+        log("pipeline stage meter (last round):", stages.strip())
+        rps = args.reads / min(times)
+        return {
+            "metric": "fastq_e2e_from_disk_reads_per_sec_per_chip",
+            "value": round(rps, 1),
+            "unit": "reads/s",
+            "vs_baseline": round(rps / RUST_BASELINE_READS_PER_SEC, 2),
+        }
+    finally:
+        for pth in (fq, out):
+            if os.path.exists(pth):
+                os.remove(pth)
+
+
 def bench_multihost_cpu(args, log) -> dict:
     """Multi-host overhead ratio on ONE machine: N coordinated
     `jax.distributed` CLI processes, each pinned to a disjoint 1/N of the
@@ -392,6 +469,10 @@ def main(argv=None) -> int:
     p.add_argument("--mesh", action="store_true",
                    help="run the FASTQ bench through MeshAlignEngine "
                         "(single-chip-degenerate mesh on 1 device)")
+    p.add_argument("--e2e", action="store_true",
+                   help="from-disk end-to-end FASTQ bench (parse -> align "
+                        "-> count -> TSV), comparable to the reference's "
+                        "fastq path")
     p.add_argument("--paired", action="store_true",
                    help="paired-end FASTQ workload (R2 = revcomp fragments)")
     p.add_argument("--multihost-cpu", type=int, default=0,
@@ -403,6 +484,9 @@ def main(argv=None) -> int:
     # wire serializes transactions, so deeper helps little; 65k chunks hurt)
     p.add_argument("--depth", type=int, default=3,
                    help="max chunks in flight (drain when this many pend)")
+    p.add_argument("--launch-batch", type=int, default=8192,
+                   help="fixed kernel sub-launch size (per-launch overhead "
+                        "amortization A/B; each size compiles once)")
     p.add_argument("--verbose", action="store_true")
     args = p.parse_args(argv)
 
@@ -467,6 +551,9 @@ def main(argv=None) -> int:
     if args.bam:
         print(json.dumps({**bench_bam(args, log), **_base_note, **backend_note}))
         return 0
+    if args.e2e:
+        print(json.dumps({**bench_e2e(args, log), **_base_note, **backend_note}))
+        return 0
     if args.libraries:
         print(json.dumps({**bench_multilib(args, log), **_base_note, **backend_note}))
         return 0
@@ -497,6 +584,7 @@ def main(argv=None) -> int:
             index, cfg,
             use_pallas_walk={"scan": False, "abs": "abs", "pallas": True,
                              "fused": "fused"}[args.walk],
+            launch_batch=args.launch_batch,
         )
 
     n_chunks = max(1, args.reads // args.chunk)

@@ -81,6 +81,9 @@ class KmerIndex:
     postings_rows: np.ndarray
     postings_offs: np.ndarray
     num_kmers: int = 0
+    # rows flagged in the tandem-repeat divergence class (docs/SEMANTICS.md);
+    # populated by build_index via detect_tandem_repeat_rows
+    repeat_rows: np.ndarray = None
 
     def lookup(self, key: int) -> np.ndarray | None:
         i = int(np.searchsorted(self.keys_sorted, np.uint64(key)))
@@ -133,6 +136,45 @@ def _row_keys(codes: np.ndarray, k: int) -> np.ndarray:
     if keys is None:
         keys = pack_kmer_keys(codes, k)
     return keys
+
+
+def detect_tandem_repeat_rows(
+    postings_rows: np.ndarray,
+    postings_offs: np.ndarray,
+    post_starts: np.ndarray,
+    k: int,
+) -> np.ndarray:
+    """Rows in the documented walk-semantics divergence class.
+
+    docs/SEMANTICS.md isolates the ONE input structure where the shipped
+    positional walk can differ from a kallisto-style color intersection
+    (the unfetchable `debruijn_mapping` crate's family): a row holding a
+    tandem repeat with period p <= k and run length >= k + p, which
+    contains every k-mer of an arbitrarily long in-phase read without
+    spanning it.  That condition is EXACTLY "some k-mer occurs twice in
+    the row at offset distance <= k": codes[i..i+k) == codes[i+p..i+p+k)
+    iff codes[j] == codes[j+p] for all j in [i, i+k), i.e. a period-p
+    match run of length k, i.e. a repeat run spanning k + p bases.
+
+    The sorted postings already group each key's (row, offset) occurrences
+    row-major / offset-ascending, so the minimal same-row distance for any
+    key is realized by CONSECUTIVE postings — one vectorized pass over the
+    postings arrays finds every flagged row (O(num_kmers), no rescan of
+    the sequences).
+
+    Returns the sorted unique row ids in the divergence class.
+    """
+    total = len(postings_rows)
+    if total < 2:
+        return np.empty(0, dtype=np.int32)
+    same_key = np.ones(total - 1, dtype=bool)
+    # posting-span boundaries: positions where a new key starts
+    starts = np.asarray(post_starts[1:-1], dtype=np.int64)
+    same_key[starts - 1] = False
+    same_row = postings_rows[1:] == postings_rows[:-1]
+    near = (postings_offs[1:] - postings_offs[:-1]) <= k
+    hits = same_key & same_row & near
+    return np.unique(postings_rows[:-1][hits])
 
 
 def build_index(
@@ -188,6 +230,23 @@ def build_index(
         postings_rows = np.empty(0, dtype=np.int32)
         postings_offs = np.empty(0, dtype=np.int32)
 
+    repeat_rows = detect_tandem_repeat_rows(
+        postings_rows, postings_offs, post_starts, k
+    )
+    if len(repeat_rows):
+        import warnings
+
+        warnings.warn(
+            f"{len(repeat_rows)} library row(s) contain tandem repeats with "
+            f"period <= k={k} (row ids {repeat_rows[:8].tolist()}"
+            f"{', ...' if len(repeat_rows) > 8 else ''}): reads lying inside "
+            "such repeats are the one input class where this tool's "
+            "positional walk may report a SUBSET of the upstream "
+            "pseudoaligner's eq class (never a superset; see "
+            "docs/SEMANTICS.md, 'The one divergence class').",
+            stacklevel=2,
+        )
+
     return KmerIndex(
         k=k,
         row_codes=row_codes,
@@ -197,4 +256,5 @@ def build_index(
         postings_rows=postings_rows,
         postings_offs=postings_offs,
         num_kmers=total,
+        repeat_rows=repeat_rows,
     )

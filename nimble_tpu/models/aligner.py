@@ -22,6 +22,10 @@ from __future__ import annotations
 from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
+import os as _os_af
+
+# NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
+_ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
 import jax
 import jax.numpy as jnp
@@ -386,7 +390,20 @@ class DeviceAlignEngine:
                     self._launch_chunked_kernel(buf_dev[i : i + 1], bucket)
                     for i in range(n_sub)
                 ]
-                launches.append((bucket, sel, m, outs, buf, blens))
+                # device-side concat NOW and start the device->host copy
+                # immediately: the result streams back as soon as the
+                # kernels finish, so compact_collect's np.asarray finds the
+                # bytes already local instead of paying a synchronous
+                # tunnel round-trip (~25 ms) per chunk
+                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=0
+                )
+                if _ASYNC_FETCH:
+                    try:
+                        out_dev.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — backend-optional
+                        pass
+                launches.append((bucket, sel, m, out_dev, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -402,11 +419,11 @@ class DeviceAlignEngine:
         passed = np.zeros(n, dtype=bool)
         needs_host = state["needs_host"]
 
-        for bucket, sel, m, outs, buf, blens in state["launches"]:
-            # ONE fetch per bucket batch (device-concat of the sub-launches)
-            raw = np.asarray(
-                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-            )
+        for bucket, sel, m, out_dev, buf, blens in state["launches"]:
+            # ONE fetch per bucket batch; the dispatch already concatenated
+            # on device and started the host copy, so this is usually a
+            # local read rather than a tunnel round-trip
+            raw = np.asarray(out_dev)
             if self._compact_one_col:
                 from nimble_tpu.ops.engine_fast import unpack_compact_one
 
@@ -497,7 +514,16 @@ class DeviceAlignEngine:
                     )
                     for i in range(n_sub)
                 ]
-                launches.append((sel, m, outs, buf, bucket))
+                # concat + async host copy at dispatch (see compact_dispatch)
+                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=0
+                )
+                if _ASYNC_FETCH:
+                    try:
+                        out_dev.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — backend-optional
+                        pass
+                launches.append((sel, m, out_dev, buf, bucket))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 
@@ -555,10 +581,8 @@ class DeviceAlignEngine:
         for i in np.flatnonzero(state["host_rescue"]):
             host_align(i)
 
-        for sel, m, outs, buf, bucket in state["launches"]:
-            raw = np.asarray(
-                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-            )                                   # ONE fetch per bucket batch
+        for sel, m, out_dev, buf, bucket in state["launches"]:
+            raw = np.asarray(out_dev)           # ONE fetch per bucket batch
             out = unpack_full_packed(raw.reshape(-1, raw.shape[-1]))
             sub_lens = lens[sel]
             # exact-f64 entropy gate from the packed (trim-zeroed) buffer

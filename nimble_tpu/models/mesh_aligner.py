@@ -18,6 +18,10 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
+import os as _os_af
+
+# NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
+_ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
 import jax
 import jax.numpy as jnp
@@ -202,7 +206,17 @@ class MeshAlignEngine:
                         step(buf[i : i + lb], *self._dev, s_min)
                         for i in range(0, B, lb)
                     ]
-                launches.append((bucket, sel, m, outs, buf, blens))
+                # concat + async host copy at dispatch (see
+                # DeviceAlignEngine.compact_dispatch): hides the fetch RTT
+                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=0
+                )
+                if _ASYNC_FETCH:
+                    try:
+                        out_dev.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — backend-optional
+                        pass
+                launches.append((bucket, sel, m, out_dev, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -218,10 +232,8 @@ class MeshAlignEngine:
         needs_host = state["needs_host"]
         from nimble_tpu.models.aligner import entropy_pass_packed
 
-        for bucket, sel, m, outs, buf, blens in state["launches"]:
-            packed = np.asarray(
-                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-            )                                   # ONE fetch per bucket batch
+        for bucket, sel, m, out_dev, buf, blens in state["launches"]:
+            packed = np.asarray(out_dev)        # ONE fetch per bucket batch
             flags = packed[:m, 1]
             a = packed[:m, 0].astype(np.int64)
             mk = (flags & 0xFFFF).astype(np.int32)

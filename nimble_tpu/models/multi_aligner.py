@@ -19,6 +19,10 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import numpy as np
+import os as _os_af
+
+# NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
+_ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
 import jax.numpy as jnp
 
@@ -233,7 +237,17 @@ class MultiLibraryDispatcher:
                     )
                     for i in range(n_sub)
                 ]
-                launches.append((bucket, sel, m, outs, buf, blens))
+                # concat + async host copy at dispatch (see
+                # DeviceAlignEngine.compact_dispatch): hides the fetch RTT
+                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=0
+                )
+                if _ASYNC_FETCH:
+                    try:
+                        out_dev.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — backend-optional
+                        pass
+                launches.append((bucket, sel, m, out_dev, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
 
@@ -300,7 +314,15 @@ class MultiLibraryDispatcher:
                     )
                     for i in range(n_sub)
                 ]
-                launches.append((sel, m, outs, buf, bucket))
+                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
+                    outs, axis=0
+                )
+                if _ASYNC_FETCH:
+                    try:
+                        out_dev.copy_to_host_async()
+                    except Exception:  # noqa: BLE001 — backend-optional
+                        pass
+                launches.append((sel, m, out_dev, buf, bucket))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 
@@ -310,17 +332,15 @@ class MultiLibraryDispatcher:
         L = len(self.engines)
         # fetch each bucket batch once: (n_sub, L, lb, 3)
         raws = [
-            np.asarray(
-                outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
-            )
-            for (_sel, _m, outs, _buf, _bucket) in state["launches"]
+            np.asarray(out_dev)
+            for (_sel, _m, out_dev, _buf, _bucket) in state["launches"]
         ]
         results = []
         for li, e in enumerate(self.engines):
             lib_state = dict(state)
             lib_state["launches"] = [
-                (sel, m, [np.ascontiguousarray(raw[:, li])], buf, bucket)
-                for (sel, m, _outs, buf, bucket), raw
+                (sel, m, np.ascontiguousarray(raw[:, li]), buf, bucket)
+                for (sel, m, _out, buf, bucket), raw
                 in zip(state["launches"], raws)
             ]
             results.append(e.full_collect(lib_state))
@@ -341,12 +361,9 @@ class MultiLibraryDispatcher:
         ]
         from nimble_tpu.models.aligner import entropy_pass_packed
 
-        for bucket, sel, m, sub_outs, buf, blens in state["launches"]:
+        for bucket, sel, m, out_dev, buf, blens in state["launches"]:
             # (n_sub, L, lb, 2): one fetch per bucket batch
-            raw = np.asarray(
-                sub_outs[0] if len(sub_outs) == 1
-                else jnp.concatenate(sub_outs, axis=0)
-            )
+            raw = np.asarray(out_dev)
             raw = np.swapaxes(raw, 0, 1).reshape(L, -1, raw.shape[-1])
             nb = (bucket + 3) // 4
             ent_ok = entropy_pass_packed(buf, m, blens, nb)

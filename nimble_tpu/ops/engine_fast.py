@@ -56,8 +56,21 @@ def _kmer_fp(lo, hi):
 # read at import time, like the other kernel-shape knobs.
 import os as _os
 
-PROBE_PHASE_A = int(_os.environ.get("NIMBLE_PROBE_PHASE_A", "16")) or (1 << 30)
+# default 8 (was 16): same-window A/B on hardware measured the full
+# 8192x96 kernel at 4.33 ms (S=8) vs 4.63 ms (S=16) vs 5.64 ms
+# (single-phase) — scripts/ab_kernel_knobs.py, round 4
+PROBE_PHASE_A = int(_os.environ.get("NIMBLE_PROBE_PHASE_A", "8")) or (1 << 30)
 PROBE_GROUP = 1024
+
+# NIMBLE_FENCES=0 drops the optimization_barrier stage fences (A/B knob:
+# the fences were added when the fully-fused kernel compiled ~6x slower on
+# the TPU backend; the kernel has changed shape since, so the trade is
+# re-measurable without code edits).
+_FENCES = _os.environ.get("NIMBLE_FENCES", "1") != "0"
+
+
+def _fence(x):
+    return jax.lax.optimization_barrier(x) if _FENCES else x
 
 
 def _probe_encoded(
@@ -336,7 +349,7 @@ def _span_walk_abs(
     ref_span = _unpack_span(words, phase, Lmax).reshape(B, C, Lmax)
 
     match_full = ref_span == reads_i32[:, None, :]            # (B, C, Lmax)
-    match_full = jax.lax.optimization_barrier(match_full)
+    match_full = _fence(match_full)
 
     # candidate position at read pos p is off - anchor + p
     base_off = offs - anchor[:, None]                          # (B, C)
@@ -470,7 +483,7 @@ def _span_walk_abs_packed(
     x = aligned ^ rw[:, None, :]
     y = x | (x >> jnp.uint32(1))
     mbits = (~y) & jnp.uint32(0x55555555)                 # bit 2i = match
-    mbits = jax.lax.optimization_barrier(mbits)
+    mbits = _fence(mbits)
 
     base_cb = jnp.moveaxis(offs - anchor[:, None], 1, 0)  # (C, B)
     rlen_cb = jnp.moveaxis(row_lengths[rows], 1, 0)
@@ -604,7 +617,7 @@ def _span_walk_rel(
     # TPU compiler's time grows superlinearly when these fuse (600s for the
     # whole kernel at 64k reads vs ~100s as fenced stages; runtime cost of
     # the barrier is microseconds)
-    match_full, read_span = jax.lax.optimization_barrier((match_full, read_span))
+    match_full, read_span = _fence((match_full, read_span))
 
     t_idx = jnp.arange(T, dtype=jnp.int32)
     r_len = row_lengths[rows]
@@ -777,10 +790,8 @@ def _probe_walk_filter_impl(
     )
     # stage fence (see _span_walk): probe | walk | filters compile ~6x
     # faster unfused on the TPU backend
-    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = (
-        jax.lax.optimization_barrier(
-            (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
-        )
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _fence(
+        (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
@@ -799,9 +810,7 @@ def _probe_walk_filter_impl(
         l_steps=min(p_limit - 1, Lmax - k),
         use_pallas=use_pallas,
     )
-    live, walk_score, walk_mm = jax.lax.optimization_barrier(
-        (live, walk_score, walk_mm)
-    )
+    live, walk_score, walk_mm = _fence((live, walk_score, walk_mm))
     score = jnp.where(has_anchor, k + walk_score, 0)
     mm = jnp.where(has_anchor, walk_mm, 0)
 
@@ -1255,10 +1264,8 @@ def _probe_walk_full_impl(
         reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
     )
-    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = (
-        jax.lax.optimization_barrier(
-            (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
-        )
+    has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _fence(
+        (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)

@@ -30,7 +30,7 @@ def main() -> int:
     # warm
     jax.block_until_ready(jax.device_put(jnp.asarray(fresh(1 << 20))))
 
-    def best_of(fn, reps=4):
+    def best_of(fn, reps=2):
         best = 1e9
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -39,9 +39,9 @@ def main() -> int:
         return best
 
     print("-- upload bandwidth vs transfer size --")
-    for mb in (0.0625, 0.25, 1, 4, 16):
+    for mb in (0.25, 1, 4):
         nb = int(mb * (1 << 20))
-        bufs = [fresh(nb) for _ in range(max(1, int(8 / mb)))]
+        bufs = [fresh(nb) for _ in range(max(1, int(4 / mb)))]
 
         def up():
             ds = [jax.device_put(jnp.asarray(b)) for b in bufs]
@@ -53,9 +53,9 @@ def main() -> int:
               f"({t/len(bufs)*1e3:6.1f} ms/transfer)")
 
     print("-- download bandwidth vs transfer size --")
-    for mb in (0.0625, 0.25, 1, 4):
+    for mb in (0.25, 1):
         nb = int(mb * (1 << 20))
-        n = max(1, int(8 / mb))
+        n = max(1, int(4 / mb))
         devs = [jax.device_put(jnp.asarray(fresh(nb))) for _ in range(n)]
         jax.block_until_ready(devs)
 
