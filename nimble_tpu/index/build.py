@@ -241,9 +241,9 @@ def build_index(
             f"period <= k={k} (row ids {repeat_rows[:8].tolist()}"
             f"{', ...' if len(repeat_rows) > 8 else ''}): reads lying inside "
             "such repeats are the one input class where this tool's "
-            "positional walk may report a SUBSET of the upstream "
-            "pseudoaligner's eq class (never a superset; see "
-            "docs/SEMANTICS.md, 'The one divergence class').",
+            "positional walk may report a different eq class than the "
+            "upstream pseudoaligner (see docs/SEMANTICS.md, 'The one "
+            "divergence class').",
             stacklevel=2,
         )
 

@@ -232,6 +232,39 @@ def test_tandem_repeat_divergence_exactly_as_documented():
     _assert_agree(seqs, [U * 4, (U * 5)[2:38]], ctx="short repeat")
 
 
+def test_repeat_cycle_nonsubset_divergence_pinned():
+    """Round-4 refinement: INSIDE the tandem-repeat class the containment
+    invariants themselves can fail — the models can return DISJOINT eq
+    classes (docs/SEMANTICS.md, 'Scope refinement').
+
+    r0 = U*6 is pure repeat; r1 = U*4 + unique tail; the read walks 60
+    repeat bases then 5 bases of r1's tail.  Positional: the live set
+    narrows to r0 during the repeat (r1's candidates hit its tail boundary
+    mid-repeat and drop), r0 exhausts at 60 matched bases, the walk ends
+    -> ([r0], 60, 0) — it never reaches the tail.  Graph: the repeat
+    k-mers form a CYCLE, so the walk keeps matching past r0's physical
+    end, then takes r1's repeat->tail junction edge; the intersection
+    drops r0 for lacking tail k-mers -> ([r1], 65, 0).  DISJOINT eq
+    classes, both with zero mismatches.  Anchor agreement must still
+    hold.  This pins the counterexample so any change to either model is
+    deliberate.
+    """
+    U = "AAAATTGAAC"  # period 10
+    r0 = U * 6
+    r1 = U * 4 + "CCAGGAACCTGCCGGAGTTTCCGGGTCTAATTCACATGGA"
+    seqs = [r0, r1]
+    index = build_index(seqs)
+    graph = ColoredDbg(seqs)
+    read = U * 6 + "CCAGG"
+    lin = _linear(read, index)
+    g = cdbg_map_read(read, graph)
+    assert lin is not None and g is not None  # anchor agreement
+    assert lin == ([0], 60, 0), lin
+    assert g == ([1], 65, 0), g
+    # disjoint: the old subset invariant genuinely fails inside this class
+    assert not set(lin[0]) <= set(g[0])
+
+
 def test_row_end_continuation_divergence_bounded():
     """Linear walk ends at R0's row end; the graph walk can continue along
     R1's scattered continuation.  Divergence bounded by the invariants."""
