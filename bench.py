@@ -464,7 +464,9 @@ def main(argv=None) -> int:
     p.add_argument("--bam-batch", type=int, default=16384,
                    help="records per BAM device batch (transaction "
                         "amortization A/B on the tunnel)")
-    p.add_argument("--bam-cores", type=int, default=4,
+    # 3 = 2 consumers: on the 4-core TPU host, 3 consumers + producer +
+    # logger oversubscribe (same-window A/B, scripts/ab_bam_knobs.py)
+    p.add_argument("--bam-cores", type=int, default=3,
                    help="num_cores for the BAM pipeline (cores-1 consumers)")
     p.add_argument("--mesh", action="store_true",
                    help="run the FASTQ bench through MeshAlignEngine "
