@@ -354,7 +354,7 @@ class MeshAlignEngine:
                 | (((col1 >> 17) & 1) << 17)
             )
             conv = np.stack([raw[:, 0], full_col1, raw[:, 2]], axis=1)
-            launches.append((sel, m, [conv], buf, bucket))
+            launches.append((sel, m, conv, buf, bucket))
         lib_state = dict(state)
         lib_state["launches"] = launches
         return DeviceAlignEngine.full_collect(self, lib_state)

@@ -288,12 +288,20 @@ class MultiLibraryDispatcher:
             for bi in np.unique(bucket_idx[eligible]):
                 bucket = int(bucket_arr[bi])
                 sel = np.flatnonzero(eligible & (bucket_idx == bi))
-                m = len(sel)
                 lb = self.launch_batch
-                B = self._launch_B(m)
-                buf = DeviceAlignEngine._pack_reads(
-                    mat_z[sel], lens[sel], bucket, B
+                # pre-upload dedupe, shared across libraries (the packed
+                # row is library-independent; see
+                # DeviceAlignEngine.full_dispatch)
+                from nimble_tpu.models.aligner import dedupe_packed_rows
+
+                buf_all = DeviceAlignEngine._pack_reads(
+                    mat_z[sel], lens[sel], bucket, len(sel)
                 )
+                first, inv = dedupe_packed_rows(buf_all)
+                m = len(first)
+                B = self._launch_B(m)
+                buf = np.zeros((B, buf_all.shape[1]), dtype=np.uint8)
+                buf[:m] = buf_all[first]
                 n_sub = (B + lb - 1) // lb
                 buf_dev = self._place_buf(
                     buf.reshape(n_sub, min(B, lb), buf.shape[1])
@@ -322,7 +330,7 @@ class MultiLibraryDispatcher:
                         out_dev.copy_to_host_async()
                     except Exception:  # noqa: BLE001 — backend-optional
                         pass
-                launches.append((sel, m, out_dev, buf, bucket))
+                launches.append((sel, m, out_dev, buf, bucket, inv))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
 
@@ -332,15 +340,14 @@ class MultiLibraryDispatcher:
         L = len(self.engines)
         # fetch each bucket batch once: (n_sub, L, lb, 3)
         raws = [
-            np.asarray(out_dev)
-            for (_sel, _m, out_dev, _buf, _bucket) in state["launches"]
+            np.asarray(launch[2]) for launch in state["launches"]
         ]
         results = []
         for li, e in enumerate(self.engines):
             lib_state = dict(state)
             lib_state["launches"] = [
-                (sel, m, np.ascontiguousarray(raw[:, li]), buf, bucket)
-                for (sel, m, _out, buf, bucket), raw
+                (sel, m, np.ascontiguousarray(raw[:, li]), buf, bucket, inv)
+                for (sel, m, _out, buf, bucket, inv), raw
                 in zip(state["launches"], raws)
             ]
             results.append(e.full_collect(lib_state))
