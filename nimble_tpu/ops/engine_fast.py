@@ -68,6 +68,11 @@ PROBE_GROUP = 1024
 # re-measurable without code edits).
 _FENCES = _os.environ.get("NIMBLE_FENCES", "1") != "0"
 
+# walk-scan unroll factor (A/B knob): lax.scan pays per-iteration dispatch
+# on TPU; the packed walk runs 2 scans x NWr word steps, so unrolling may
+# recover straight-line speed at some compile-time cost.  1 = rolled.
+SCAN_UNROLL = int(_os.environ.get("NIMBLE_SCAN_UNROLL", "1"))
+
 
 def _fence(x):
     return jax.lax.optimization_barrier(x) if _FENCES else x
@@ -529,11 +534,11 @@ def _span_walk_abs_packed(
     wl = min(max((P_full - 2) // 16 + 1, 0), NWr)
     (live_cb, f_score, f_mm), _ = jax.lax.scan(
         make_step(True), (live_cb, zeros, zeros),
-        (mbits_w[w_f0:], w_idx[w_f0:]),
+        (mbits_w[w_f0:], w_idx[w_f0:]), unroll=SCAN_UNROLL,
     )
     (live_cb, l_score, l_mm), _ = jax.lax.scan(
         make_step(False), (live_cb, zeros, zeros),
-        (mbits_w[:wl][::-1], w_idx[:wl][::-1]),
+        (mbits_w[:wl][::-1], w_idx[:wl][::-1]), unroll=SCAN_UNROLL,
     )
     return (
         jnp.moveaxis(live_cb, 0, 1),

@@ -75,12 +75,11 @@ def main() -> int:
     child_src = CHILD % {"repo": repo}
     configs = [
         ("baseline", {}),
-        ("fences=0", {"NIMBLE_FENCES": "0"}),
-        ("phaseA=0 (single)", {"NIMBLE_PROBE_PHASE_A": "0"}),
-        ("phaseA=8", {"NIMBLE_PROBE_PHASE_A": "8"}),
-        ("fences=0 phaseA=8", {"NIMBLE_FENCES": "0",
-                               "NIMBLE_PROBE_PHASE_A": "8"}),
-        ("walk=abs", {"NIMBLE_PALLAS_AB": "abs"}),
+        ("unroll=6", {"NIMBLE_SCAN_UNROLL": "6"}),
+        ("unroll=3", {"NIMBLE_SCAN_UNROLL": "3"}),
+        ("phaseA=4", {"NIMBLE_PROBE_PHASE_A": "4"}),
+        ("unroll=6 phaseA=4", {"NIMBLE_SCAN_UNROLL": "6",
+                               "NIMBLE_PROBE_PHASE_A": "4"}),
     ]
     for rnd in (1, 2):
         for name, env in configs:
