@@ -145,6 +145,23 @@ def batch_entropy(reads: np.ndarray, lens: np.ndarray) -> np.ndarray:
     return -ent
 
 
+def finalize_launch_output(outs):
+    """Concat sub-launch outputs on device and start the device->host copy.
+
+    Collect-side ``np.asarray`` then finds the bytes already local instead
+    of paying a synchronous tunnel round-trip (~25 ms) per chunk — the
+    copy streams as soon as the kernels finish.  Same-window A/B: +7.4%
+    FASTQ headline.  ``NIMBLE_ASYNC_FETCH=0`` disables the copy hint.
+    """
+    out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(outs, axis=0)
+    if _ASYNC_FETCH:
+        try:
+            out_dev.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — backend-optional hint
+            pass
+    return out_dev
+
+
 def dedupe_packed_rows(buf_all: np.ndarray):
     """Group identical packed read rows; returns (first, inv).
 
@@ -419,19 +436,7 @@ class DeviceAlignEngine:
                     self._launch_chunked_kernel(buf_dev[i : i + 1], bucket)
                     for i in range(n_sub)
                 ]
-                # device-side concat NOW and start the device->host copy
-                # immediately: the result streams back as soon as the
-                # kernels finish, so compact_collect's np.asarray finds the
-                # bytes already local instead of paying a synchronous
-                # tunnel round-trip (~25 ms) per chunk
-                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
-                    outs, axis=0
-                )
-                if _ASYNC_FETCH:
-                    try:
-                        out_dev.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 — backend-optional
-                        pass
+                out_dev = finalize_launch_output(outs)
                 launches.append((bucket, sel, m, out_dev, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
@@ -553,15 +558,7 @@ class DeviceAlignEngine:
                     )
                     for i in range(n_sub)
                 ]
-                # concat + async host copy at dispatch (see compact_dispatch)
-                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
-                    outs, axis=0
-                )
-                if _ASYNC_FETCH:
-                    try:
-                        out_dev.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 — backend-optional
-                        pass
+                out_dev = finalize_launch_output(outs)
                 launches.append((sel, m, out_dev, buf, bucket, inv))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}

@@ -18,10 +18,6 @@ from __future__ import annotations
 from typing import List, Optional, Sequence
 
 import numpy as np
-import os as _os_af
-
-# NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
-_ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
 import jax
 import jax.numpy as jnp
@@ -206,16 +202,9 @@ class MeshAlignEngine:
                         step(buf[i : i + lb], *self._dev, s_min)
                         for i in range(0, B, lb)
                     ]
-                # concat + async host copy at dispatch (see
-                # DeviceAlignEngine.compact_dispatch): hides the fetch RTT
-                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
-                    outs, axis=0
-                )
-                if _ASYNC_FETCH:
-                    try:
-                        out_dev.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 — backend-optional
-                        pass
+                from nimble_tpu.models.aligner import finalize_launch_output
+
+                out_dev = finalize_launch_output(outs)
                 launches.append((bucket, sel, m, out_dev, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}

@@ -19,15 +19,14 @@ from __future__ import annotations
 from typing import List, Sequence
 
 import numpy as np
-import os as _os_af
-
-# NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
-_ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
 import jax.numpy as jnp
 
 from nimble_tpu.config import MIN_READ_LENGTH
-from nimble_tpu.models.aligner import DeviceAlignEngine
+from nimble_tpu.models.aligner import (
+    DeviceAlignEngine,
+    finalize_launch_output,
+)
 from nimble_tpu.ops.device_index import build_bucketed_index
 from nimble_tpu.ops.engine_fast import (
     probe_walk_filter_packed_multi_chunked,
@@ -237,16 +236,7 @@ class MultiLibraryDispatcher:
                     )
                     for i in range(n_sub)
                 ]
-                # concat + async host copy at dispatch (see
-                # DeviceAlignEngine.compact_dispatch): hides the fetch RTT
-                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
-                    outs, axis=0
-                )
-                if _ASYNC_FETCH:
-                    try:
-                        out_dev.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 — backend-optional
-                        pass
+                out_dev = finalize_launch_output(outs)
                 launches.append((bucket, sel, m, out_dev, buf, blens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
@@ -322,14 +312,7 @@ class MultiLibraryDispatcher:
                     )
                     for i in range(n_sub)
                 ]
-                out_dev = outs[0] if len(outs) == 1 else jnp.concatenate(
-                    outs, axis=0
-                )
-                if _ASYNC_FETCH:
-                    try:
-                        out_dev.copy_to_host_async()
-                    except Exception:  # noqa: BLE001 — backend-optional
-                        pass
+                out_dev = finalize_launch_output(outs)
                 launches.append((sel, m, out_dev, buf, bucket, inv))
         return {"n": n, "mat": mat, "lens": lens, "active": act,
                 "host_rescue": host_rescue, "launches": launches}
