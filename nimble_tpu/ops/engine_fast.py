@@ -73,6 +73,9 @@ _FENCES = _os.environ.get("NIMBLE_FENCES", "1") != "0"
 # recover straight-line speed at some compile-time cost.  1 = rolled.
 SCAN_UNROLL = int(_os.environ.get("NIMBLE_SCAN_UNROLL", "1"))
 
+# lane-transposed probe gather (A/B knob, see _probe_encoded.enc_block)
+_PROBE_LANE_T = _os.environ.get("NIMBLE_PROBE_LANE_T", "0") == "1"
+
 
 def _fence(x):
     return jax.lax.optimization_barrier(x) if _FENCES else x
@@ -120,10 +123,29 @@ def _probe_encoded(
     # one flat max over the encoded (position, lane) value
     pos_prio = jnp.uint32(P) - jnp.arange(P, dtype=jnp.uint32)  # (P,)
 
+    # NIMBLE_PROBE_LANE_T=1 (A/B): gather the fp table LANE-TRANSPOSED —
+    # W flat element-gathers + flat compares instead of one (N, S, W)
+    # row-gather whose minor dim W=8 runs every downstream op at ~6% of
+    # the 128-lane VPU.  Same probe function, different layout.
+    bkey_fp_t = bkey_fp.T if _PROBE_LANE_T else None
+
     def enc_block(h_blk, fp_blk, pv_blk, prio_blk):
         """Encoded (position, lane) max over one position block."""
-        bfps = bkey_fp[h_blk.astype(jnp.int32)]          # (N, S, W) gather
-        lane_m = jnp.where(bfps == fp_blk[:, :, None], lane_prio, 0).max(axis=2)
+        if _PROBE_LANE_T:
+            hf = h_blk.astype(jnp.int32).reshape(-1)
+            fpf = fp_blk.reshape(-1)
+            lm = jnp.zeros(hf.shape, dtype=jnp.uint32)
+            for w in range(W):
+                hit = bkey_fp_t[w][hf] == fpf
+                lm = jnp.maximum(
+                    lm, jnp.where(hit, jnp.uint32(W - w), jnp.uint32(0))
+                )
+            lane_m = lm.reshape(h_blk.shape)
+        else:
+            bfps = bkey_fp[h_blk.astype(jnp.int32)]      # (N, S, W) gather
+            lane_m = jnp.where(
+                bfps == fp_blk[:, :, None], lane_prio, 0
+            ).max(axis=2)
         enc = jnp.where(
             (lane_m > 0) & pv_blk,
             (prio_blk[None, :] << jnp.uint32(8)) | lane_m,

@@ -75,11 +75,7 @@ def main() -> int:
     child_src = CHILD % {"repo": repo}
     configs = [
         ("baseline", {}),
-        ("unroll=6", {"NIMBLE_SCAN_UNROLL": "6"}),
-        ("unroll=3", {"NIMBLE_SCAN_UNROLL": "3"}),
-        ("phaseA=4", {"NIMBLE_PROBE_PHASE_A": "4"}),
-        ("unroll=6 phaseA=4", {"NIMBLE_SCAN_UNROLL": "6",
-                               "NIMBLE_PROBE_PHASE_A": "4"}),
+        ("lane_t", {"NIMBLE_PROBE_LANE_T": "1"}),
     ]
     for rnd in (1, 2):
         for name, env in configs:
