@@ -7,6 +7,7 @@ align the input file(s) (second file supplies mates) and append a
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional, Sequence
 
 from nimble_tpu.config import AlignFilterConfig
@@ -218,6 +219,12 @@ def _prefetch_iter(it, depth: int = 2):
 
 def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,
                    dispatcher, meter, pending) -> None:
+    # keep up to DEPTH chunks in flight before draining the oldest: chunk
+    # N's host counting then overlaps chunks N+1/N+2's upload + device
+    # work (the bench's --depth A/B measured 3 best on the tunnel; 1 —
+    # the old behavior here — left the device idle during every count)
+    depth = int(os.environ.get("NIMBLE_PIPELINE_DEPTH", "3"))
+    in_flight: List = []
     r1_chunks = _prefetch_iter(r1_chunks)
     if r2_chunks is not None:
         r2_chunks = _prefetch_iter(r2_chunks)
@@ -249,7 +256,9 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,
                     counter.dispatch_async(mat, lens, mate_mat, mate_lens)
                     for counter in counters
                 ]
-            _drain_pending(pending, multi)
-            pending = list(zip(counters, handles))
+            in_flight.append(list(zip(counters, handles)))
+            if len(in_flight) >= depth:
+                _drain_pending(in_flight.pop(0), multi)
     with meter.measure(0):
-        _drain_pending(pending, multi)
+        while in_flight:
+            _drain_pending(in_flight.pop(0), multi)
