@@ -27,6 +27,11 @@ import os as _os_af
 # NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
 _ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
+# NIMBLE_REFCODE=0 disables the CRAM-style reference-coded upload (see
+# compact_dispatch): exact-match reads ship as (row, off, len) in 8 wire
+# bytes and are reconstructed bit-identically on device
+_REFCODE = _os_af.environ.get("NIMBLE_REFCODE", "1") != "0"
+
 import jax
 import jax.numpy as jnp
 
@@ -427,19 +432,152 @@ class DeviceAlignEngine:
                 # round-trip PER ITERATION, so the sub-batches are issued
                 # as separate async launches instead), then ONE fetch of
                 # the device-concatenated results in compact_collect.
+                #
+                # CRAM-style reference-coded upload (NIMBLE_REFCODE=0
+                # disables): reads VERIFIED byte-equal to a library window
+                # ship as (row, off, len) in 8 wire bytes instead of
+                # ceil(bucket/4)+2, and the kernel reconstructs them from
+                # the device-resident reference — bit-identical inputs,
+                # unchanged kernel semantics.  Error-free reads are the
+                # majority of real Illumina data, and the FASTQ path is
+                # upload-bound on remote accelerators.
                 lb = self.launch_batch
-                B = self._launch_B(m)
-                buf = self._pack_reads(bmat, blens, bucket, B)
-                n_sub = (B + lb - 1) // lb
-                buf_dev = jnp.asarray(buf.reshape(n_sub, min(B, lb), buf.shape[1]))
-                outs = [
-                    self._launch_chunked_kernel(buf_dev[i : i + 1], bucket)
-                    for i in range(n_sub)
-                ]
-                out_dev = finalize_launch_output(outs)
-                launches.append((bucket, sel, m, out_dev, buf, blens))
+                ref_mask = rr = ro = None
+                if _REFCODE:
+                    ref_mask, rr, ro = self._refcode_rows(bmat, blens)
+                if ref_mask is not None and ref_mask.any():
+                    splits = []
+                    raw_i = np.flatnonzero(~ref_mask)
+                    if len(raw_i):
+                        splits.append((False, raw_i))
+                    splits.append((True, np.flatnonzero(ref_mask)))
+                else:
+                    splits = [(False, None)]
+                for is_ref, idx in splits:
+                    if idx is None:
+                        smat, slens, sm, ssel = bmat, blens, m, sel
+                    else:
+                        smat, slens, sm = bmat[idx], blens[idx], len(idx)
+                        ssel = idx if sel is None else sel[idx]
+                    B = self._launch_B(sm)
+                    n_sub = (B + lb - 1) // lb
+                    # packed rows serve the host-side entropy gate (and,
+                    # on the raw path, are the upload payload itself)
+                    buf = self._pack_reads(
+                        smat, slens, bucket, sm if is_ref else B
+                    )
+                    if is_ref:
+                        rbuf = np.zeros((B, 8), dtype=np.uint8)
+                        r32 = rr[idx].astype(np.uint32)
+                        o16 = ro[idx].astype(np.uint32)
+                        l16 = slens.astype(np.uint32)
+                        for byte, val in enumerate(
+                            (r32, r32 >> 8, r32 >> 16, r32 >> 24,
+                             o16, o16 >> 8, l16, l16 >> 8)
+                        ):
+                            rbuf[:sm, byte] = (val & 0xFF).astype(np.uint8)
+                        dev_in = jnp.asarray(rbuf.reshape(n_sub, min(B, lb), 8))
+                        outs = [
+                            self._launch_refcoded_kernel(
+                                dev_in[i : i + 1], bucket
+                            )
+                            for i in range(n_sub)
+                        ]
+                    else:
+                        dev_in = jnp.asarray(
+                            buf.reshape(n_sub, min(B, lb), buf.shape[1])
+                        )
+                        outs = [
+                            self._launch_chunked_kernel(
+                                dev_in[i : i + 1], bucket
+                            )
+                            for i in range(n_sub)
+                        ]
+                    out_dev = finalize_launch_output(outs)
+                    launches.append((bucket, ssel, sm, out_dev, buf, slens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
+
+    def _refcode_rows(self, bmat: np.ndarray, blens: np.ndarray):
+        """Identify reads that are EXACT full-length library windows.
+
+        Returns (is_ref (m,) bool, row (m,) int32, off (m,) int32): for
+        flagged reads, ``row_codes[row][off : off+len]`` equals the read
+        byte-for-byte (verified here with a vectorized gather-compare, so
+        the device reconstruction is bit-identical by construction).  The
+        candidate window is the FIRST posting of the read's first k-mer —
+        one attempt; anything else falls back to the raw upload path.
+        """
+        k = self.bidx.k
+        m, W = bmat.shape
+        is_ref = np.zeros(m, dtype=bool)
+        row = np.zeros(m, dtype=np.int32)
+        off = np.zeros(m, dtype=np.int32)
+        ok = blens >= k
+        if not ok.any():
+            return is_ref, row, off
+        idx0 = self.index
+        ks = idx0.keys_sorted
+        if not len(ks):
+            return is_ref, row, off
+        powers = np.uint64(1) << (
+            np.uint64(2) * np.arange(k - 1, -1, -1, dtype=np.uint64)
+        )
+        keys = (bmat[:, :k].astype(np.uint64) * powers).sum(
+            axis=1, dtype=np.uint64
+        )
+        i = np.clip(np.searchsorted(ks, keys), 0, len(ks) - 1)
+        found = ok & (ks[i] == keys)
+        ps = idx0.post_starts[i]
+        cand_row = idx0.postings_rows[np.clip(ps, 0, len(idx0.postings_rows) - 1)]
+        cand_off = idx0.postings_offs[np.clip(ps, 0, len(idx0.postings_offs) - 1)]
+        fits = found & (
+            cand_off + blens <= idx0.row_lengths[cand_row]
+        )
+        cand = np.flatnonzero(fits)
+        if not len(cand):
+            return is_ref, row, off
+        ref_flat = self.didx.ref_codes
+        starts = (
+            self.didx.row_starts[cand_row[cand]].astype(np.int64)
+            + cand_off[cand]
+        )
+        win = ref_flat[
+            np.clip(
+                starts[:, None] + np.arange(W, dtype=np.int64)[None, :],
+                0, len(ref_flat) - 1,
+            )
+        ]
+        jj = np.arange(W, dtype=np.int32)[None, :]
+        good = ((win == bmat[cand]) | (jj >= blens[cand][:, None])).all(axis=1)
+        hit = cand[good]
+        is_ref[hit] = True
+        row[hit] = cand_row[hit]
+        off[hit] = cand_off[hit]
+        return is_ref, row, off
+
+    def _launch_refcoded_kernel(self, ref3: np.ndarray, bucket: int):
+        from nimble_tpu.ops.engine_fast import (
+            probe_walk_filter_refcoded_chunked,
+        )
+
+        thr, nmm, dm, dn = self._dev_scalars
+        return probe_walk_filter_refcoded_chunked(
+            jnp.asarray(ref3),
+            self._dev_fast["bkey_lo"], self._dev_fast["bkey_hi"],
+            self._dev_fast["bkey_fp"],
+            self._dev_fast["bstart"], self._dev_fast["bcount"],
+            self._dev_fast["postings_row"], self._dev_fast["postings_off"],
+            self._dev_fast["ref_codes_packed"],
+            self._dev_fast["row_starts"], self._dev_fast["row_lengths"],
+            self._s_min_dev(bucket), thr, nmm, dm, dn,
+            k=self.bidx.k, max_probe=self.bidx.max_probe, c_max=self.c_max,
+            bucket_mask=self.bidx.n_buckets - 1,
+            p_limit=bucket - self.bidx.k + 1,
+            ref_pad=self.bidx.ref_pad, bucket=bucket,
+            use_pallas=self.use_pallas_walk,
+            one_col=self._compact_one_col,
+        )
 
     def compact_collect(self, state, defer_unresolved: bool = False):
         """Fetch results and assemble the flat result dict (see

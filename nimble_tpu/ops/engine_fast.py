@@ -901,6 +901,76 @@ def _probe_walk_filter_impl(
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
                      "bucket", "use_pallas", "one_col"),
 )
+def probe_walk_filter_refcoded_chunked(
+    ref3,
+    bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
+    postings_row, postings_off,
+    ref_codes_packed, row_starts, row_lengths,
+    s_min_table, score_threshold, num_mismatches,
+    discard_multiple, discard_nonzero,
+    *,
+    k: int,
+    max_probe: int,
+    c_max: int,
+    bucket_mask: int,
+    p_limit: int,
+    ref_pad: int,
+    bucket: int,
+    use_pallas: bool = False,
+    one_col: bool = False,
+):
+    """Compact kernel over REFERENCE-CODED reads (CRAM-style upload).
+
+    ``ref3`` is (n_sub, lb, 8) uint8: row id (int32 LE), window offset
+    (uint16 LE), read length (uint16 LE) per read — 8 wire bytes instead
+    of ceil(bucket/4)+2.  The host dispatcher only emits a ref-coded row
+    after VERIFYING the read equals ``row[off : off+len]`` byte-for-byte
+    (models/aligner._refcode_rows), so reconstructing the read here from
+    the device-resident reference (one contiguous span gather — the same
+    `_gather_span_words` layout the walk uses) yields bit-identical codes
+    and the unchanged `_probe_walk_filter_impl` produces bit-identical
+    results to the raw packed path (tests/test_refcode.py).
+
+    Zero padding rows decode as (row 0, off 0, len 0): a valid gather and
+    a below-MIN-length read that every gate already ignores.
+    """
+
+    def body(refbuf):
+        b = refbuf.astype(jnp.int32)
+        row = b[:, 0] | (b[:, 1] << 8) | (b[:, 2] << 16) | (b[:, 3] << 24)
+        off = b[:, 4] | (b[:, 5] << 8)
+        read_lens = b[:, 6] | (b[:, 7] << 8)
+        starts = row_starts[row] + off + ref_pad
+        NW = (bucket + 15) // 16 + 1
+        words, phase = _gather_span_words(ref_codes_packed, starts, NW)
+        reads = _unpack_span(words, phase, bucket)
+        # zero past each read's length: bit-parity with the zero-padded
+        # packed unpack (the entropy gate runs host-side on packed rows)
+        reads = jnp.where(
+            jnp.arange(bucket, dtype=jnp.int32)[None, :] < read_lens[:, None],
+            reads, 0,
+        )
+        return _probe_walk_filter_impl(
+            reads, read_lens,
+            bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row,
+            postings_off, ref_codes_packed, row_starts, row_lengths,
+            s_min_table, score_threshold, num_mismatches,
+            discard_multiple, discard_nonzero,
+            k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
+            p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+            one_col=one_col,
+        )
+
+    if ref3.shape[0] == 1:
+        return body(ref3[0])[None]
+    return jax.lax.map(body, ref3)
+
+
+@partial(
+    jax.jit,
+    static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
+                     "bucket", "use_pallas", "one_col"),
+)
 def probe_walk_filter_packed_chunked(
     packed3,
     bkey_lo, bkey_hi, bkey_fp, bstart, bcount,
