@@ -27,10 +27,16 @@ import os as _os_af
 # NIMBLE_ASYNC_FETCH=0 disables the dispatch-time device->host copy hint
 _ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 
-# NIMBLE_REFCODE=0 disables the CRAM-style reference-coded upload (see
+# NIMBLE_REFCODE=1 enables the CRAM-style reference-coded upload (see
 # compact_dispatch): exact-match reads ship as (row, off, len) in 8 wire
-# bytes and are reconstructed bit-identically on device
-_REFCODE = _os_af.environ.get("NIMBLE_REFCODE", "1") != "0"
+# bytes and are reconstructed bit-identically on device.  OFF by default:
+# a same-process ABBA A/B on the tunnel (round 4, scripts/
+# ab_refcode_inproc.py) measured it LOSING ~25% (median 509k vs 705k
+# reads/s) — the upload already overlaps with device work, while the
+# ref/raw split adds a second launch stream per chunk (extra padding,
+# submissions and fetches) that is pure serial device time.  Kept for
+# links where upload bandwidth truly dominates.
+_REFCODE = _os_af.environ.get("NIMBLE_REFCODE", "0") == "1"
 
 import jax
 import jax.numpy as jnp

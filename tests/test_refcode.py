@@ -4,12 +4,24 @@ Exact-match reads ship as (row, off, len) in 8 wire bytes; the kernel
 reconstructs them from the device-resident reference.  The encoder
 VERIFIES byte-equality before coding, so results must be bit-identical to
 the raw packed path for every read — matching and not.
-"""
 
-import importlib
+The feature is OPT-IN (NIMBLE_REFCODE=1; it measured slower on the
+tunnel — see models/aligner._REFCODE), so these tests force the module
+flag on explicitly.
+"""
 
 import numpy as np
 import pytest
+
+import nimble_tpu.models.aligner as al
+
+
+@pytest.fixture(autouse=True)
+def _force_refcode_on():
+    old = al._REFCODE
+    al._REFCODE = True
+    yield
+    al._REFCODE = old
 
 from nimble_tpu.config import AlignFilterConfig
 from nimble_tpu.index.build import build_index
@@ -83,15 +95,12 @@ def test_refcode_bit_parity_with_raw_path():
     mat, lens = _reads(feats, seed=4)
     eng_on = DeviceAlignEngine(index, cfg)
     got = eng_on.align_raw_compact_from_matrix(mat, lens)
-    import nimble_tpu.models.aligner as al
-
-    old = al._REFCODE
     al._REFCODE = False
     try:
         eng_off = al.DeviceAlignEngine(index, cfg)
         want = eng_off.align_raw_compact_from_matrix(mat, lens)
     finally:
-        al._REFCODE = old
+        al._REFCODE = True
     for key in ("astart", "mask", "passed", "needs_host"):
         np.testing.assert_array_equal(got[key], want[key], err_msg=key)
 
