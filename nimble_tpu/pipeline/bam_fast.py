@@ -684,10 +684,15 @@ def process_fast(
         import time as _time
 
         print("Spawning logging thread.")
-        # compresslevel 6 = flate2 default (`src/process/bam.rs:73`);
-        # NIMBLE_GZIP_LEVEL overrides for throughput (the parity contract
-        # is the DECOMPRESSED bytes — level only changes the container)
-        level = int(os.environ.get("NIMBLE_GZIP_LEVEL", "6"))
+        # The parity contract is the DECOMPRESSED bytes (level only
+        # changes the container, and no deflate level reproduces flate2's
+        # container bytes anyway).  Level 1 default: the same-process BAM
+        # A/B (scripts/ab_bam_inproc.py) measured it ~7% faster end to
+        # end than flate2's default 6 on the 4-core host, and level 0
+        # (stored) is a tie with 1 — the 10x write volume cancels the CPU
+        # saving.  The slow pipeline keeps 6 (reference-shaped path;
+        # throughput is not its job).  NIMBLE_GZIP_LEVEL overrides.
+        level = int(os.environ.get("NIMBLE_GZIP_LEVEL", "1"))
         files = [
             gzip.open(p, "wb", compresslevel=level) for p in output_paths
         ]
