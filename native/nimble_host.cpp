@@ -1010,6 +1010,62 @@ void nimble_take_rows(
     }
 }
 
+// Oriented padded code matrix + its ASCII decode in ONE pass
+// (pipeline/bam_fast._prepare_batch's matrix-fill / revcomp-gather /
+// decode-LUT chain, `src/process/bam.rs:322-326` orientation): flat
+// ragged int8 base codes + i64 offsets + per-row rev flags ->
+//   oriented (n, W) int8: row i = codes (reverse-complemented when
+//     rev[i], complement = 3 - code), 0 beyond the row's length
+//   dec     (n, W) uint8: "ACGT"[oriented] ('A' = LUT[0] beyond length,
+//     matching the NumPy _DECODE_LUT[oriented] construction byte-for-byte)
+// Codes are 0..3 by construction (encode LUT); `& 3` keeps the pass
+// well-defined regardless (defensive parity, same posture as pack_reads).
+void nimble_orient_decode(const int8_t* flat, const int64_t* offs,
+                          const uint8_t* rev, int64_t n, int64_t W,
+                          int8_t* oriented, uint8_t* dec,
+                          int32_t n_threads) {
+    static const char LUT[4] = {'A', 'C', 'G', 'T'};
+    auto run_rows = [=](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const int64_t start = offs[i];
+            const int64_t len = offs[i + 1] - start;
+            const int8_t* src = flat + start;
+            int8_t* orow = oriented + i * W;
+            uint8_t* drow = dec + i * W;
+            if (rev[i]) {
+                for (int64_t j = 0; j < len; ++j) {
+                    int8_t c = (int8_t)(3 - (src[len - 1 - j] & 3));
+                    orow[j] = c;
+                    drow[j] = (uint8_t)LUT[c & 3];
+                }
+            } else {
+                for (int64_t j = 0; j < len; ++j) {
+                    int8_t c = src[j];
+                    orow[j] = c;
+                    drow[j] = (uint8_t)LUT[c & 3];
+                }
+            }
+            if (len < W) {
+                std::memset(orow + len, 0, (size_t)(W - len));
+                std::memset(drow + len, 'A', (size_t)(W - len));
+            }
+        }
+    };
+    int64_t nt = std::min<int64_t>(
+        std::max<int32_t>(n_threads, 1),
+        std::max<int64_t>(1, (int64_t)std::thread::hardware_concurrency()));
+    nt = std::min(nt, std::max<int64_t>(1, n / (1 << 13)));
+    if (nt <= 1) {
+        run_rows(0, n);
+        return;
+    }
+    std::vector<std::thread> workers;
+    workers.reserve((size_t)nt);
+    for (int64_t t = 0; t < nt; ++t)
+        workers.emplace_back(run_rows, n * t / nt, n * (t + 1) / nt);
+    for (auto& w : workers) w.join();
+}
+
 // Single-pass MAXINFO trimmer over a ragged quality column
 // (parity with `maxinfo`, reference src/align.rs:873-925: i64 wrapping
 // accumulation of the fixed-point tables, f64 ">="-argmax keeping the

@@ -662,15 +662,16 @@ class ColumnarGroupStream:
         # and buffer pool; every column handed over is a fresh filter()
         # copy), so pipelining them nearly doubles producer throughput.
         # Exceptions re-raise at the same consume point as the inline call.
-        # OPT-IN (NIMBLE_BAM_PREFETCH=1): on the 4-core TPU host the extra
-        # thread LOSES end-to-end (121k vs 152k rec/s, same window) — the
-        # producer's Python glue then contends for the GIL with three
-        # consumers and the gzip logger; standalone (idle cores) it also
-        # measured slower (0.53s vs 0.28s per 131k).  Wider hosts may flip
-        # the balance; parity is unchanged either way (same sequential
-        # _scan_chunk calls).
+        # ON by default (NIMBLE_BAM_PREFETCH=0 reverts): it originally
+        # LOST end-to-end (121k vs 152k rec/s — GIL/core contention with
+        # busy consumers), but once the consumers' prepare stage moved to
+        # C++ (nimble_orient_decode) they sit starved in queue-wait and
+        # the freed cores flipped the balance: the same-process ABBA A/B
+        # (scripts/ab_bam_inproc.py --knob prefetch) measures prefetch
+        # WINNING ~10% (median 195k vs 178k rec/s).  Parity is unchanged
+        # either way (same sequential _scan_chunk calls).
         fetch = self._scan_chunk
-        if os.environ.get("NIMBLE_BAM_PREFETCH", "0") == "1":
+        if os.environ.get("NIMBLE_BAM_PREFETCH", "1") == "1":
             import queue as _queue
             import threading as _threading
 

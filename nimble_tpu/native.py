@@ -94,6 +94,10 @@ def _load():
             lib.nimble_take_rows.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p]
+            lib.nimble_orient_decode.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_void_p, ctypes.c_int32]
             lib.nimble_maxinfo.restype = ctypes.c_int32
             lib.nimble_maxinfo.argtypes = [
                 ctypes.c_int64, ctypes.c_void_p, ctypes.c_void_p,
@@ -571,6 +575,29 @@ def pack_reads(mat: np.ndarray, lens: np.ndarray, bucket: int, B: int,
     lib.nimble_pack_reads(mat.ctypes.data, m, width, lens.ctypes.data,
                           bucket, out.ctypes.data, n_threads)
     return out
+
+
+def orient_decode(offs: np.ndarray, flat: np.ndarray, rev: np.ndarray,
+                  W: int, n_threads: int = 4
+                  ) -> "tuple[np.ndarray, bytes] | None":
+    """Oriented padded code matrix + ASCII decode in one C++ pass (see
+    nimble_orient_decode): ragged codes + rev flags -> ((n, W) int8
+    oriented matrix, n*W decode bytes).  Byte-identical to the NumPy
+    matrix-fill / revcomp-gather / _DECODE_LUT chain it replaces
+    (pipeline/bam_fast._prepare_batch).  None when native is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    offs = np.ascontiguousarray(offs, dtype=np.int64)
+    flat = np.ascontiguousarray(flat, dtype=np.int8)
+    rev = np.ascontiguousarray(rev, dtype=np.uint8)
+    n = len(offs) - 1
+    oriented = np.empty((n, W), dtype=np.int8)
+    dec = np.empty(n * W, dtype=np.uint8)
+    lib.nimble_orient_decode(
+        flat.ctypes.data, offs.ctypes.data, rev.ctypes.data,
+        n, W, oriented.ctypes.data, dec.ctypes.data, n_threads)
+    return oriented, dec.tobytes()
 
 
 def take_rows(offs: np.ndarray, flat: np.ndarray,

@@ -49,6 +49,7 @@ from nimble_tpu.core.orientation import (
 )
 from nimble_tpu.core.fast_count import submit_transaction
 from nimble_tpu.core.trim import maxinfo_batch
+from nimble_tpu import native
 from nimble_tpu.io.bam_columnar import ColumnarGroupStream, EmittedBatch
 from nimble_tpu.library import Reference
 from nimble_tpu.pipeline.bam_pipeline import (
@@ -264,25 +265,31 @@ def _prepare_batch(batch, workers: List[_LibraryWorker], multi=None):
     rev = _parse_rev_flags(batch.rev2)
     lens = batch.seq.lens().astype(np.int32)
     W = max(int(lens.max()), 1)
-    mat = np.zeros((n_rec, W), dtype=np.int8)
-    # vectorized padded fill from the flat ragged codes
-    valid0 = np.arange(W, dtype=np.int32)[None, :] < lens[:, None]
-    mat[valid0] = batch.seq.flat.view(np.int8)
-    # orientation correction (`src/process/bam.rs:322-326`): revcomp flagged
-    # reads; vectorized gather in code space (complement = 3 - code)
-    ar = np.arange(W, dtype=np.int32)[None, :]
-    ridx = np.clip(lens[:, None] - 1 - ar, 0, W - 1)
-    idx = np.where(rev[:, None], ridx, ar)
-    om = np.take_along_axis(mat, idx, axis=1)
-    valid = ar < lens[:, None]
-    oriented = np.where(rev[:, None] & valid, 3 - om, np.where(valid, om, 0))
+    # oriented matrix (`src/process/bam.rs:322-326` revcomp correction) +
+    # its ASCII decode (score-map key material, `src/align.rs:576-579`;
+    # row i spans [i*W, i*W+lens[i])) — one C++ pass when available: the
+    # NumPy chain below held the GIL for ~18 ms per 16k batch, serializing
+    # against the producer on the 4-core host
+    od = native.orient_decode(batch.seq.offs, batch.seq.flat, rev, W)
+    if od is not None:
+        oriented, dec_flat = od
+    else:
+        mat = np.zeros((n_rec, W), dtype=np.int8)
+        # vectorized padded fill from the flat ragged codes
+        valid0 = np.arange(W, dtype=np.int32)[None, :] < lens[:, None]
+        mat[valid0] = batch.seq.flat.view(np.int8)
+        ar = np.arange(W, dtype=np.int32)[None, :]
+        ridx = np.clip(lens[:, None] - 1 - ar, 0, W - 1)
+        idx = np.where(rev[:, None], ridx, ar)
+        om = np.take_along_axis(mat, idx, axis=1)
+        valid = ar < lens[:, None]
+        oriented = np.where(
+            rev[:, None] & valid, 3 - om, np.where(valid, om, 0)
+        )
+        dec_flat = _DECODE_LUT[oriented].tobytes()
 
     skip_mask = batch.skip_true
     active = ~skip_mask
-
-    # decoded ASCII bytes of each oriented (untrimmed) read — the score-map
-    # key material (`src/align.rs:576-579`); row i spans [i*W, i*W+lens[i])
-    dec_flat = _DECODE_LUT[oriented].tobytes()
 
     # ---- per-library: trim + dispatch (async), then collect ----
     states = []

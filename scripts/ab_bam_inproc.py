@@ -21,7 +21,8 @@ import numpy as np  # noqa: E402
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--knob", required=True, choices=["batch", "cores", "gzip"])
+    ap.add_argument("--knob", required=True,
+                    choices=["batch", "cores", "gzip", "dispatch", "prefetch"])
     ap.add_argument("--a", type=int, required=True)
     ap.add_argument("--b", type=int, required=True)
     ap.add_argument("--rounds", type=int, default=8)
@@ -57,6 +58,15 @@ def main() -> int:
             os.environ["NIMBLE_GZIP_LEVEL"] = str(gz)
         else:
             os.environ.pop("NIMBLE_GZIP_LEVEL", None)
+        # dispatch: 0 = inline (default), 1 = NIMBLE_DISPATCH=worker
+        # (read at submit_transaction call time, so runtime toggling works)
+        if args.knob == "dispatch":
+            if val:
+                os.environ["NIMBLE_DISPATCH"] = "worker"
+            else:
+                os.environ.pop("NIMBLE_DISPATCH", None)
+        if args.knob == "prefetch":
+            os.environ["NIMBLE_BAM_PREFETCH"] = str(val)
         out = f"{td}/out.tsv.gz"
         if os.path.exists(out):
             os.unlink(out)

@@ -161,3 +161,39 @@ def test_dedupe_streamhash_length_safety():
     # and the empty-mate split of the longer payload still collides with
     # its other splits
     assert not _insert_pair(ds, b"AB", b"\x00")
+
+
+@requires_native
+def test_orient_decode_matches_numpy():
+    """nimble_orient_decode vs the NumPy matrix/revcomp/decode chain it
+    replaced in bam_fast._prepare_batch — byte parity on ragged rows,
+    mixed rev flags, zero-length rows, and the padded tails."""
+    rng = np.random.default_rng(11)
+    n = 500
+    lens = rng.integers(0, 120, n).astype(np.int64)
+    lens[rng.random(n) < 0.05] = 0  # empty rows
+    offs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    flat = rng.integers(0, 4, int(offs[-1])).astype(np.int8)
+    rev = (rng.random(n) < 0.5).astype(np.uint8)
+    W = max(int(lens.max()), 1)
+
+    oriented_c, dec_c = native.orient_decode(offs, flat, rev, W)
+
+    # the NumPy chain (verbatim from the pre-C++ _prepare_batch)
+    l32 = lens.astype(np.int32)
+    mat = np.zeros((n, W), dtype=np.int8)
+    valid0 = np.arange(W, dtype=np.int32)[None, :] < l32[:, None]
+    mat[valid0] = flat
+    ar = np.arange(W, dtype=np.int32)[None, :]
+    ridx = np.clip(l32[:, None] - 1 - ar, 0, W - 1)
+    idx = np.where(rev.astype(bool)[:, None], ridx, ar)
+    om = np.take_along_axis(mat, idx, axis=1)
+    valid = ar < l32[:, None]
+    oriented_np = np.where(
+        rev.astype(bool)[:, None] & valid, 3 - om, np.where(valid, om, 0)
+    )
+    dec_np = np.frombuffer(b"ACGT", dtype=np.uint8)[oriented_np].tobytes()
+
+    np.testing.assert_array_equal(oriented_c, oriented_np)
+    assert dec_c == dec_np
