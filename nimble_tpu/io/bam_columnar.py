@@ -200,6 +200,21 @@ class _Col:
         offs = np.concatenate([self.offs, other.offs[1:] + self.offs[-1]])
         return _Col(offs, np.concatenate([self.flat, other.flat]))
 
+    @staticmethod
+    def concat_many(cols: "List[_Col]") -> "_Col":
+        """One-pass concatenation of N columns (vs N-1 pairwise copies)."""
+        if len(cols) == 1:
+            return cols[0]
+        offs_parts = [cols[0].offs]
+        base = int(cols[0].offs[-1])
+        for c in cols[1:]:
+            offs_parts.append(c.offs[1:] + base)
+            base += int(c.offs[-1])
+        return _Col(
+            np.concatenate(offs_parts),
+            np.concatenate([c.flat for c in cols]),
+        )
+
     def drop_front(self, n: int) -> "_Col":
         base = self.offs[n]
         return _Col(self.offs[n:] - base, self.flat[base:])
@@ -243,22 +258,43 @@ class _Pend:
         self.cols: Dict[str, _Col] = {c: _Col.empty() for c in self.NAMES}
         self.skip_true = np.zeros(0, dtype=bool)
         self.starts: List[int] = []  # absolute group starts in pending
+        # emission pieces accumulate in lists and concatenate ONCE per
+        # batch flush (_flush_tails): the old per-emission pairwise
+        # concat recopied the whole growing pending buffer on every UMI
+        # run — O(batch x runs) bytes of producer-thread memcpy
+        self._tails: Dict[str, List[_Col]] = {c: [] for c in self.NAMES}
+        self._skip_tails: List[np.ndarray] = []
+        self._n = 0
 
     def __len__(self) -> int:
-        return len(self.skip_true)
+        return self._n
 
     def add_taken(self, cols: Dict[str, _Col], skip_true: np.ndarray,
                   group_starts) -> None:
         """Append already row-gathered columns + their group starts."""
-        base = len(self.skip_true)
+        base = self._n
         for s in group_starts:
             self.starts.append(base + int(s))
         if len(skip_true):
             for c in self.NAMES:
-                self.cols[c] = self.cols[c].concat(cols[c])
-            self.skip_true = np.concatenate([self.skip_true, skip_true])
+                self._tails[c].append(cols[c])
+            self._skip_tails.append(skip_true)
+            self._n += len(skip_true)
+
+    def _flush_tails(self) -> None:
+        if self._skip_tails:
+            for c in self.NAMES:
+                self.cols[c] = _Col.concat_many(
+                    [self.cols[c]] + self._tails[c]
+                )
+                self._tails[c].clear()
+            self.skip_true = np.concatenate(
+                [self.skip_true] + self._skip_tails
+            )
+            self._skip_tails.clear()
 
     def make_batch(self, end: int, cut: int) -> EmittedBatch:
+        self._flush_tails()
         c = self.cols
         return EmittedBatch(
             c["meta"].head(end), c["skipb"].head(end), self.skip_true[:end],
@@ -273,12 +309,13 @@ class _Pend:
         while len(self.starts) > n_keep and (
             final or self.starts[-1] >= target_records
         ):
-            end = self.starts[-1] if not final else len(self.skip_true)
+            end = self.starts[-1] if not final else self._n
             cut = len(self.starts) - n_keep
             out = self.make_batch(end, cut)
             for c in self.NAMES:
                 self.cols[c] = self.cols[c].drop_front(end)
             self.skip_true = self.skip_true[end:]
+            self._n = len(self.skip_true)
             rem = [s - end for s in self.starts[cut:]]
             self.starts.clear()
             self.starts.extend(rem)
@@ -288,10 +325,12 @@ class _Pend:
 
     def drop_open_group(self) -> None:
         if self.starts:
+            self._flush_tails()
             end = self.starts.pop()
             for c in self.NAMES:
                 self.cols[c] = self.cols[c].head(end)
             self.skip_true = self.skip_true[:end]
+            self._n = len(self.skip_true)
 
 
 class ColumnarGroupStream:
