@@ -537,8 +537,13 @@ class DeviceAlignEngine:
         ps = idx0.post_starts[i]
         cand_row = idx0.postings_rows[np.clip(ps, 0, len(idx0.postings_rows) - 1)]
         cand_off = idx0.postings_offs[np.clip(ps, 0, len(idx0.postings_offs) - 1)]
+        # the wire format carries the window offset as uint16 — reads
+        # anchored past 65,535 bp in a long feature must take the raw
+        # path (silently truncating the offset would reconstruct a
+        # DIFFERENT window and break device exactness)
         fits = found & (
-            cand_off + blens <= idx0.row_lengths[cand_row]
+            (cand_off + blens <= idx0.row_lengths[cand_row])
+            & (cand_off <= 0xFFFF)
         )
         cand = np.flatnonzero(fits)
         if not len(cand):

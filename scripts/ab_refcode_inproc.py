@@ -42,25 +42,12 @@ def main() -> int:
         t0 = time.time()
         counter = FastCounter(engine, reference, cfg)
         pending: list = []
-
-        def drain_one():
-            handle = pending.pop(0)
-            if not isinstance(handle, tuple):
-                handle = handle.result()
-            raw1 = handle[4].result() if handle[4] is not None else None
-            raw2 = handle[5].result() if handle[5] is not None else None
-            if raw1 is not None:
-                counter._add_with_raw(
-                    handle[0], handle[1], handle[2], handle[3], raw1, raw2,
-                    prededuped=handle[7],
-                )
-
         for lo, hi in bounds:
             pending.append(counter.dispatch_async(mat[lo:hi], lens[lo:hi]))
             if len(pending) >= args.depth:
-                drain_one()
+                counter.process(pending.pop(0))
         while pending:
-            drain_one()
+            counter.process(pending.pop(0))
         counter.finalize()
         return time.time() - t0
 

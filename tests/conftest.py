@@ -46,7 +46,8 @@ DATA_DIR = pathlib.Path(__file__).parent / "data"
 # demonstrably unmaps the regions).  Dropping the in-memory executable
 # caches whenever the map count climbs keeps the process far from the
 # limit; recompiles after a clear mostly hit the persistent disk cache.
-_MAPS_FILE = f"/proc/{os.getpid()}/maps"
+_MAPS_FILE = "/proc/self/maps"  # NOT pid-pinned: forked workers must
+# read their OWN map count or the cap never fires in the child
 _MAPS_SOFT_LIMIT = 25000
 
 

@@ -78,16 +78,55 @@ def test_refcode_encoder_verifies_exact_windows():
             codes[off[i] : off[i] + lens[i]], mat[i, : lens[i]]
         )
     # clean fragments are codable; the mid-read mutants must NOT be coded
-    # as their clean window (verification catches the mismatch)
+    # at all: their clean first k-mer points at the clean window, whose
+    # byte-verification fails at the mutated position, and the encoder
+    # tries only that one candidate
     kinds = np.arange(len(lens)) % 5
     assert is_ref[kinds <= 1].mean() > 0.9
-    assert not is_ref[kinds == 2].any() or all(
-        np.array_equal(
-            index.row_codes[row[i]][off[i] : off[i] + lens[i]],
-            mat[i, : lens[i]],
-        )
-        for i in np.flatnonzero(is_ref & (kinds == 2))
+    assert not is_ref[kinds == 2].any()
+
+
+def test_refcode_long_feature_offset_guard():
+    """Windows past the uint16 offset range must take the raw path.
+
+    The wire format carries the offset in 16 bits; a read matching at
+    offset >= 65536 of a long feature would reconstruct a DIFFERENT
+    window if coded (round-4 review finding, confirmed by repro) — the
+    encoder must refuse it, and results must stay bit-identical to the
+    raw path."""
+    rng = np.random.default_rng(21)
+    feat = "".join(rng.choice(list("ACGT"), size=70_000))
+    doubled = [feat, revcomp(feat)]
+    cfg = AlignFilterConfig(
+        reference_genome_size=2, score_percent=0.25,
+        score_threshold=40, num_mismatches=1, max_hits_to_report=10,
     )
+    index = build_index(doubled)
+    n, W = 64, 90
+    mat = np.zeros((n, W), dtype=np.int8)
+    lens = np.full(n, 80, dtype=np.int32)
+    offs = []
+    for i in range(n):
+        s = int(rng.integers(60_000, 69_900))  # straddles the u16 line
+        offs.append(s)
+        mat[i, :80] = encode_bases(feat[s : s + 80])
+    eng = DeviceAlignEngine(index, cfg)
+    is_ref, row, off = eng._refcode_rows(mat, lens)
+    offs = np.asarray(offs)
+    # every flagged read's offset fits the wire format (reads whose only
+    # candidate window sits past the line are refused -> raw path)
+    assert (off[is_ref] <= 0xFFFF).all()
+    assert not is_ref.all()  # the straddling corpus must exercise refusal
+    got = eng.align_raw_compact_from_matrix(mat, lens)
+    al._REFCODE = False
+    try:
+        want = al.DeviceAlignEngine(
+            index, cfg
+        ).align_raw_compact_from_matrix(mat, lens)
+    finally:
+        al._REFCODE = True
+    for key in ("astart", "mask", "passed", "needs_host"):
+        np.testing.assert_array_equal(got[key], want[key], err_msg=key)
 
 
 def test_refcode_bit_parity_with_raw_path():
