@@ -168,8 +168,13 @@ def detect_tandem_repeat_rows(
     if total < 2:
         return np.empty(0, dtype=np.int32)
     same_key = np.ones(total - 1, dtype=bool)
-    # posting-span boundaries: positions where a new key starts
+    # posting-span boundaries: positions where a new key starts.  Every
+    # key in keys_sorted has >= 1 posting today, so interior starts are
+    # always > 0; mask anyway so a future zero-posting key cannot wrap
+    # `starts - 1` to -1 and silently clear the LAST boundary instead
+    # (ADVICE r4).
     starts = np.asarray(post_starts[1:-1], dtype=np.int64)
+    starts = starts[starts > 0]
     same_key[starts - 1] = False
     same_row = postings_rows[1:] == postings_rows[:-1]
     near = (postings_offs[1:] - postings_offs[:-1]) <= k

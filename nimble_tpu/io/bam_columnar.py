@@ -674,7 +674,30 @@ class ColumnarGroupStream:
         yield from pend.emit_ready(final=True, target_records=target_records)
         self.close()
 
+    def _stop_prefetch(self) -> None:
+        """Terminate the scan-ahead thread and wait for it (idempotent).
+
+        Must run BEFORE the file handle closes: the prefetcher may be
+        inside self._f.read(), and a concurrent close() would race it
+        (ADVICE r4).  Draining the bounded queue wakes any blocked put()
+        so the worker can observe the stop flag and exit.
+        """
+        t = getattr(self, "_prefetch_thread", None)
+        if t is None:
+            return
+        import queue as _queue
+
+        self._prefetch_stop.set()
+        q = self._prefetch_q
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                t.join(0.05)
+        self._prefetch_thread = None
+
     def close(self) -> None:
+        self._stop_prefetch()
         if self._pipe is not None:
             self._pipe.close()
         elif self._f is not None:
@@ -715,9 +738,10 @@ class ColumnarGroupStream:
             import threading as _threading
 
             q: "_queue.Queue" = _queue.Queue(maxsize=2)
+            stop = _threading.Event()
 
             def _prefetcher() -> None:
-                while True:
+                while not stop.is_set():
                     try:
                         item = self._scan_chunk()
                     except BaseException as e:  # noqa: BLE001 — replayed
@@ -727,7 +751,11 @@ class ColumnarGroupStream:
                     if item is None:
                         return
 
-            _threading.Thread(target=_prefetcher, daemon=True).start()
+            self._prefetch_q = q
+            self._prefetch_stop = stop
+            self._prefetch_thread = _threading.Thread(
+                target=_prefetcher, daemon=True)
+            self._prefetch_thread.start()
 
             def fetch():
                 kind, val = q.get()
@@ -735,6 +763,19 @@ class ColumnarGroupStream:
                     raise val
                 return val
 
+        # the try/finally guards ABANDONMENT (consumer exception or an
+        # early generator close): without it the prefetcher would keep
+        # scanning, block forever on the bounded queue, and hold the BAM
+        # file handle open for the process lifetime (ADVICE r4).  Normal
+        # termination paths reach _end_stream -> close(), which also stops
+        # the prefetcher before the handle closes.
+        try:
+            yield from self._batches_loop(fetch, carry, pend, target_records)
+        finally:
+            self._stop_prefetch()
+
+    def _batches_loop(self, fetch, carry, pend,
+                      target_records: int) -> Iterator[EmittedBatch]:
         while True:
             batch = fetch()
             at_eof = batch is None

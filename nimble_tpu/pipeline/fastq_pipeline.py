@@ -197,24 +197,41 @@ def _prefetch_iter(it, depth: int = 2):
 
     q: "_queue.Queue" = _queue.Queue(maxsize=depth)
     _END = object()
+    stop = _threading.Event()
 
     def worker() -> None:
         try:
             for item in it:
+                if stop.is_set():
+                    return
                 q.put(("ok", item))
         except BaseException as e:  # noqa: BLE001 — replayed at consume
             q.put(("exc", e))
             return
         q.put(("end", _END))
 
-    _threading.Thread(target=worker, daemon=True).start()
-    while True:
-        kind, val = q.get()
-        if kind == "exc":
-            raise val
-        if kind == "end":
-            return
-        yield val
+    t = _threading.Thread(target=worker, daemon=True)
+    t.start()
+    try:
+        while True:
+            kind, val = q.get()
+            if kind == "exc":
+                raise val
+            if kind == "end":
+                return
+            yield val
+    finally:
+        # abandoned mid-stream (consumer exception, early generator close,
+        # mismatched-R1/R2 raise): signal the worker and drain its queue so
+        # a blocked put() wakes, it observes `stop` and exits — otherwise
+        # the thread + its open FASTQ handle leak for the process lifetime
+        # (ADVICE r4)
+        stop.set()
+        while t.is_alive():
+            try:
+                q.get_nowait()
+            except _queue.Empty:
+                t.join(0.05)
 
 
 def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,

@@ -60,6 +60,58 @@ def _best_of(run, rounds=2):
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_step_collective_inventory():
+    """Timing-free regression guard on the sharded step's ICI traffic.
+
+    The (data x model) step's compiled HLO must contain exactly the
+    designed collectives: ONE pmax all-reduce (the (B,) encoded anchor
+    owner-merge) plus ONE fused psum all-reduce (the owner-masked result
+    columns), and NO resharding collectives at all.  A reintroduced
+    per-position (B, P) psum (the round-3 formulation this replaced) or a
+    shard_map spec change that makes XLA insert all-gathers would trip
+    the op-count or byte bound without any timing involved — unlike the
+    wall-clock efficiency floor below, this cannot flake on a loaded CI
+    host.
+    """
+    import re
+
+    index, cfg, mat, lens = _workload(n_reads=2048)
+    mesh = jax.make_mesh((4, 2), ("data", "model"))
+    eng = MeshAlignEngine(index, cfg, mesh=mesh)
+    bucket = int(eng.buckets[-1])
+    step = eng._step_for(bucket)
+    B = eng.launch_batch
+    buf = eng._pack(mat[: min(len(mat), B)], lens[: min(len(lens), B)],
+                    bucket, B)
+    txt = step.lower(buf, *eng._dev, eng._s_min_dev(bucket)).compile().as_text()
+
+    n_ar = txt.count(" all-reduce(") + txt.count(" all-reduce-start(")
+    assert n_ar == 2, f"expected exactly 2 all-reduces (pmax + fused psum), got {n_ar}"
+    for forbidden in (" all-gather(", " all-gather-start(", " all-to-all(",
+                      " collective-permute(", " collective-permute-start(",
+                      " reduce-scatter("):
+        assert txt.count(forbidden) == 0, (
+            f"unexpected resharding collective {forbidden.strip()} in the "
+            f"sharded step HLO"
+        )
+
+    # byte bound: every all-reduced operand is (B,)-shaped (per-shard B);
+    # the old per-position psum shipped (B, P~67) and would blow this up.
+    # Parse both single shapes `= s32[8192]{0} all-reduce(` and tuple
+    # shapes `= (s32[8192]{0}, ...) all-reduce(`.
+    total_elems = 0
+    for m in re.finditer(r"= (\([^)]*\)|\S+) all-reduce", txt):
+        for shape in re.finditer(r"[a-z]\d+\[([\d,]*)\]", m.group(1)):
+            dims = [int(x) for x in shape.group(1).split(",") if x]
+            total_elems += int(np.prod(dims)) if dims else 1
+    b_shard = B // 4  # data axis = 4
+    assert 0 < total_elems <= 8 * b_shard, (
+        f"all-reduced element count {total_elems} exceeds 8 x per-shard "
+        f"batch ({8 * b_shard}) — a (B, P)-shaped collective regressed in"
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_data_parallel_mesh_overhead_bounded():
     index, cfg, mat, lens = _workload()
     single = DeviceAlignEngine(index, cfg)
