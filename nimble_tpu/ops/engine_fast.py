@@ -76,6 +76,19 @@ SCAN_UNROLL = int(_os.environ.get("NIMBLE_SCAN_UNROLL", "1"))
 # lane-transposed probe gather (A/B knob, see _probe_encoded.enc_block)
 _PROBE_LANE_T = _os.environ.get("NIMBLE_PROBE_LANE_T", "0") == "1"
 
+# TRANSPOSED-LAYOUT kernel middle (round-5 layout redesign, VERDICT r4
+# item 2).  The round-4 diagnosis: the kernel's middle ops live on arrays
+# whose MINOR (lane) dims are the candidate/lane/word axes (W=8, C=8,
+# NWr=6 -> 5-6% of the 128-lane VPU), stitched by dozens of layout
+# transposes — a diffuse ~10-20x efficiency tax no single op owns.  The
+# fix: keep every GATHER row-major (32 B rows are the TPU gather sweet
+# spot — round-3/4 A/Bs), then transpose ONCE immediately after each
+# gather and run all downstream elementwise work with the BATCH axis
+# minor (full 128-lane utilization), feeding the (C, B)-layout walk scan
+# directly with zero further transposes.  NIMBLE_LAYOUT_T=0 restores the
+# round-4 layout for A/B.
+_LAYOUT_T = _os.environ.get("NIMBLE_LAYOUT_T", "1") != "0"
+
 
 def _fence(x):
     return jax.lax.optimization_barrier(x) if _FENCES else x
@@ -141,6 +154,29 @@ def _probe_encoded(
                     lm, jnp.where(hit, jnp.uint32(W - w), jnp.uint32(0))
                 )
             lane_m = lm.reshape(h_blk.shape)
+        elif _LAYOUT_T:
+            # keep the sweet-spot (N, S, W) 32 B row-gather, then ONE
+            # transpose to (W, N*S) so the fp compare and the lane max
+            # run with N*S minor (full lanes) instead of W=8 minor — the
+            # lane max becomes W-1 elementwise maxima over the MAJOR axis
+            Nb, S_blk = h_blk.shape
+            bfps = bkey_fp[h_blk.astype(jnp.int32)]      # (N, S, W) gather
+            bf_t = bfps.reshape(Nb * S_blk, W).T          # (W, N*S)
+            fpf = fp_blk.reshape(-1)
+            lane_prio_w = (
+                jnp.uint32(W) - jnp.arange(W, dtype=jnp.uint32)
+            )[:, None]
+            lane_m_flat = jnp.where(
+                bf_t == fpf[None, :], lane_prio_w, 0
+            ).max(axis=0)                                 # (N*S,)
+            # position max in (S, N) — batch minor again
+            lane_m_t = lane_m_flat.reshape(Nb, S_blk).T
+            enc_t = jnp.where(
+                (lane_m_t > 0) & pv_blk.T,
+                (prio_blk[:, None] << jnp.uint32(8)) | lane_m_t,
+                0,
+            )
+            return enc_t.max(axis=0)
         else:
             bfps = bkey_fp[h_blk.astype(jnp.int32)]      # (N, S, W) gather
             lane_m = jnp.where(
@@ -569,6 +605,107 @@ def _span_walk_abs_packed(
     )
 
 
+def _span_walk_abs_packed_t(
+    reads_i32, read_lens, anchor, rows_t, offs_t, live0_t,
+    ref_codes_packed, row_starts, row_lengths,
+    *, k: int, ref_pad: int,
+):
+    """`_span_walk_abs_packed` in the TRANSPOSED (batch-minor) layout.
+
+    Bit-identical walk results (equivalence-tested); only the data layout
+    differs.  Inputs/outputs carry the candidate axis MAJOR: rows_t /
+    offs_t / live0_t are (C, B) and the returned live mask is (C, B).
+
+    Layout discipline (see _LAYOUT_T): the span-word fetch stays a
+    row-major (M, NW) gather — 28 B contiguous rows, the TPU gather sweet
+    spot — and is transposed ONCE to (NW, M); every downstream op (funnel
+    shift, read-word XOR, match-bit extraction) then runs on arrays whose
+    minor dim is M = C*B or B (full 128-lane VPU) and the walk scan
+    consumes the (NWr, C, B) match words directly with no further layout
+    moves.  The round-4 layout ran those same ops with NWr=6 or C=8 minor
+    (~5% lane utilization) and XLA stitched them with dozens of relayout
+    transposes (84 in the optimized HLO).
+    """
+    B, Lmax = reads_i32.shape
+    C = rows_t.shape[0]
+    NWr = (Lmax + 15) // 16
+
+    r_start_t = row_starts[rows_t]                              # (C, B)
+    starts_t = (r_start_t + offs_t - anchor[None, :] + ref_pad).reshape(-1)
+    NW = NWr + 1  # one funnel tail word
+    words, phase = _gather_span_words(ref_codes_packed, starts_t, NW)
+    words_t = words.T                                           # (NW, M)
+
+    # funnel-align in (NW, M): aligned word w holds span bases
+    # [16w, 16w+16) at bits 2i (phase 0 is safe: (x << 31) << 1 wraps to 0)
+    sh = (jnp.uint32(2) * phase.astype(jnp.uint32))[None, :]    # (1, M)
+    lo_w = words_t[:NWr] >> sh
+    hi_w = (words_t[1 : NWr + 1] << (jnp.uint32(31) - sh)) << jnp.uint32(1)
+    aligned_t = (lo_w | hi_w).reshape(NWr, C, B)
+
+    # read words (base j at bits 2*(j&15) of word j>>4), transposed once
+    pad = NWr * 16 - Lmax
+    r = reads_i32 if pad == 0 else jnp.pad(reads_i32, ((0, 0), (0, pad)))
+    j16 = (jnp.uint32(2) * jnp.arange(16, dtype=jnp.uint32))[None, None, :]
+    rw = (r.astype(jnp.uint32).reshape(B, NWr, 16) << j16).sum(
+        axis=2, dtype=jnp.uint32
+    )
+    rw_t = rw.T                                                 # (NWr, B)
+
+    x = aligned_t ^ rw_t[:, None, :]
+    y = x | (x >> jnp.uint32(1))
+    mbits_w = (~y) & jnp.uint32(0x55555555)         # (NWr, C, B), bit 2i
+    mbits_w = _fence(mbits_w)
+
+    base_cb = offs_t - anchor[None, :]                          # (C, B)
+    rlen_cb = row_lengths[rows_t]
+    live_cb = live0_t
+    anchor_k = anchor + k
+
+    def make_step(forward: bool):
+        def step(carry, xs):
+            live, score, mm = carry
+            mw, w = xs                                     # (C, B), scalar
+            for i in (range(16) if forward else range(15, -1, -1)):
+                p = w * 16 + i
+                match_t = ((mw >> jnp.uint32(2 * i)) & jnp.uint32(1)) != 0
+                if forward:
+                    alive_t = (base_cb + p) < rlen_cb
+                    active_t = (p >= anchor_k) & (p < read_lens)
+                else:
+                    alive_t = (base_cb + p) >= 0
+                    active_t = p < anchor
+                la = live & alive_t
+                lm = la & match_t
+                any_alive = la.any(axis=0)
+                any_match = lm.any(axis=0)
+                act = active_t & any_alive
+                act_match = act & any_match
+                live = jnp.where(
+                    act_match[None, :], lm, jnp.where(act[None, :], la, live)
+                )
+                score = score + act_match.astype(jnp.int32)
+                mm = mm + (act & ~any_match).astype(jnp.int32)
+            return (live, score, mm), None
+
+        return step
+
+    zeros = jnp.zeros(B, dtype=jnp.int32)
+    w_idx = jnp.arange(NWr, dtype=jnp.int32)
+    w_f0 = min(k // 16, NWr)
+    P_full = Lmax - k + 1
+    wl = min(max((P_full - 2) // 16 + 1, 0), NWr)
+    (live_cb, f_score, f_mm), _ = jax.lax.scan(
+        make_step(True), (live_cb, zeros, zeros),
+        (mbits_w[w_f0:], w_idx[w_f0:]), unroll=SCAN_UNROLL,
+    )
+    (live_cb, l_score, l_mm), _ = jax.lax.scan(
+        make_step(False), (live_cb, zeros, zeros),
+        (mbits_w[:wl][::-1], w_idx[:wl][::-1]), unroll=SCAN_UNROLL,
+    )
+    return live_cb, f_score + l_score, f_mm + l_mm
+
+
 def _span_walk_abs_fused(
     reads_i32, read_lens, anchor, rows, offs, live0,
     ref_codes_packed, row_starts, row_lengths,
@@ -824,34 +961,65 @@ def _probe_walk_filter_impl(
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)
     overflow = acnt > c_max
 
-    c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
-    live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
-    pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
-    rows = postings_row[pidx]
-    offs = postings_off[pidx].astype(jnp.int32)
+    if _LAYOUT_T and not use_pallas:
+        # transposed (batch-minor) layout end to end: candidates MAJOR,
+        # batch minor, the walk scan's native layout — see _LAYOUT_T
+        c_idx_t = jnp.arange(c_max, dtype=jnp.int32)[:, None]
+        live0_t = c_idx_t < jnp.minimum(acnt, c_max)[None, :]
+        pidx_t = jnp.clip(astart[None, :] + c_idx_t, 0,
+                          postings_row.shape[0] - 1)
+        rows_t = postings_row[pidx_t]
+        offs_t = postings_off[pidx_t].astype(jnp.int32)
+        live_t, walk_score, walk_mm = _span_walk_abs_packed_t(
+            reads_i32, read_lens, anchor, rows_t, offs_t, live0_t,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad,
+        )
+        live_t, walk_score, walk_mm = _fence((live_t, walk_score, walk_mm))
+        score = jnp.where(has_anchor, k + walk_score, 0)
+        mm = jnp.where(has_anchor, walk_mm, 0)
+        # pairwise distinct count in (C, C, B): batch stays minor
+        dup_t = (
+            (rows_t[:, None, :] == rows_t[None, :, :])
+            & live_t[:, None, :] & live_t[None, :, :]
+            & (jnp.arange(c_max)[:, None, None]
+               > jnp.arange(c_max)[None, :, None])
+        ).any(axis=1)
+        distinct = (live_t & ~dup_t).sum(axis=0).astype(jnp.int32)
+        lane_t = (1 << jnp.arange(c_max, dtype=jnp.int32))[:, None]
+        mask = jnp.where(live_t, lane_t, 0).sum(axis=0)
+    else:
+        c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+        live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
+        pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
+        rows = postings_row[pidx]
+        offs = postings_off[pidx].astype(jnp.int32)
 
-    live, walk_score, walk_mm = _span_walk(
-        reads_i32, read_lens, anchor, rows, offs, live0,
-        ref_codes_packed, row_starts, row_lengths,
-        k=k, ref_pad=ref_pad,
-        l_steps=min(p_limit - 1, Lmax - k),
-        use_pallas=use_pallas,
-    )
-    live, walk_score, walk_mm = _fence((live, walk_score, walk_mm))
-    score = jnp.where(has_anchor, k + walk_score, 0)
-    mm = jnp.where(has_anchor, walk_mm, 0)
+        live, walk_score, walk_mm = _span_walk(
+            reads_i32, read_lens, anchor, rows, offs, live0,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad,
+            l_steps=min(p_limit - 1, Lmax - k),
+            use_pallas=use_pallas,
+        )
+        live, walk_score, walk_mm = _fence((live, walk_score, walk_mm))
+        score = jnp.where(has_anchor, k + walk_score, 0)
+        mm = jnp.where(has_anchor, walk_mm, 0)
 
-    # distinct live-row count without a device sort (pairwise compares on
-    # the C lanes — sorts are expensive ops on TPU; this is ~6 cheap ones).
-    # The entropy gate moved OFF device entirely: the host computes it in
-    # exact f64 from the packed byte counts (collect path), which also
-    # removes the old f32 boundary band and its host rescues.
-    dup = (
-        (rows[:, :, None] == rows[:, None, :])
-        & live[:, :, None] & live[:, None, :]
-        & (jnp.arange(c_max)[:, None] > jnp.arange(c_max)[None, :])
-    ).any(axis=2)
-    distinct = (live & ~dup).sum(axis=1).astype(jnp.int32)
+        # distinct live-row count without a device sort (pairwise compares
+        # on the C lanes — sorts are expensive ops on TPU; this is ~6
+        # cheap ones).  The entropy gate moved OFF device entirely: the
+        # host computes it in exact f64 from the packed byte counts
+        # (collect path), which also removes the old f32 boundary band
+        # and its host rescues.
+        dup = (
+            (rows[:, :, None] == rows[:, None, :])
+            & live[:, :, None] & live[:, None, :]
+            & (jnp.arange(c_max)[:, None] > jnp.arange(c_max)[None, :])
+        ).any(axis=2)
+        distinct = (live & ~dup).sum(axis=1).astype(jnp.int32)
+        lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
+        mask = jnp.where(live, lane, 0).sum(axis=1)
 
     s_min = s_min_table[jnp.clip(read_lens, 0, s_min_table.shape[0] - 1)]
     passed = (
@@ -863,8 +1031,6 @@ def _probe_walk_filter_impl(
         & jnp.where(discard_nonzero, mm == 0, True)
     )
 
-    lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
-    mask = jnp.where(live, lane, 0).sum(axis=1)
     needs_host = (has_anchor & overflow) | fp_bad
 
     if one_col:
@@ -1370,21 +1536,36 @@ def _probe_walk_full_impl(
     # overflow (the overflow bit, rescued in full_collect/align_batch)
     overflow = (acnt > c_max) | fp_bad
 
-    c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
-    live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
-    pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
-    rows = postings_row[pidx]
-    offs = postings_off[pidx].astype(jnp.int32)
-
     Lmax = bucket
-    live, walk_score, walk_mm = _span_walk(
-        reads_i32, read_lens, anchor, rows, offs, live0,
-        ref_codes_packed, row_starts, row_lengths,
-        k=k, ref_pad=ref_pad, l_steps=min(p_limit - 1, Lmax - k),
-        use_pallas=use_pallas,
-    )
-    lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
-    mask = jnp.where(live, lane, 0).sum(axis=1)
+    if _LAYOUT_T and not use_pallas:
+        c_idx_t = jnp.arange(c_max, dtype=jnp.int32)[:, None]
+        live0_t = c_idx_t < jnp.minimum(acnt, c_max)[None, :]
+        pidx_t = jnp.clip(astart[None, :] + c_idx_t, 0,
+                          postings_row.shape[0] - 1)
+        rows_t = postings_row[pidx_t]
+        offs_t = postings_off[pidx_t].astype(jnp.int32)
+        live_t, walk_score, walk_mm = _span_walk_abs_packed_t(
+            reads_i32, read_lens, anchor, rows_t, offs_t, live0_t,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad,
+        )
+        lane_t = (1 << jnp.arange(c_max, dtype=jnp.int32))[:, None]
+        mask = jnp.where(live_t, lane_t, 0).sum(axis=0)
+    else:
+        c_idx = jnp.arange(c_max, dtype=jnp.int32)[None, :]
+        live0 = c_idx < jnp.minimum(acnt, c_max)[:, None]
+        pidx = jnp.clip(astart[:, None] + c_idx, 0, postings_row.shape[0] - 1)
+        rows = postings_row[pidx]
+        offs = postings_off[pidx].astype(jnp.int32)
+
+        live, walk_score, walk_mm = _span_walk(
+            reads_i32, read_lens, anchor, rows, offs, live0,
+            ref_codes_packed, row_starts, row_lengths,
+            k=k, ref_pad=ref_pad, l_steps=min(p_limit - 1, Lmax - k),
+            use_pallas=use_pallas,
+        )
+        lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
+        mask = jnp.where(live, lane, 0).sum(axis=1)
     score = jnp.where(has_anchor, k + walk_score, 0)
     mm = jnp.where(has_anchor, walk_mm, 0)
 
