@@ -495,10 +495,11 @@ def main(argv=None) -> int:
                    help="reference features in the synthetic library")
     p.add_argument("--feat-len", type=int, default=500,
                    help="length (bp) of each synthetic feature")
-    # best-of-N: the remote-TPU tunnel has ±30% run-to-run variance, so
-    # more timed rounds = better weather sampling (rounds are ~0.4-1.5s
-    # each; warmup dominates total runtime either way)
-    p.add_argument("--timed-rounds", type=int, default=8)
+    # best-of-N: the remote-TPU tunnel's weather swings are large (round-5
+    # probes measured 10 MB/s to >1 GB/s across adjacent minutes), so more
+    # timed rounds = better weather sampling (rounds are ~0.4-1.5s each;
+    # warmup dominates total runtime either way)
+    p.add_argument("--timed-rounds", type=int, default=12)
     p.add_argument("--walk", choices=["scan", "abs", "pallas", "fused"],
                    default="scan",
                    help="walk kernel: packed-domain XLA scan (default), the"

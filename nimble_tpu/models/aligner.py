@@ -38,6 +38,11 @@ _ASYNC_FETCH = _os_af.environ.get("NIMBLE_ASYNC_FETCH", "1") != "0"
 # links where upload bandwidth truly dominates.
 _REFCODE = _os_af.environ.get("NIMBLE_REFCODE", "0") == "1"
 
+# NIMBLE_UNIFORM_LEN=0 disables the uniform-length payload (drops the
+# uint16 length tail + bakes the length into the executable when a batch
+# is fixed-length; see DeviceAlignEngine._launch_series)
+_UNIFORM_LEN = _os_af.environ.get("NIMBLE_UNIFORM_LEN", "1") != "0"
+
 import jax
 import jax.numpy as jnp
 
@@ -465,14 +470,11 @@ class DeviceAlignEngine:
                     else:
                         smat, slens, sm = bmat[idx], blens[idx], len(idx)
                         ssel = idx if sel is None else sel[idx]
-                    B = self._launch_B(sm)
-                    n_sub = (B + lb - 1) // lb
-                    # packed rows serve the host-side entropy gate (and,
-                    # on the raw path, are the upload payload itself)
-                    buf = self._pack_reads(
-                        smat, slens, bucket, sm if is_ref else B
-                    )
                     if is_ref:
+                        B = self._launch_B(sm)
+                        n_sub = (B + lb - 1) // lb
+                        # packed rows serve the host-side entropy gate
+                        buf = self._pack_reads(smat, slens, bucket, sm)
                         rbuf = np.zeros((B, 8), dtype=np.uint8)
                         r32 = rr[idx].astype(np.uint32)
                         o16 = ro[idx].astype(np.uint32)
@@ -489,20 +491,73 @@ class DeviceAlignEngine:
                             )
                             for i in range(n_sub)
                         ]
+                        out_dev = finalize_launch_output(outs)
                     else:
-                        dev_in = jnp.asarray(
-                            buf.reshape(n_sub, min(B, lb), buf.shape[1])
+                        out_dev, buf = self._launch_series(
+                            smat, slens, bucket
                         )
-                        outs = [
-                            self._launch_chunked_kernel(
-                                dev_in[i : i + 1], bucket
-                            )
-                            for i in range(n_sub)
-                        ]
-                    out_dev = finalize_launch_output(outs)
                     launches.append((bucket, ssel, sm, out_dev, buf, slens))
         return {"n": n, "lens": lens, "needs_host": needs_host,
                 "launches": launches}
+
+    def _launch_series(self, smat: np.ndarray, slens: np.ndarray,
+                       bucket: int):
+        """Pack + upload + async-launch one bucket batch; returns
+        (device-concatenated output, packed host buffer for the entropy
+        gate).
+
+        Wire-byte discipline (round 5):
+
+        * GEOMETRIC TAIL — instead of padding the last sub-launch to the
+          full ``launch_batch`` (up to lb-1 zero rows whose bytes ride the
+          upload AND the result fetch for nothing), the tail launch uses
+          the smallest size in {lb, lb/2, lb/4, lb/8} that fits the
+          remainder.  Each size compiles once per bucket (persistent
+          cache); a 33k-read batch saves ~20% of its padding bytes.
+        * UNIFORM LENGTH — when every read in the batch has the same
+          length (fixed-length Illumina chunks, the common case), the
+          per-row uint16 length tail is dropped from the payload
+          (ceil(bucket/4) bytes/read instead of +2) and the length bakes
+          into the executable as a constant
+          (`probe_walk_filter_packed_chunked` uniform_len).
+          NIMBLE_UNIFORM_LEN=0 disables (one extra executable per length).
+
+        With ``pad_launches`` off (CPU/tests) small batches keep the old
+        single pow2-sized launch; both padding rows and uniform-length
+        results for rows >= sm are discarded at collect, so the result is
+        bit-identical either way (parity-tested).
+        """
+        lb = self.launch_batch
+        sm = smat.shape[0]
+        if sm <= lb and not self._pad_launches:
+            sizes = [self._launch_B(sm)]
+        else:
+            sizes = [lb] * (sm // lb)
+            t = sm - lb * len(sizes)
+            if t or not sizes:
+                tail = lb
+                for cand in (lb // 8, lb // 4, lb // 2):
+                    if cand >= max(t, self.min_batch, 1):
+                        tail = cand
+                        break
+                sizes.append(tail)
+        B_total = sum(sizes)
+        buf = self._pack_reads(smat, slens, bucket, B_total)
+        nb = (bucket + 3) // 4
+        uni = 0
+        if _UNIFORM_LEN and sm and (slens == slens[0]).all():
+            uni = int(slens[0])
+        payload = np.ascontiguousarray(buf[:, :nb]) if uni else buf
+        dev = jnp.asarray(payload)
+        outs = []
+        off = 0
+        for sz in sizes:
+            out = self._launch_chunked_kernel(
+                dev[off : off + sz][None], bucket, uniform_len=uni
+            )
+            outs.append(out.reshape(sz, out.shape[-1]))
+            off += sz
+        return finalize_launch_output(outs), buf
 
     def _refcode_rows(self, bmat: np.ndarray, blens: np.ndarray):
         """Identify reads that are EXACT full-length library windows.
@@ -911,7 +966,8 @@ class DeviceAlignEngine:
             self._s_min_dev_cache[bucket] = t
         return t
 
-    def _launch_chunked_kernel(self, buf3: np.ndarray, bucket: int):
+    def _launch_chunked_kernel(self, buf3: np.ndarray, bucket: int,
+                               uniform_len: int = 0):
         from nimble_tpu.ops.engine_fast import probe_walk_filter_packed_chunked
 
         thr, nmm, dm, dn = self._dev_scalars
@@ -933,6 +989,7 @@ class DeviceAlignEngine:
             bucket=bucket,
             use_pallas=self.use_pallas_walk,
             one_col=self._compact_one_col,
+            uniform_len=uniform_len,
         )
 
     def decode_combo(self, astart: int, mask: int) -> List[int]:

@@ -1135,7 +1135,7 @@ def probe_walk_filter_refcoded_chunked(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas", "one_col"),
+                     "bucket", "use_pallas", "one_col", "uniform_len"),
 )
 def probe_walk_filter_packed_chunked(
     packed3,
@@ -1154,22 +1154,36 @@ def probe_walk_filter_packed_chunked(
     bucket: int,
     use_pallas: bool = False,
     one_col: bool = False,
+    uniform_len: int = 0,
 ):
     """Sub-batched compact kernel in ONE jit: ``packed3`` is
     (n_sub, lb, ceil(bucket/4)+2) and `lax.map` runs the fixed-size body per
     sub-batch on device.  One upload, one compile (per n_sub), one fetched
     (n_sub, lb, 2) result — the tunnel charges ~30-45 ms per transfer AND
-    tens of seconds per compiled executable, so both are minimized."""
+    tens of seconds per compiled executable, so both are minimized.
+
+    ``uniform_len`` > 0 declares every row's read length STATICALLY: the
+    packed rows then carry only the ceil(bucket/4) code bytes (no uint16
+    length tail — ~8% fewer wire bytes on fixed-length Illumina chunks,
+    the common case) and the length-dependent masks constant-fold.
+    Padding rows (beyond the caller's row count) also claim the uniform
+    length; their results are discarded host-side at collect, exactly
+    like zero-length padding rows before."""
     nb = (bucket + 3) // 4
 
     def body(packed):
         words = packed[:, :nb].astype(jnp.int32)
         j = jnp.arange(bucket, dtype=jnp.int32)
         reads = (words[:, j >> 2] >> ((j & 3) * 2)[None, :]) & 3
-        read_lens = (
-            packed[:, nb].astype(jnp.int32)
-            | (packed[:, nb + 1].astype(jnp.int32) << 8)
-        )
+        if uniform_len:
+            read_lens = jnp.full(
+                (packed.shape[0],), uniform_len, dtype=jnp.int32
+            )
+        else:
+            read_lens = (
+                packed[:, nb].astype(jnp.int32)
+                | (packed[:, nb + 1].astype(jnp.int32) << 8)
+            )
         return _probe_walk_filter_impl(
             reads, read_lens,
             bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
