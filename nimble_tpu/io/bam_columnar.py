@@ -408,9 +408,23 @@ class ColumnarGroupStream:
 
     def _scan_chunk(self) -> Optional[_Carry]:
         """Read+scan one chunk, apply skip rules; None at (logical) EOF."""
+        if self._error is not None:
+            return None  # no reads past a fatal record
+        res = self._scan_raw(self._pool)
+        if res is None:
+            return None
+        return self._meta_filter(res, self._pool)
+
+    def _scan_raw(self, pool):
+        """Producer stage 1: file read + BGZF inflate + record scan.
+
+        Owns the sequential stream state (file position, BGZF tail carry,
+        EOF flag); returns bam_scan's raw column tuple, or None at EOF.
+        The output arrays live in ``pool`` buffers — the caller must not
+        run another _scan_raw against the same pool until stage 2
+        (:meth:`_meta_filter`) has consumed them.
+        """
         while True:
-            if self._error is not None:
-                return None  # no reads past a fatal record
             if self._eof and not self._tail:
                 return None
             if not self._eof:
@@ -423,7 +437,7 @@ class ColumnarGroupStream:
             if not data:
                 return None
             res = self._native.bam_scan(data, len(data) // 36 + 1,
-                                        pool=self._pool)
+                                        pool=pool)
             (count, consumed, fixed, qname, seq, qual, aux, _cig) = res
             self._tail = data[consumed:]
             if count == 0:
@@ -432,55 +446,65 @@ class ColumnarGroupStream:
                         raise EOFError("truncated BAM stream")
                     return None
                 continue
+            return (count, fixed, qname, seq, qual, aux)
 
-            cols = self._native.bam_meta(count, fixed, qname, seq, qual,
-                                         aux, pool=self._pool)
-            oflags = cols["oflags"]
-            paired = (oflags & 1) != 0
-            has_cb = (oflags & 4) != 0
-            has_umi = (oflags & 8) != 0
+    def _meta_filter(self, scanres, pool) -> Optional[_Carry]:
+        """Producer stage 2: metadata derivation + skip rules -> _Carry.
 
-            # skip rules, reference order (`sorted_bam_reader.rs:45-68`)
-            keep = np.ones(count, dtype=bool)
-            if self.force_bam_paired:
-                keep &= paired
-            keep &= has_cb
-            bad_umi = keep & ~has_umi
-            if bad_umi.any():
-                # the reference raises when the reader reaches this record
-                first_bad = int(np.flatnonzero(bad_umi)[0])
-                keep &= np.arange(count) < first_bad
-                self._error = ValueError("Error -- Could not read UMI.")
+        Independent per chunk (no stream state except ``self._error``,
+        which only ever transitions None -> fatal); every retained column
+        is a fresh filter() copy, so the pool buffers are reusable as soon
+        as this returns.
+        """
+        count, fixed, qname, seq, qual, aux = scanres
+        cols = self._native.bam_meta(count, fixed, qname, seq, qual,
+                                     aux, pool=pool)
+        oflags = cols["oflags"]
+        paired = (oflags & 1) != 0
+        has_cb = (oflags & 4) != 0
+        has_umi = (oflags & 8) != 0
 
-            # whitelisted-UMI filter (vectorized 10-byte compare)
-            umi_off, umi_flat = cols["umi"]
-            umi_lens = np.diff(umi_off[: count + 1])
-            cand = keep & (umi_lens == 10)
-            if cand.any():
-                idx = np.flatnonzero(cand)
-                win = umi_flat[
-                    umi_off[idx][:, None] + np.arange(10, dtype=np.int64)[None, :]
-                ]
-                keep[idx[(win == ord("A")).all(axis=1)]] = False
+        # skip rules, reference order (`sorted_bam_reader.rs:45-68`)
+        keep = np.ones(count, dtype=bool)
+        if self.force_bam_paired:
+            keep &= paired
+        keep &= has_cb
+        bad_umi = keep & ~has_umi
+        if bad_umi.any():
+            # the reference raises when the reader reaches this record
+            first_bad = int(np.flatnonzero(bad_umi)[0])
+            keep &= np.arange(count) < first_bad
+            self._error = ValueError("Error -- Could not read UMI.")
 
-            out = _Carry()
-            for name in _COLS:
-                if name == "qname_raw":
-                    offs, flat = qname
-                    offs = offs[: count + 1]
-                else:
-                    offs, flat = cols[name]
-                    offs = offs[: count + 1]
-                col = _Col(np.ascontiguousarray(offs, dtype=np.int64),
-                           flat[: offs[-1]])
-                out.cols[name] = col.filter(keep)
-            s_offs, s_flat = cols["seq2"]
-            out.seq = _Col(
-                np.ascontiguousarray(s_offs[: count + 1], dtype=np.int64),
-                s_flat[: s_offs[count]].view(np.uint8),
-            ).filter(keep)
-            out.oflags = oflags[keep]
-            return out
+        # whitelisted-UMI filter (vectorized 10-byte compare)
+        umi_off, umi_flat = cols["umi"]
+        umi_lens = np.diff(umi_off[: count + 1])
+        cand = keep & (umi_lens == 10)
+        if cand.any():
+            idx = np.flatnonzero(cand)
+            win = umi_flat[
+                umi_off[idx][:, None] + np.arange(10, dtype=np.int64)[None, :]
+            ]
+            keep[idx[(win == ord("A")).all(axis=1)]] = False
+
+        out = _Carry()
+        for name in _COLS:
+            if name == "qname_raw":
+                offs, flat = qname
+                offs = offs[: count + 1]
+            else:
+                offs, flat = cols[name]
+                offs = offs[: count + 1]
+            col = _Col(np.ascontiguousarray(offs, dtype=np.int64),
+                       flat[: offs[-1]])
+            out.cols[name] = col.filter(keep)
+        s_offs, s_flat = cols["seq2"]
+        out.seq = _Col(
+            np.ascontiguousarray(s_offs[: count + 1], dtype=np.int64),
+            s_flat[: s_offs[count]].view(np.uint8),
+        ).filter(keep)
+        out.oflags = oflags[keep]
+        return out
 
     # ----------------- Python fallback (irregular runs) ----------------
 
@@ -675,26 +699,48 @@ class ColumnarGroupStream:
         self.close()
 
     def _stop_prefetch(self) -> None:
-        """Terminate the scan-ahead thread and wait for it (idempotent).
+        """Terminate the scan-ahead thread(s) and wait (idempotent).
 
-        Must run BEFORE the file handle closes: the prefetcher may be
-        inside self._f.read(), and a concurrent close() would race it
-        (ADVICE r4).  Draining the bounded queue wakes any blocked put()
-        so the worker can observe the stop flag and exit.
+        Must run BEFORE the file handle closes: the scanner may be inside
+        self._f.read(), and a concurrent close() would race it (ADVICE
+        r4).  Draining the bounded queues (and feeding the pool-ring
+        queue a wakeup sentinel) wakes any blocked get()/put() so every
+        worker can observe the stop flag and exit.
         """
-        t = getattr(self, "_prefetch_thread", None)
-        if t is None:
+        threads = getattr(self, "_prefetch_threads", None)
+        if not threads:
             return
         import queue as _queue
 
         self._prefetch_stop.set()
-        q = self._prefetch_q
-        while t.is_alive():
-            try:
-                q.get_nowait()
-            except _queue.Empty:
-                t.join(0.05)
-        self._prefetch_thread = None
+        free = getattr(self, "_prefetch_free", None)
+        queues = [self._prefetch_q]
+        q1 = getattr(self, "_prefetch_q1", None)
+        if q1 is not None:
+            queues.append(q1)
+        while any(t.is_alive() for t in threads):
+            if free is not None:
+                free.put_nowait(None)  # wake a scanner blocked on get
+            if q1 is not None:
+                try:
+                    # wake a metaer blocked on q1.get (the scanner may
+                    # have exited on the stop flag without a terminal put)
+                    q1.put_nowait(("end", None))
+                except _queue.Full:
+                    pass
+            drained = False
+            for q in queues:
+                try:
+                    q.get_nowait()
+                    drained = True
+                except _queue.Empty:
+                    pass
+            if not drained:
+                for t in threads:
+                    t.join(0.02)
+        self._prefetch_threads = None
+        self._prefetch_free = None
+        self._prefetch_q1 = None
 
     def close(self) -> None:
         self._stop_prefetch()
@@ -717,23 +763,28 @@ class ColumnarGroupStream:
         carry = _Carry()
         pend = _Pend()
 
-        # Prefetch thread: _scan_chunk (read + parallel BGZF inflate + C++
-        # scan/meta + filters) runs ONE chunk ahead of the run/group
-        # emission below — the two halves are each ~0.1-0.2 s per 131k
-        # records and fully independent (the scan side owns the file handle
-        # and buffer pool; every column handed over is a fresh filter()
-        # copy), so pipelining them nearly doubles producer throughput.
-        # Exceptions re-raise at the same consume point as the inline call.
-        # ON by default (NIMBLE_BAM_PREFETCH=0 reverts): it originally
-        # LOST end-to-end (121k vs 152k rec/s — GIL/core contention with
-        # busy consumers), but once the consumers' prepare stage moved to
-        # C++ (nimble_orient_decode) they sit starved in queue-wait and
-        # the freed cores flipped the balance: the same-process ABBA A/B
-        # (scripts/ab_bam_inproc.py --knob prefetch) measures prefetch
-        # WINNING ~10% (median 195k vs 178k rec/s).  Parity is unchanged
-        # either way (same sequential _scan_chunk calls).
+        # Prefetch thread(s): the scan side (read + parallel BGZF inflate +
+        # C++ scan/meta + filters) runs ahead of the run/group emission
+        # below.  Exceptions re-raise at the same consume point as the
+        # inline call.  NIMBLE_BAM_PREFETCH:
+        #   0 — inline (no thread): the round-3 behavior
+        #   1 — ONE scan-ahead thread running the whole scan half
+        #       (the DEFAULT; same-process ABBA measured it winning ~10%
+        #       once consumer prepare moved to C++)
+        #   2 — TWO pipeline stages (round-5 experiment, opt-in): stage 1
+        #       owns the file and the sequential read+inflate+bam_scan
+        #       state; stage 2 runs bam_meta + skip filters, with a ring
+        #       of 3 scan pools handed between them.  Producer-ONLY it
+        #       ties mode 1 (~540k rec/s median both, idle host), and
+        #       END-TO-END it LOSES (ABBA 8 rounds: median 186k vs 203k,
+        #       best 195k vs 261k rec/s) — the extra thread's GIL slices
+        #       and core share cost more than the deeper pipeline earns
+        #       on the 4-core host (the BamPipe lesson again).  Kept for
+        #       wider hosts, where the producer's long leg halves.
+        # Parity is unchanged in all modes (same sequential calls).
         fetch = self._scan_chunk
-        if os.environ.get("NIMBLE_BAM_PREFETCH", "1") == "1":
+        mode = os.environ.get("NIMBLE_BAM_PREFETCH", "1")
+        if mode == "1":
             import queue as _queue
             import threading as _threading
 
@@ -752,13 +803,81 @@ class ColumnarGroupStream:
                         return
 
             self._prefetch_q = q
+            self._prefetch_q1 = None
+            self._prefetch_free = None
             self._prefetch_stop = stop
-            self._prefetch_thread = _threading.Thread(
-                target=_prefetcher, daemon=True)
-            self._prefetch_thread.start()
+            self._prefetch_threads = [_threading.Thread(
+                target=_prefetcher, daemon=True)]
+            self._prefetch_threads[0].start()
 
             def fetch():
                 kind, val = q.get()
+                if kind == "exc":
+                    raise val
+                return val
+        elif mode == "2":
+            import queue as _queue
+            import threading as _threading
+
+            q1: "_queue.Queue" = _queue.Queue(maxsize=1)
+            q2: "_queue.Queue" = _queue.Queue(maxsize=2)
+            free: "_queue.Queue" = _queue.Queue()
+            pools = [{}, {}, {}]
+            for i in range(len(pools)):
+                free.put(i)
+            stop = _threading.Event()
+
+            def _scanner() -> None:
+                while not stop.is_set():
+                    pidx = free.get()
+                    if pidx is None or stop.is_set():
+                        return
+                    try:
+                        r = self._scan_raw(pools[pidx])
+                    except BaseException as e:  # noqa: BLE001 — replayed
+                        q1.put(("exc", e))
+                        return
+                    if r is None:
+                        q1.put(("end", None))
+                        return
+                    q1.put(("ok", (r, pidx)))
+
+            def _metaer() -> None:
+                meta_pool: dict = {}
+                while not stop.is_set():
+                    kind, val = q1.get()
+                    if kind != "ok":
+                        q2.put((kind, val) if kind == "exc"
+                               else ("ok", None))
+                        return
+                    r, pidx = val
+                    if self._error is not None:
+                        # a fatal record already surfaced: chunks the
+                        # scanner read ahead are never processed (the
+                        # reference stops reading at the error)
+                        free.put(pidx)
+                        q2.put(("ok", None))
+                        return
+                    try:
+                        c = self._meta_filter(r, meta_pool)
+                    except BaseException as e:  # noqa: BLE001 — replayed
+                        q2.put(("exc", e))
+                        return
+                    free.put(pidx)
+                    q2.put(("ok", c))
+
+            self._prefetch_q = q2
+            self._prefetch_q1 = q1
+            self._prefetch_stop = stop
+            self._prefetch_free = free
+            t1 = _threading.Thread(target=_scanner, daemon=True)
+            t2 = _threading.Thread(target=_metaer, daemon=True)
+            self._prefetch_threads = [t1, t2]
+            t1.start()
+            t2.start()
+
+            def fetch():
+                kind, val = q2.get()
                 if kind == "exc":
                     raise val
                 return val
@@ -776,8 +895,22 @@ class ColumnarGroupStream:
 
     def _batches_loop(self, fetch, carry, pend,
                       target_records: int) -> Iterator[EmittedBatch]:
+        import time as _time
+
+        _timing = os.environ.get("NIMBLE_TIMING")
+        t_fetch = t_emit = 0.0
+        _t_last = _time.time()
         while True:
+            ts = _time.time()
+            t_emit += ts - _t_last
             batch = fetch()
+            _t_last = _time.time()
+            t_fetch += _t_last - ts
+            if _timing and batch is None:
+                import sys as _sys
+
+                print(f"[bam_fast scanwait] fetch {t_fetch:.2f}s "
+                      f"emit {t_emit:.2f}s", file=_sys.stderr)
             at_eof = batch is None
             if batch is not None:
                 carry.extend(batch)

@@ -877,6 +877,26 @@ def process_fast(
                     work_queue.put(None)
                     break
 
+    import time as _time
+
+    # GIL convoy mitigation (measured: the pipeline uses only ~1.7 of 4
+    # cores at ~1.25 process-CPU-s per 131k records — Python glue across
+    # 6 threads serializes on the GIL, not on CPU inventory).  A smaller
+    # switch interval lets a GIL-releasing C++ call's thread resume
+    # sooner after numpy glue; NIMBLE_GIL_SWITCH overrides (seconds),
+    # empty string disables.
+    _sw = os.environ.get("NIMBLE_GIL_SWITCH", "0.001")
+    if _sw:
+        sys.setswitchinterval(float(_sw))
+
+    _t0 = _time.time()
+    _timing = os.environ.get("NIMBLE_TIMING")
+
+    def _mark(label: str) -> None:
+        if _timing:
+            print(f"[bam_fast wall] {label} @ {_time.time()-_t0:.3f}s",
+                  file=sys.stderr)
+
     log_thread = threading.Thread(target=guarded, args=(logger,))
     log_thread.start()
     producer_thread = threading.Thread(target=guarded, args=(producer,))
@@ -890,13 +910,16 @@ def process_fast(
         consumer_threads.append(t)
 
     producer_thread.join()
+    _mark("producer joined")
     print("Joined on producer.")
     work_queue.put(None)
     for t in consumer_threads:
         t.join()
+    _mark("consumers joined")
     print("Joined on consumer.")
     log_queue.put(None)
     log_thread.join()
+    _mark("logger joined")
     if errors:
         # surface the ORIGINAL exception (the reference panics with it)
         raise errors[0]

@@ -240,17 +240,30 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,
     # N's host counting then overlaps chunks N+1/N+2's upload + device
     # work (the bench's --depth A/B measured 3 best on the tunnel; 1 —
     # the old behavior here — left the device idle during every count)
+    import sys as _sys
+    import time as _time
+
     depth = int(os.environ.get("NIMBLE_PIPELINE_DEPTH", "3"))
+    _timing = os.environ.get("NIMBLE_TIMING")
+    t_parse = t_submit = t_drain = 0.0
     in_flight: List = []
     r1_chunks = _prefetch_iter(r1_chunks)
     if r2_chunks is not None:
         r2_chunks = _prefetch_iter(r2_chunks)
-    for mat, lens in r1_chunks:
+    while True:
+        ts = _time.time()
+        nxt = next(r1_chunks, None)
+        t_parse += _time.time() - ts
+        if nxt is None:
+            break
+        mat, lens = nxt
         if r2_chunks is not None:
+            ts = _time.time()
             try:
                 mate_mat, mate_lens = next(r2_chunks)
             except StopIteration:
                 mate_mat, mate_lens = None, None
+            t_parse += _time.time() - ts
             if mate_mat is None or mate_mat.shape[0] < mat.shape[0]:
                 raise ValueError(
                     "Error -- read and reverse read files do not have "
@@ -259,6 +272,7 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,
         else:
             mate_mat, mate_lens = None, None
         with meter.measure(mat.shape[0] * len(counters)):
+            ts = _time.time()
             if multi is not None:
                 # pipelined dispatch: dedupe + pack + upload run on the
                 # dispatcher thread, overlapping the previous chunk's
@@ -273,9 +287,17 @@ def _run_fast_loop(r1_chunks, r2_chunks, counters, multi, fetcher,
                     counter.dispatch_async(mat, lens, mate_mat, mate_lens)
                     for counter in counters
                 ]
+            t_submit += _time.time() - ts
             in_flight.append(list(zip(counters, handles)))
             if len(in_flight) >= depth:
+                ts = _time.time()
                 _drain_pending(in_flight.pop(0), multi)
+                t_drain += _time.time() - ts
     with meter.measure(0):
+        ts = _time.time()
         while in_flight:
             _drain_pending(in_flight.pop(0), multi)
+        t_drain += _time.time() - ts
+    if _timing:
+        print(f"[fastq loop] parse-wait {t_parse:.3f}s submit "
+              f"{t_submit:.3f}s drain {t_drain:.3f}s", file=_sys.stderr)

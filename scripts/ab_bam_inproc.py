@@ -22,7 +22,8 @@ import numpy as np  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--knob", required=True,
-                    choices=["batch", "cores", "gzip", "dispatch", "prefetch"])
+                    choices=["batch", "cores", "gzip", "dispatch", "prefetch",
+                             "gilswitch"])
     ap.add_argument("--a", type=int, required=True)
     ap.add_argument("--b", type=int, required=True)
     ap.add_argument("--rounds", type=int, default=8)
@@ -67,6 +68,14 @@ def main() -> int:
                 os.environ.pop("NIMBLE_DISPATCH", None)
         if args.knob == "prefetch":
             os.environ["NIMBLE_BAM_PREFETCH"] = str(val)
+        if args.knob == "gilswitch":
+            # value in MICROseconds; 0 -> interpreter default (5 ms)
+            os.environ["NIMBLE_GIL_SWITCH"] = (
+                str(val / 1e6) if val else "")
+            if not val:
+                import sys as _sys
+
+                _sys.setswitchinterval(0.005)
         out = f"{td}/out.tsv.gz"
         if os.path.exists(out):
             os.unlink(out)

@@ -46,7 +46,11 @@ def _drain(path: str, prefetch: str, batch_records: int):
 
 @requires_native
 @pytest.mark.parametrize("batch_records", [512, 16384])
-def test_prefetch_stream_parity(batch_records):
+@pytest.mark.parametrize("mode", ["1", "2"])
+def test_prefetch_stream_parity(batch_records, mode):
+    """Mode 1 (scan-ahead thread, default) and mode 2 (two-stage
+    scan/meta pipeline, opt-in for wider hosts) must both emit exactly
+    the inline producer's batch stream."""
     feats = [
         "".join(np.random.default_rng(s).choice(list("ACGT"), size=400))
         for s in range(6)
@@ -55,7 +59,7 @@ def test_prefetch_stream_parity(batch_records):
         bam = f"{td}/p.bam"
         make_synthetic_bam(bam, feats, n_groups=700, pairs_per_group=3,
                            read_len=90, seed=13)
-        on = _drain(bam, "1", batch_records)
+        on = _drain(bam, mode, batch_records)
         off = _drain(bam, "0", batch_records)
     assert len(on) == len(off)
     for (c1, s1, g1), (c2, s2, g2) in zip(on, off):
