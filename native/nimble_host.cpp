@@ -267,6 +267,49 @@ void nimble_fill_matrix(const int8_t* codes, const int64_t* offsets,
     }
 }
 
+// Fused encode + fill: rows are copied straight from the RAW FASTQ text
+// with the base LUT applied per byte (A/a=0 C/c=1 G/g=2 T/t=3, unknown=0
+// — exactly nimble_encode_bases / utils.dna.encode_bases).  Replaces the
+// whole-block nimble_encode_bases pass, which encoded header/plus/quality
+// bytes (~4x the sequence volume) only to have fill_matrix copy the
+// sequence spans out.  Threaded over row ranges: pure LUT-memcpy work.
+void nimble_fill_matrix_encode(const uint8_t* raw, const int64_t* offsets,
+                               const int64_t* lens, int64_t n, int64_t W,
+                               int8_t* out, int64_t n_threads) {
+    static int8_t lut[256];
+    static bool init = false;
+    if (!init) {
+        std::memset(lut, 0, sizeof(lut));
+        lut['A'] = 0; lut['a'] = 0;
+        lut['C'] = 1; lut['c'] = 1;
+        lut['G'] = 2; lut['g'] = 2;
+        lut['T'] = 3; lut['t'] = 3;
+        init = true;
+    }
+    auto fill_range = [&](int64_t lo, int64_t hi) {
+        for (int64_t i = lo; i < hi; ++i) {
+            const uint8_t* src = raw + offsets[i];
+            int8_t* dst = out + i * W;
+            int64_t len = lens[i];
+            for (int64_t j = 0; j < len; ++j) dst[j] = lut[src[j]];
+        }
+    };
+    int64_t nt = std::min<int64_t>(
+        n_threads, std::max<int64_t>(1, (int64_t)std::thread::hardware_concurrency()));
+    if (nt <= 1 || n < 4096) {
+        fill_range(0, n);
+        return;
+    }
+    std::vector<std::thread> workers;
+    int64_t per = (n + nt - 1) / nt;
+    for (int64_t t = 0; t < nt; ++t) {
+        int64_t lo = t * per, hi = std::min(n, lo + per);
+        if (lo >= hi) break;
+        workers.emplace_back(fill_range, lo, hi);
+    }
+    for (auto& w : workers) w.join();
+}
+
 // ---------------------------------------------------------------------------
 // k-mer key extraction: packed 2-bit base-major keys, one per position.
 // ---------------------------------------------------------------------------

@@ -102,7 +102,10 @@ def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
             yield pack_matrix(batch)
         return
 
-    # pending scanned-but-unemitted records: (codes, offsets, lens) segments
+    # pending scanned-but-unemitted records: (raw_block, offsets, lens)
+    # segments — rows encode during the matrix fill (fill_matrix_encode),
+    # so the block's non-sequence bytes (~4x the sequence volume: headers,
+    # plus lines, qualities) are never LUT-encoded at all
     segments: list = []
     pend = 0
 
@@ -111,21 +114,24 @@ def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
         take = []
         need = n
         while need:
-            codes, offs, ls = segments[0]
+            raw, offs, ls = segments[0]
             if len(offs) <= need:
                 take.append(segments.pop(0))
                 need -= len(offs)
             else:
-                take.append((codes, offs[:need], ls[:need]))
-                segments[0] = (codes, offs[need:], ls[need:])
+                take.append((raw, offs[:need], ls[:need]))
+                segments[0] = (raw, offs[need:], ls[need:])
                 need = 0
         pend -= n
         all_lens = np.concatenate([t[2] for t in take])
         lmax = int(all_lens.max()) if n else 1
         mat = np.zeros((n, max(lmax, 1)), dtype=np.int8)
         row = 0
-        for codes, offs, ls in take:
-            native.fill_matrix(codes, offs, ls, lmax, out=mat, row0=row)
+        for raw, offs, ls in take:
+            if not native.fill_matrix_encode(raw, offs, ls, lmax, out=mat,
+                                             row0=row):
+                native.fill_matrix(native.encode_bases_bulk(raw), offs, ls,
+                                   lmax, out=mat, row0=row)
             row += len(offs)
         return mat, all_lens.astype(np.int32)
 
@@ -157,9 +163,7 @@ def iter_fastq_matrix_chunks(path: str, chunk_reads: int):
                     est *= 2  # record larger than the block: grow and retry
                     continue
                 est = max(consumed / len(offsets), 16.0)
-                segments.append(
-                    (native.encode_bases_bulk(buf), offsets, lens)
-                )
+                segments.append((buf, offsets, lens))
                 pend += len(offsets)
             if pend == 0:
                 return

@@ -52,6 +52,10 @@ def _load():
             lib.nimble_fill_matrix.argtypes = [
                 ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
                 ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p]
+            lib.nimble_fill_matrix_encode.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_void_p,
+                ctypes.c_int64]
             lib.nimble_extract_kmer_keys.argtypes = [
                 ctypes.c_void_p, ctypes.c_int64, ctypes.c_int32, ctypes.c_void_p]
             lib.nimble_build_hash_table.restype = ctypes.c_int32
@@ -223,6 +227,29 @@ def fill_matrix(codes: np.ndarray, offsets: np.ndarray, lens: np.ndarray,
         n, out.shape[1], dst.ctypes.data,
     )
     return out
+
+
+def fill_matrix_encode(raw: bytes, offsets: np.ndarray, lens: np.ndarray,
+                       W: int, out: np.ndarray, row0: int = 0,
+                       n_threads: int = 3) -> bool:
+    """Fill rows [row0, row0+n) of a zeroed (N, W) int8 matrix straight
+    from RAW FASTQ text spans, applying the base LUT per byte (identical
+    output to encode_bases_bulk + fill_matrix, without encoding the ~4x
+    non-sequence block bytes).  Returns False when native is unavailable.
+    """
+    lib = _load()
+    if lib is None:
+        return False
+    n = len(offsets)
+    dst = out[row0 : row0 + n]
+    raw_c = np.frombuffer(raw, dtype=np.uint8)
+    offsets_c = np.ascontiguousarray(offsets, dtype=np.int64)
+    lens_c = np.ascontiguousarray(lens, dtype=np.int64)
+    lib.nimble_fill_matrix_encode(
+        raw_c.ctypes.data, offsets_c.ctypes.data, lens_c.ctypes.data,
+        n, out.shape[1], dst.ctypes.data, n_threads,
+    )
+    return True
 
 
 def fastq_scan2(buf: bytes, is_final: bool, max_records: int):
