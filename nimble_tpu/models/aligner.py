@@ -225,6 +225,13 @@ class DeviceAlignEngine:
         assert self.c_max <= 16, "compact result packing holds <=16 candidate lanes"
         self.buckets = tuple(sorted(buckets))
         self.min_batch = int(min_batch)
+        # two-phase probe boundary, a per-engine STATIC kernel arg since
+        # round 5 (VERDICT r4 item 5 asked for a per-dispatcher knob):
+        # phase A probes the first N k-mer positions for every read; only
+        # unresolved reads re-probe the tail.  0 = the module default
+        # (NIMBLE_PROBE_PHASE_A, 8).  Results are bit-identical across
+        # values; two engines with different values coexist in one
+        # process as distinct executables (scripts/ab_multilib_inproc.py)
         self.phase_a_positions = int(phase_a_positions)
         # kernel compile time on the TPU backend grows ~linearly with the
         # batch dimension, so launches are capped at ONE fixed shape per
@@ -642,6 +649,7 @@ class DeviceAlignEngine:
             p_limit=bucket - self.bidx.k + 1,
             ref_pad=self.bidx.ref_pad, bucket=bucket,
             use_pallas=self.use_pallas_walk,
+            phase_a=self.phase_a_positions,
             one_col=self._compact_one_col,
         )
 
@@ -759,6 +767,7 @@ class DeviceAlignEngine:
                         p_limit=bucket - self.bidx.k + 1,
                         ref_pad=self.bidx.ref_pad, bucket=bucket,
                         use_pallas=self.use_pallas_walk,
+            phase_a=self.phase_a_positions,
                     )
                     for i in range(n_sub)
                 ]
@@ -988,6 +997,7 @@ class DeviceAlignEngine:
             ref_pad=self.bidx.ref_pad,
             bucket=bucket,
             use_pallas=self.use_pallas_walk,
+            phase_a=self.phase_a_positions,
             one_col=self._compact_one_col,
             uniform_len=uniform_len,
         )
@@ -1037,6 +1047,7 @@ class DeviceAlignEngine:
             p_limit=min(p_limit, bucket - self.bidx.k + 1),
             ref_pad=self.bidx.ref_pad,
             use_pallas=self.use_pallas_walk,
+            phase_a=self.phase_a_positions,
         )
         return {k: np.array(v) for k, v in jax.device_get(out).items()}
 

@@ -46,7 +46,8 @@ class MultiLibraryDispatcher:
     Bit-equality with the single-device dispatcher is tested on virtual
     meshes (tests/test_multi_mesh.py)."""
 
-    def __init__(self, engines: Sequence[DeviceAlignEngine], *, mesh=None):
+    def __init__(self, engines: Sequence[DeviceAlignEngine], *, mesh=None,
+                 phase_a: int = 0):
         if not engines:
             raise ValueError("MultiLibraryDispatcher needs >=1 engine")
         for e in engines:
@@ -77,6 +78,17 @@ class MultiLibraryDispatcher:
         self.n_buckets = n_buckets
         self.max_probe = max(b.max_probe for b in rebuilt)
         self.k = rebuilt[0].k
+        # Per-dispatcher probe boundary (VERDICT r4 item 5): the STACKED
+        # kernel defaults to SINGLE-PHASE, unlike the single-library
+        # engines' two-phase default (8).  In the N-library mixed
+        # workload most reads are foreign to each library and never
+        # resolve in phase A, so the per-library compaction + while_loop
+        # phase-B machinery runs hot under vmap; probing every position
+        # vectorized wins decisively (same-process ABBA, 4 libraries,
+        # scripts/ab_multilib_inproc.py: single-phase median 408k vs
+        # 342k at phase_a=16 vs 277k at the single-lib default 8 —
+        # reads/s, one tunnel session).  Pass phase_a to override.
+        self.phase_a = phase_a or (1 << 30)
         self.ref_pad = rebuilt[0].ref_pad
         if not all(b.k == self.k and b.ref_pad == self.ref_pad
                    for b in rebuilt):
@@ -233,6 +245,7 @@ class MultiLibraryDispatcher:
                         bucket_mask=self.n_buckets - 1,
                         p_limit=bucket - self.k + 1,
                         ref_pad=self.ref_pad, bucket=bucket,
+                        phase_a=self.phase_a,
                     )
                     for i in range(n_sub)
                 ]
@@ -309,6 +322,7 @@ class MultiLibraryDispatcher:
                         bucket_mask=self.n_buckets - 1,
                         p_limit=bucket - self.k + 1,
                         ref_pad=self.ref_pad, bucket=bucket,
+                        phase_a=self.phase_a,
                     )
                     for i in range(n_sub)
                 ]

@@ -97,6 +97,7 @@ def _fence(x):
 def _probe_encoded(
     reads_i32, read_lens, bkey_fp,
     *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
+    phase_a: int = 0,
 ):
     """Encoded anchor probe: the shared core of `_probe_bucketed`.
 
@@ -189,7 +190,10 @@ def _probe_encoded(
         )
         return enc.max(axis=1)
 
-    S = PROBE_PHASE_A
+    # per-engine override (0 = the NIMBLE_PROBE_PHASE_A module default):
+    # a STATIC arg at every jit boundary, so two engines with different
+    # phase_a values compile distinct executables in one process
+    S = phase_a or PROBE_PHASE_A
     G = min(PROBE_GROUP, B)
     hop_sel = None
     if max_probe == 1 and P > S:
@@ -253,6 +257,7 @@ def _probe_encoded(
 def _probe_bucketed(
     reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
     *, k: int, max_probe: int, bucket_mask: int, p_limit: int,
+    phase_a: int = 0,
 ):
     """Find each read's anchor (first k-mer position present in the table).
 
@@ -284,6 +289,7 @@ def _probe_bucketed(
     m, h, lo, hi, hop_sel = _probe_encoded(
         reads_i32, read_lens, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+        phase_a=phase_a,
     )
 
     has_anchor = m > 0
@@ -486,7 +492,7 @@ def _span_walk(
     return _span_walk_rel(
         reads_i32, read_lens, anchor, rows, offs, live0,
         ref_codes_packed, row_starts, row_lengths,
-        k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas,
+        k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas, phase_a=phase_a,
     )
 
 
@@ -848,7 +854,7 @@ def _span_walk_rel(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "phase_a"),
 )
 def probe_walk_filter_packed(
     packed,
@@ -866,6 +872,7 @@ def probe_walk_filter_packed(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """probe_walk_filter on a packed input buffer: ONE uploaded array per
     launch.  ``packed`` is uint8 (B, ceil(bucket/4) + 2): 2-bit codes
@@ -890,14 +897,14 @@ def probe_walk_filter_packed(
         s_min_table, score_threshold, num_mismatches,
         discard_multiple, discard_nonzero,
         k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
-        p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+        p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas, phase_a=phase_a,
     )
 
 
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "use_pallas"),
+                     "use_pallas", "phase_a"),
 )
 def probe_walk_filter(
     reads, read_lens,
@@ -914,6 +921,7 @@ def probe_walk_filter(
     p_limit: int,
     ref_pad: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Fast compact kernel on unpacked int8 reads (see
     probe_walk_filter_packed for the upload-optimal entry)."""
@@ -924,7 +932,7 @@ def probe_walk_filter(
         s_min_table, score_threshold, num_mismatches,
         discard_multiple, discard_nonzero,
         k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
-        p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+        p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas, phase_a=phase_a,
     )
 
 
@@ -944,6 +952,7 @@ def _probe_walk_filter_impl(
     ref_pad: int,
     use_pallas: bool = False,
     one_col: bool = False,
+    phase_a: int = 0,
 ):
     """Shared body: full pseudoalign filter chain on device, packed result."""
     B, Lmax = reads_i32.shape
@@ -951,6 +960,7 @@ def _probe_walk_filter_impl(
     has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _probe_bucketed(
         reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+        phase_a=phase_a,
     )
     # stage fence (see _span_walk): probe | walk | filters compile ~6x
     # faster unfused on the TPU backend
@@ -1000,7 +1010,7 @@ def _probe_walk_filter_impl(
             ref_codes_packed, row_starts, row_lengths,
             k=k, ref_pad=ref_pad,
             l_steps=min(p_limit - 1, Lmax - k),
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, phase_a=phase_a,
         )
         live, walk_score, walk_mm = _fence((live, walk_score, walk_mm))
         score = jnp.where(has_anchor, k + walk_score, 0)
@@ -1065,7 +1075,7 @@ def _probe_walk_filter_impl(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas", "one_col"),
+                     "bucket", "use_pallas", "one_col", "phase_a"),
 )
 def probe_walk_filter_refcoded_chunked(
     ref3,
@@ -1084,6 +1094,7 @@ def probe_walk_filter_refcoded_chunked(
     bucket: int,
     use_pallas: bool = False,
     one_col: bool = False,
+    phase_a: int = 0,
 ):
     """Compact kernel over REFERENCE-CODED reads (CRAM-style upload).
 
@@ -1124,7 +1135,7 @@ def probe_walk_filter_refcoded_chunked(
             discard_multiple, discard_nonzero,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
             p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
-            one_col=one_col,
+            one_col=one_col, phase_a=phase_a,
         )
 
     if ref3.shape[0] == 1:
@@ -1135,7 +1146,7 @@ def probe_walk_filter_refcoded_chunked(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas", "one_col", "uniform_len"),
+                     "bucket", "use_pallas", "one_col", "uniform_len", "phase_a"),
 )
 def probe_walk_filter_packed_chunked(
     packed3,
@@ -1155,6 +1166,7 @@ def probe_walk_filter_packed_chunked(
     use_pallas: bool = False,
     one_col: bool = False,
     uniform_len: int = 0,
+    phase_a: int = 0,
 ):
     """Sub-batched compact kernel in ONE jit: ``packed3`` is
     (n_sub, lb, ceil(bucket/4)+2) and `lax.map` runs the fixed-size body per
@@ -1192,7 +1204,7 @@ def probe_walk_filter_packed_chunked(
             discard_multiple, discard_nonzero,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
             p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
-            one_col=one_col,
+            one_col=one_col, phase_a=phase_a,
         )
 
     if packed3.shape[0] == 1:
@@ -1203,7 +1215,7 @@ def probe_walk_filter_packed_chunked(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "phase_a"),
 )
 def probe_walk_full_packed_chunked(
     packed3,
@@ -1219,6 +1231,7 @@ def probe_walk_full_packed_chunked(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Sub-batched full-output kernel in one jit; (n_sub, lb, 3) result."""
     nb = (bucket + 3) // 4
@@ -1230,7 +1243,7 @@ def probe_walk_full_packed_chunked(
             ref_codes_packed, row_starts, row_lengths,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
             p_limit=p_limit, ref_pad=ref_pad, bucket=bucket,
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, phase_a=phase_a,
         )
 
     if packed3.shape[0] == 1:
@@ -1241,7 +1254,7 @@ def probe_walk_full_packed_chunked(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "phase_a"),
 )
 def probe_walk_full_packed_multi_chunked(
     packed3,
@@ -1257,6 +1270,7 @@ def probe_walk_full_packed_multi_chunked(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Chunked multi-library FULL-output kernel: (n_sub, lb, W) packed reads
     against stacked (L, ...) library tables; (n_sub, L, lb, 3) in one
@@ -1278,7 +1292,7 @@ def probe_walk_full_packed_multi_chunked(
                 bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln,
                 k=k, max_probe=max_probe, c_max=c_max,
                 bucket_mask=bucket_mask, p_limit=p_limit, ref_pad=ref_pad,
-                bucket=bucket, use_pallas=use_pallas,
+                bucket=bucket, use_pallas=use_pallas, phase_a=phase_a,
             )
 
         return jax.vmap(one)(
@@ -1294,7 +1308,7 @@ def probe_walk_full_packed_multi_chunked(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "phase_a"),
 )
 def probe_walk_filter_packed_multi_chunked(
     packed3,
@@ -1312,6 +1326,7 @@ def probe_walk_filter_packed_multi_chunked(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Chunked multi-library kernel: (n_sub, lb, W) packed reads against
     stacked library tables; returns (n_sub, L, lb, 2) in one launch."""
@@ -1334,7 +1349,7 @@ def probe_walk_filter_packed_multi_chunked(
                 s_min, thr, nmm, dm, dn,
                 k=k, max_probe=max_probe, c_max=c_max,
                 bucket_mask=bucket_mask, p_limit=p_limit, ref_pad=ref_pad,
-                use_pallas=use_pallas,
+                use_pallas=use_pallas, phase_a=phase_a,
             )
 
         return jax.vmap(one)(
@@ -1352,7 +1367,7 @@ def probe_walk_filter_packed_multi_chunked(
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "phase_a"),
 )
 def probe_walk_filter_packed_multi(
     packed,
@@ -1370,6 +1385,7 @@ def probe_walk_filter_packed_multi(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Multi-library variant: every table/config argument carries a leading
     library axis (stacked to common geometry); ONE launch aligns the shared
@@ -1397,7 +1413,7 @@ def probe_walk_filter_packed_multi(
             bkl, bkh, bkf, bst, bcn, prow, poff, refp, rst, rln,
             s_min, thr, nmm, dm, dn,
             k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
-            p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas,
+            p_limit=p_limit, ref_pad=ref_pad, use_pallas=use_pallas, phase_a=phase_a,
         )
 
     return jax.vmap(one)(
@@ -1454,7 +1470,7 @@ def unpack_compact_one(packed: "np.ndarray", c_max: int, bucket_mask: int,
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "bucket", "use_pallas"),
+                     "bucket", "use_pallas", "phase_a"),
 )
 def probe_walk_full_packed(
     packed,
@@ -1470,6 +1486,7 @@ def probe_walk_full_packed(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Full-output kernel on the packed input buffer, ONE fetched array.
 
@@ -1485,7 +1502,7 @@ def probe_walk_full_packed(
         bkey_lo, bkey_hi, bkey_fp, bstart, bcount, postings_row, postings_off,
         ref_codes_packed, row_starts, row_lengths,
         k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
-        p_limit=p_limit, ref_pad=ref_pad, bucket=bucket, use_pallas=use_pallas,
+        p_limit=p_limit, ref_pad=ref_pad, bucket=bucket, use_pallas=use_pallas, phase_a=phase_a,
     )
 
 
@@ -1503,6 +1520,7 @@ def _probe_walk_full_packed_body(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     nb = (bucket + 3) // 4
     words = packed[:, :nb].astype(jnp.int32)
@@ -1518,7 +1536,7 @@ def _probe_walk_full_packed_body(
         ref_codes_packed, row_starts, row_lengths,
         k=k, max_probe=max_probe, c_max=c_max, bucket_mask=bucket_mask,
         p_limit=p_limit, ref_pad=ref_pad, bucket=bucket,
-        use_pallas=use_pallas,
+        use_pallas=use_pallas, phase_a=phase_a,
     )
 
 
@@ -1536,10 +1554,12 @@ def _probe_walk_full_impl(
     ref_pad: int,
     bucket: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _probe_bucketed(
         reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+        phase_a=phase_a,
     )
     has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _fence(
         (has_anchor, anchor, bucket_sel, lane_sel, fp_bad)
@@ -1576,7 +1596,7 @@ def _probe_walk_full_impl(
             reads_i32, read_lens, anchor, rows, offs, live0,
             ref_codes_packed, row_starts, row_lengths,
             k=k, ref_pad=ref_pad, l_steps=min(p_limit - 1, Lmax - k),
-            use_pallas=use_pallas,
+            use_pallas=use_pallas, phase_a=phase_a,
         )
         lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
         mask = jnp.where(live, lane, 0).sum(axis=1)
@@ -1611,7 +1631,7 @@ def unpack_full_packed(packed: "np.ndarray"):
 @partial(
     jax.jit,
     static_argnames=("k", "max_probe", "c_max", "bucket_mask", "p_limit", "ref_pad",
-                     "use_pallas"),
+                     "use_pallas", "phase_a"),
 )
 def probe_walk_full(
     reads, read_lens,
@@ -1626,6 +1646,7 @@ def probe_walk_full(
     p_limit: int,
     ref_pad: int,
     use_pallas: bool = False,
+    phase_a: int = 0,
 ):
     """Fast kernel, full per-read outputs for the forensic path.
 
@@ -1639,6 +1660,7 @@ def probe_walk_full(
     has_anchor, anchor, bucket_sel, lane_sel, fp_bad = _probe_bucketed(
         reads_i32, read_lens, bkey_lo, bkey_hi, bkey_fp,
         k=k, max_probe=max_probe, bucket_mask=bucket_mask, p_limit=p_limit,
+        phase_a=phase_a,
     )
     astart = bstart[bucket_sel, lane_sel]
     acnt = jnp.where(has_anchor, bcount[bucket_sel, lane_sel], 0)

@@ -8,9 +8,10 @@ ABBA-mirrored round schedule so drift cancels to first order.
     python scripts/ab_engines_inproc.py --knob chunk --a 131072 --b 262144
     python scripts/ab_engines_inproc.py --knob depth --a 3 --b 5
 
-NIMBLE_PROBE_PHASE_A is NOT offered here: it is a module-level constant
-baked into the first jit trace (engine_fast.PROBE_PHASE_A), so a runtime
-toggle would silently measure A vs A.  A/B it across processes instead.
+The probe phase-A boundary is a per-engine STATIC kernel arg since
+round 5 (`phase_a_positions`), so it A/Bs in one process too:
+
+    python scripts/ab_engines_inproc.py --knob phase_a --a 8 --b 16
 """
 
 import argparse
@@ -25,7 +26,7 @@ import numpy as np  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--knob", required=True,
-                    choices=["launch_batch", "chunk", "depth"])
+                    choices=["launch_batch", "chunk", "depth", "phase_a"])
     ap.add_argument("--a", type=int, required=True)
     ap.add_argument("--b", type=int, required=True)
     ap.add_argument("--rounds", type=int, default=12)
@@ -46,6 +47,8 @@ def main() -> int:
         chunk, depth = args.chunk, args.depth
         if args.knob == "launch_batch":
             eng_kw["launch_batch"] = val
+        elif args.knob == "phase_a":
+            eng_kw["phase_a_positions"] = val
         elif args.knob == "chunk":
             chunk = val
         elif args.knob == "depth":
