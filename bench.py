@@ -173,7 +173,9 @@ def bench_bam(args, log) -> dict:
 
         run(f"{td}/warm.tsv.gz")  # warmup (compiles + tunnel setup)
         times = []
-        for r in range(2):
+        # best-of-6: BAM rounds swing with tunnel weather AND 4-core CPU
+        # scheduling; sample like the FASTQ headline does (12 rounds)
+        for r in range(6):
             t0 = time.time()
             run(f"{td}/out{r}.tsv.gz")
             dt = time.time() - t0

@@ -492,7 +492,7 @@ def _span_walk(
     return _span_walk_rel(
         reads_i32, read_lens, anchor, rows, offs, live0,
         ref_codes_packed, row_starts, row_lengths,
-        k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas, phase_a=phase_a,
+        k=k, ref_pad=ref_pad, l_steps=l_steps, use_pallas=use_pallas,
     )
 
 
@@ -1010,7 +1010,7 @@ def _probe_walk_filter_impl(
             ref_codes_packed, row_starts, row_lengths,
             k=k, ref_pad=ref_pad,
             l_steps=min(p_limit - 1, Lmax - k),
-            use_pallas=use_pallas, phase_a=phase_a,
+            use_pallas=use_pallas,
         )
         live, walk_score, walk_mm = _fence((live, walk_score, walk_mm))
         score = jnp.where(has_anchor, k + walk_score, 0)
@@ -1596,7 +1596,7 @@ def _probe_walk_full_impl(
             reads_i32, read_lens, anchor, rows, offs, live0,
             ref_codes_packed, row_starts, row_lengths,
             k=k, ref_pad=ref_pad, l_steps=min(p_limit - 1, Lmax - k),
-            use_pallas=use_pallas, phase_a=phase_a,
+            use_pallas=use_pallas,
         )
         lane = (1 << jnp.arange(c_max, dtype=jnp.int32))[None, :]
         mask = jnp.where(live, lane, 0).sum(axis=1)

@@ -116,8 +116,13 @@ def main() -> int:
         v = ppack[pidx]
         return (v >> 32).sum() + (v & 0xFFFFFFFF).sum()
 
-    t = timed(one, ppack, pidx) - t0
-    print(f"  one i64 gather  : {t*1e6:8.1f} us", flush=True)
+    try:
+        t = timed(one, ppack, pidx) - t0
+        print(f"  one i64 gather  : {t*1e6:8.1f} us", flush=True)
+    except OverflowError:
+        # x64 disabled: the i64 pack truncates to i32 and the u32 mask
+        # overflows — the u32-packed variant below is the meaningful one
+        print("  one i64 gather  : skipped (jax_enable_x64 off)", flush=True)
 
     # u32 pack (row<<16 | off) — half the gathered bytes of the i64
     ppack32 = ((prow.astype(jnp.uint32) << 16)
