@@ -23,7 +23,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--knob", required=True,
                     choices=["batch", "cores", "gzip", "dispatch", "prefetch",
-                             "gilswitch"])
+                             "gilswitch", "eager"])
     ap.add_argument("--a", type=int, required=True)
     ap.add_argument("--b", type=int, required=True)
     ap.add_argument("--rounds", type=int, default=8)
@@ -68,6 +68,8 @@ def main() -> int:
                 os.environ.pop("NIMBLE_DISPATCH", None)
         if args.knob == "prefetch":
             os.environ["NIMBLE_BAM_PREFETCH"] = str(val)
+        if args.knob == "eager":
+            os.environ["NIMBLE_BAM_EAGER"] = str(val)
         if args.knob == "gilswitch":
             # value in MICROseconds; 0 -> interpreter default (5 ms)
             os.environ["NIMBLE_GIL_SWITCH"] = (
