@@ -744,6 +744,11 @@ def main(argv=None) -> int:
                 "value": round(reads_per_sec, 1),
                 "unit": "reads/s",
                 "vs_baseline": round(reads_per_sec / RUST_BASELINE_READS_PER_SEC, 2),
+                # weather honesty: the capture is best-of-N (tunnel rounds
+                # swing +/-30%); the median is carried alongside so a
+                # lucky/unlucky window is visible in the record itself
+                "median_value": round(args.reads / float(np.median(times)), 1),
+                "timed_rounds": len(times),
                 **_base_note,
                 **kernel_note,
                 "split_s": {
